@@ -1,0 +1,99 @@
+"""QM9 dataset extraction (port of the reference's get_data.py semantics).
+
+Downloads the QM9 xyz tarball (figshare id 3195389), parses SMILES and the
+dipole moment mu (property column 4), splits by `valid_idx.json`
+(13,082 validation molecule ids), normalizes mu by the TRAIN mean/std, and
+converts SMILES to graphs with rdkit: explicit hydrogens, bonds typed
+{SINGLE:1, DOUBLE:2, TRIPLE:3, AROMATIC:4}, nodes one-hot over
+[H, C, N, O, F]. Output schema matches get_data.py:82-86.
+
+rdkit and network access are optional dependencies of this module only —
+everything else in the framework consumes the JSON output (or the
+synthetic generator in data/synthetic.py).
+"""
+
+import glob
+import json
+import os
+import subprocess
+from typing import Dict, List
+
+import numpy as np
+
+QM9_URL = "https://ndownloader.figshare.com/files/3195389"
+BOND_DICT = {"SINGLE": 1, "DOUBLE": 2, "TRIPLE": 3, "AROMATIC": 4}
+ATOM_SYMBOLS = ["H", "C", "N", "O", "F"]
+INDEX_OF_MU = 4
+
+
+def download_qm9(data_dir: str = "data") -> str:
+    os.makedirs(data_dir, exist_ok=True)
+    tar_path = os.path.join(data_dir, "dsgdb9nsd.xyz.tar.bz2")
+    if not os.path.exists(tar_path):
+        subprocess.run(["wget", "-O", tar_path, QM9_URL], check=True)
+    unzip_path = os.path.join(data_dir, "qm9_raw")
+    if not os.path.exists(unzip_path):
+        os.makedirs(unzip_path)
+        subprocess.run(["tar", "xjf", tar_path, "-C", unzip_path], check=True)
+    return unzip_path
+
+
+def read_xyz(file_path: str) -> Dict:
+    with open(file_path, "r") as f:
+        lines = f.readlines()
+    smiles = lines[-2].split("\t")[0]
+    mu = float(lines[1].split("\t")[INDEX_OF_MU])
+    return {"smiles": smiles, "mu": mu}
+
+
+def smiles_to_graph(smiles: str):
+    from rdkit import Chem  # optional dependency, extraction-only
+
+    mol = Chem.MolFromSmiles(smiles)
+    mol = Chem.AddHs(mol)
+    edges = [
+        (b.GetBeginAtomIdx(), BOND_DICT[str(b.GetBondType())], b.GetEndAtomIdx())
+        for b in mol.GetBonds()
+    ]
+    nodes = [
+        [1 if i == ATOM_SYMBOLS.index(a.GetSymbol()) else 0 for i in range(5)]
+        for a in mol.GetAtoms()
+    ]
+    return nodes, edges
+
+
+def preprocess(unzip_path: str, valid_idx_path: str = "valid_idx.json",
+               out_dir: str = ".") -> None:
+    with open(valid_idx_path, "r") as f:
+        valid_idx = set(json.load(f)["valid_idxs"])
+
+    raw: Dict[str, List[Dict]] = {"train": [], "valid": []}
+    for file_path in glob.glob(os.path.join(unzip_path, "*.xyz")):
+        # Filenames are dsgdb9nsd_<id>.xyz; the split file stores the ids.
+        mol_id = os.path.basename(file_path)[len("dsgdb9nsd_"):-len(".xyz")]
+        section = "valid" if mol_id in valid_idx else "train"
+        raw[section].append(read_xyz(file_path))
+
+    train_mu = np.array([m["mu"] for m in raw["train"]])
+    mean_mu, std_mu = train_mu.mean(), train_mu.std()
+
+    for section in ("train", "valid"):
+        processed = []
+        for mol in raw[section]:
+            nodes, edges = smiles_to_graph(mol["smiles"])
+            processed.append({
+                "targets": [[float((mol["mu"] - mean_mu) / std_mu)]],
+                "graph": edges,
+                "node_features": nodes,
+            })
+        with open(os.path.join(out_dir, f"molecules_{section}.json"), "w") as f:
+            json.dump(processed, f)
+
+
+def main():
+    unzip_path = download_qm9()
+    preprocess(unzip_path)
+
+
+if __name__ == "__main__":
+    main()

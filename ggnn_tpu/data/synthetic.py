@@ -1,0 +1,60 @@
+"""Deterministic QM9-shaped synthetic molecule generator.
+
+QM9 itself requires a network download plus rdkit (see data/qm9.py); for
+tests, benchmarks and CI this module generates structurally similar data:
+connected graphs of 4-29 nodes (mean ~18, like QM9 with explicit
+hydrogens), 5-dim one-hot node annotations over {H,C,N,O,F}, bond types
+1-4 with QM9-like frequencies (mostly single bonds), and a smooth
+normalized scalar target that depends on graph composition so models can
+actually fit it. Output matches the reference JSON schema exactly
+(get_data.py:82-86), so the full pipeline runs unchanged.
+"""
+
+from typing import Any, Dict, List
+
+import numpy as np
+
+
+def _one_graph(rng: np.random.Generator) -> Dict[str, Any]:
+    n = int(np.clip(rng.normal(18.0, 5.0), 4, 29))
+    # Random spanning tree: node i>0 attaches to a previous node.
+    edges = []
+    for i in range(1, n):
+        parent = int(rng.integers(0, i))
+        bond = int(rng.choice([1, 2, 3, 4], p=[0.75, 0.12, 0.03, 0.10]))
+        edges.append([parent, bond, i])
+    # A few ring-closing extra edges (molecules have cycles).
+    n_extra = int(rng.integers(0, max(1, n // 6) + 1))
+    for _ in range(n_extra):
+        a, b = rng.integers(0, n, size=2)
+        if a != b:
+            edges.append([int(min(a, b)), 1, int(max(a, b))])
+    atom_types = rng.choice(5, size=n, p=[0.5, 0.35, 0.05, 0.08, 0.02])
+    node_features = [[1 if t == a else 0 for t in range(5)] for a in atom_types]
+    # Smooth learnable target: composition + size + bond statistics.
+    bond_sum = sum(e[1] for e in edges)
+    target = (
+        0.08 * n
+        + 0.5 * float(np.sum(atom_types == 3))   # "oxygens" are polar
+        + 0.3 * float(np.sum(atom_types == 2))
+        + 0.02 * bond_sum
+        + 0.1 * rng.normal()
+    )
+    return {
+        "targets": [[target]],
+        "graph": edges,
+        "node_features": node_features,
+    }
+
+
+def synthetic_molecules(num_graphs: int, seed: int = 0,
+                        normalize: bool = True) -> List[Dict[str, Any]]:
+    rng = np.random.default_rng(seed)
+    data = [_one_graph(rng) for _ in range(num_graphs)]
+    if normalize:
+        # Normalize targets by corpus mean/std like get_data.py:51-56.
+        vals = np.array([d["targets"][0][0] for d in data])
+        mean, std = vals.mean(), max(vals.std(), 1e-8)
+        for d in data:
+            d["targets"][0][0] = float((d["targets"][0][0] - mean) / std)
+    return data

@@ -1,0 +1,125 @@
+"""Static-shape graph-batch containers (the framework's L1).
+
+The reference feeds ragged numpy arrays through TF1 placeholders
+(chem_tensorflow_sparse.py:63-73, chem_tensorflow_dense.py:68-91). On TPU
+everything under `jit` must have static shapes, so batches are padded to
+fixed capacities and carry explicit masks. Both containers are registered
+pytrees, so they pass straight through `jax.jit` / `shard_map` and can be
+sharded leaf-wise with `PartitionSpec`s.
+
+Padding conventions (sparse):
+  * nodes: rows `[num_nodes, num_nodes_cap)` are zero-features; their
+    `node_graph_ids` point at the dump graph slot `num_graphs_cap`, so a
+    segment-sum readout with `num_segments = num_graphs_cap + 1` discards
+    them by construction (no value-dependent masking needed).
+  * edges: padded lanes have `source = 0` (any valid row — their message is
+    discarded) and `target = num_nodes_cap` (the dump node slot); segment
+    reductions run with `num_segments = num_nodes_cap + 1` and the dump row
+    is sliced off. `edge_mask` additionally zeroes padded messages so
+    attention scores cannot leak through max-reductions.
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GraphBatch:
+    """A packed multi-graph batch in sparse (typed edge list) form.
+
+    Shapes (T = num edge types, N = node capacity, E = per-type edge
+    capacity, G = graph capacity, K = task count, H = feature width):
+      node_features  [N, H]   float32 — annotations zero-padded to H
+      node_graph_ids [N]      int32   — graph slot per node; padding -> G
+      edge_sources   [T, E]   int32   — padding -> 0
+      edge_targets   [T, E]   int32   — padding -> N (dump slot)
+      edge_mask      [T, E]   float32 — 1.0 for real edges
+      in_degrees     [N, T]   float32 — incoming-edge counts per type
+      targets        [K, G]   float32
+      target_mask    [K, G]   float32
+      num_graphs     []       int32   — real graph count (metrics weighting)
+      num_nodes      []       int32   — real node count
+    """
+
+    node_features: jax.Array
+    node_graph_ids: jax.Array
+    edge_sources: jax.Array
+    edge_targets: jax.Array
+    edge_mask: jax.Array
+    in_degrees: jax.Array
+    targets: jax.Array
+    target_mask: jax.Array
+    num_graphs: jax.Array
+    num_nodes: jax.Array
+
+    @property
+    def num_edge_types(self) -> int:
+        return self.edge_sources.shape[0]
+
+    @property
+    def node_capacity(self) -> int:
+        return self.node_features.shape[0]
+
+    @property
+    def graph_capacity(self) -> int:
+        return self.targets.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseGraphBatch:
+    """A dense-adjacency batch, one graph per row (dense GGNN variant).
+
+    Shapes (B = batch, T = edge types, V = padded vertex count):
+      node_features [B, V, H] float32
+      adjacency     [B, T, V, V] float32 — adjacency[b, t, dst, src] = 1
+      node_mask     [B, V]   float32
+      targets       [K, B]   float32
+      target_mask   [K, B]   float32
+      num_graphs    []       int32
+    """
+
+    node_features: jax.Array
+    adjacency: jax.Array
+    node_mask: jax.Array
+    targets: jax.Array
+    target_mask: jax.Array
+    num_graphs: jax.Array
+
+    @property
+    def num_vertices(self) -> int:
+        return self.node_features.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GCNGraphBatch:
+    """A packed batch for the single-edge-type GCN variant.
+
+    The pre-normalised symmetric adjacency D^{-1/2}(A+I)D^{-1/2} is stored
+    as a weighted COO edge list (reference: chem_tensorflow_gcn.py:116-142).
+    Padding conventions match `GraphBatch` (target -> N dump slot).
+    """
+
+    node_features: jax.Array   # [N, H]
+    node_graph_ids: jax.Array  # [N]
+    edge_sources: jax.Array    # [E]
+    edge_targets: jax.Array    # [E]
+    edge_weights: jax.Array    # [E] float32, 0.0 on padding
+    targets: jax.Array         # [K, G]
+    target_mask: jax.Array     # [K, G]
+    num_graphs: jax.Array
+    num_nodes: jax.Array
+
+    @property
+    def node_capacity(self) -> int:
+        return self.node_features.shape[0]
+
+    @property
+    def graph_capacity(self) -> int:
+        return self.targets.shape[1]

@@ -1,0 +1,97 @@
+"""Typed-edge message passing — the framework's hot compute path.
+
+One propagation step of the sparse GGNN
+(chem_tensorflow_sparse.py:153-216) decomposes into:
+  1. gather source node states per edge type            [T, E, H]
+  2. per-type dense transform (batched matmul on MXU)   [T, E, H]
+  3. optional segment-softmax propagation attention
+  4. segment-sum aggregation into target nodes          [N, H]
+  5. optional edge bias / in-degree averaging
+
+Steps 1-2 are expressed as one `einsum('teh,thd->ted')` so XLA maps all
+edge types onto the MXU as a single batched matmul; step 4 is a masked
+segment-sum into the dump-slot layout of `GraphBatch`. The Pallas kernel
+in ops/pallas/typed_spmm.py fuses 1+2+4 to avoid materialising the [T,E,H]
+message tensor in HBM.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.ops.segment import segment_sum, segment_softmax
+from ggnn_tpu.utils.constants import SMALL_NUMBER
+
+
+def typed_edge_messages(node_states: jax.Array, edge_sources: jax.Array,
+                        edge_weights: jax.Array) -> jax.Array:
+    """Gather + transform: returns per-type messages [T, E, H].
+
+    node_states [N, H]; edge_sources [T, E] int32; edge_weights [T, H, H].
+    """
+    src_states = node_states[edge_sources]          # [T, E, H]
+    return jnp.einsum(
+        "teh,thd->ted", src_states, edge_weights,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def aggregate_messages(messages: jax.Array, edge_targets: jax.Array,
+                       node_capacity: int) -> jax.Array:
+    """Segment-sum flattened typed messages into nodes. Returns [N, H].
+
+    `edge_targets` uses the dump-slot convention (padding -> N), so the
+    reduction allocates N+1 segments and slices the dump row off.
+    """
+    t, e, h = messages.shape
+    flat_msgs = messages.reshape(t * e, h)
+    flat_targets = edge_targets.reshape(t * e)
+    summed = segment_sum(flat_msgs, flat_targets, node_capacity + 1)
+    return summed[:node_capacity]
+
+
+def propagation_attention(messages: jax.Array, node_states: jax.Array,
+                          edge_sources: jax.Array, edge_targets: jax.Array,
+                          edge_mask: jax.Array, type_factors: jax.Array,
+                          node_capacity: int) -> jax.Array:
+    """Segment-softmax attention over incoming messages.
+
+    Reproduces chem_tensorflow_sparse.py:170-196: score = <src, tgt>
+    scaled by a per-edge-type factor, softmaxed over each target's
+    incoming set (log-sum-exp trick), messages reweighted. Padded edge
+    lanes are masked out of both the max and the sum.
+    """
+    t, e, h = messages.shape
+    src_states = node_states[edge_sources]                     # [T, E, H]
+    # Gather of the dump slot is invalid; clamp padded targets to 0 — their
+    # scores are masked anyway.
+    safe_targets = jnp.minimum(edge_targets, node_capacity - 1)
+    tgt_states = node_states[safe_targets]                     # [T, E, H]
+    scores = jnp.sum(src_states * tgt_states, axis=-1)         # [T, E]
+    scores = scores * type_factors[:, None]
+    flat_scores = scores.reshape(t * e)
+    flat_targets = edge_targets.reshape(t * e)
+    flat_mask = edge_mask.reshape(t * e)
+    attention = segment_softmax(
+        flat_scores, flat_targets, node_capacity + 1, flat_mask, SMALL_NUMBER
+    )
+    return messages * attention.reshape(t, e)[..., None]
+
+
+def average_by_in_degree(incoming: jax.Array, in_degrees: jax.Array) -> jax.Array:
+    """Divide aggregated messages by total in-degree (+ epsilon).
+
+    Reproduces `use_edge_msg_avg_aggregation`
+    (chem_tensorflow_sparse.py:206-209).
+    """
+    num_incoming = jnp.sum(in_degrees, axis=-1, keepdims=True)  # [N, 1]
+    return incoming / (num_incoming + SMALL_NUMBER)
+
+
+def edge_bias_term(in_degrees: jax.Array, edge_biases: jax.Array) -> jax.Array:
+    """Per-node bias: in-degree counts [N, T] @ biases [T, H] -> [N, H].
+
+    Reproduces `use_edge_bias` (chem_tensorflow_sparse.py:202-204).
+    """
+    return jnp.dot(in_degrees, edge_biases, preferred_element_type=jnp.float32)

@@ -1,0 +1,150 @@
+"""Tests for preprocessing and static-shape batch packing."""
+
+import numpy as np
+
+from ggnn_tpu.data.loader import infer_metadata
+from ggnn_tpu.data.packing import (
+    PackCapacities,
+    build_dense_adjacency,
+    graph_to_adjacency_lists,
+    graph_to_normalized_adjacency,
+    pack_dense_batches,
+    pack_sparse_batches,
+    plan_capacities,
+    preprocess_dense,
+    preprocess_sparse,
+)
+from ggnn_tpu.data.synthetic import synthetic_molecules
+
+
+def tiny_graphs():
+    # graph 0: 3 nodes, edges 0-(1)-1, 1-(2)-2 ; graph 1: 2 nodes 0-(1)-1
+    return [
+        {"targets": [[0.5]], "graph": [[0, 1, 1], [1, 2, 2]],
+         "node_features": [[1, 0], [0, 1], [1, 0]]},
+        {"targets": [[-0.5]], "graph": [[0, 1, 1]],
+         "node_features": [[0, 1], [1, 0]]},
+    ]
+
+
+def test_metadata_inference():
+    meta = infer_metadata([tiny_graphs()], tie_fwd_bkwd=True)
+    assert meta.max_num_vertices == 2  # max vertex *id*, reference semantics
+    assert meta.num_edge_types == 2
+    assert meta.annotation_size == 2
+    meta_untied = infer_metadata([tiny_graphs()], tie_fwd_bkwd=False)
+    assert meta_untied.num_edge_types == 4
+
+
+def test_adjacency_lists_tied():
+    adj, in_deg = graph_to_adjacency_lists([[0, 1, 1], [1, 2, 2]],
+                                           num_edge_types=2, tie_fwd_bkwd=True)
+    np.testing.assert_array_equal(adj[0], [[0, 1], [1, 0]])
+    np.testing.assert_array_equal(adj[1], [[1, 2], [2, 1]])
+    assert in_deg[0] == {1: 1, 0: 1}
+
+
+def test_adjacency_lists_untied_backward_types():
+    adj, in_deg = graph_to_adjacency_lists([[0, 1, 1]],
+                                           num_edge_types=4, tie_fwd_bkwd=False)
+    np.testing.assert_array_equal(adj[0], [[0, 1]])
+    np.testing.assert_array_equal(adj[2], [[1, 0]])  # bwd of type 0 -> type 2
+    assert 4 not in adj  # the reference's out-of-range bug is fixed
+
+
+def test_sparse_packing_shapes_and_offsets():
+    raw = tiny_graphs()
+    processed = preprocess_sparse(raw, num_edge_types=2, tie_fwd_bkwd=True,
+                                  task_ids=[0], task_sample_ratios={},
+                                  is_training=False)
+    caps = PackCapacities(nodes=8, edges_per_type=8, graphs=8)
+    batches = list(pack_sparse_batches(
+        processed, num_edge_types=2, node_budget=100, caps=caps,
+        hidden_size=4, annotation_size=2, is_training=False))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.node_features.shape == (8, 4)
+    assert b.edge_sources.shape == (2, 8)
+    assert int(b.num_graphs) == 2
+    assert int(b.num_nodes) == 5
+    # second graph's nodes are offset by 3
+    np.testing.assert_array_equal(b.node_graph_ids[:5], [0, 0, 0, 1, 1])
+    assert b.node_graph_ids[5] == 8  # dump slot
+    # graph-1 edge 0-(1)-1 offsets to (3,4)/(4,3)
+    e0 = b.edge_sources[0][b.edge_mask[0] > 0]
+    assert set(map(int, e0)) == {0, 1, 3, 4}
+    # padded edge targets point at the dump node
+    assert np.all(b.edge_targets[b.edge_mask == 0] == 8)
+    # annotations zero-padded to hidden size
+    np.testing.assert_array_equal(b.node_features[0], [1, 0, 0, 0])
+
+
+def test_sparse_packing_respects_node_budget():
+    raw = tiny_graphs()
+    processed = preprocess_sparse(raw, 2, True, [0], {}, False)
+    caps = PackCapacities(nodes=8, edges_per_type=8, graphs=8)
+    # budget 4: strict < means graph 0 (3 nodes) fits, graph 1 (2) does not
+    batches = list(pack_sparse_batches(processed, 2, 4, caps, 4, 2, False))
+    assert [int(b.num_graphs) for b in batches] == [1, 1]
+
+
+def test_plan_capacities_covers_corpus():
+    raw = synthetic_molecules(200, seed=0)
+    processed = preprocess_sparse(raw, 4, True, [0], {}, False)
+    caps = plan_capacities(processed, num_edge_types=4, node_budget=500)
+    batches = list(pack_sparse_batches(processed, 4, 500, caps, 16, 5, False))
+    total = sum(int(b.num_graphs) for b in batches)
+    assert total == 200
+    for b in batches:
+        assert b.node_features.shape[0] == caps.nodes
+        assert b.edge_sources.shape == (4, caps.edges_per_type)
+
+
+def test_dense_adjacency_orientation():
+    # adjacency[t, dst, src] = 1 (reference dense:30-36)
+    amat = build_dense_adjacency([[0, 1, 1]], 3, 2, tie_fwd_bkwd=True)
+    assert amat[0, 1, 0] == 1 and amat[0, 0, 1] == 1
+    amat_untied = build_dense_adjacency([[0, 1, 1]], 3, 4, tie_fwd_bkwd=False)
+    assert amat_untied[0, 1, 0] == 1 and amat_untied[2, 0, 1] == 1
+
+
+def test_dense_bucketing_and_remainder_drop():
+    raw = synthetic_molecules(50, seed=1)
+    bucketed, bucket_sizes = preprocess_dense(raw, 4, True, [0], {}, False)
+    batches = list(pack_dense_batches(bucketed, bucket_sizes, batch_size=8,
+                                      hidden_size=16, annotation_size=5,
+                                      is_training=False, drop_remainder=True))
+    dropped_total = sum(len(v) for v in bucketed.values()) - sum(
+        int(b.num_graphs) for b in batches)
+    assert dropped_total > 0  # reference floor-division behavior
+    for b in batches:
+        assert int(b.num_graphs) == 8
+        assert b.adjacency.shape[0] == 8
+    # with drop_remainder=False every graph is processed
+    batches_all = list(pack_dense_batches(bucketed, bucket_sizes, 8, 16, 5,
+                                          False, drop_remainder=False))
+    assert sum(int(b.num_graphs) for b in batches_all) == 50
+
+
+def test_gcn_normalization_matches_reference_math():
+    edges = [[0, 1, 1], [1, 2, 2]]
+    coo, w = graph_to_normalized_adjacency(edges, 3)
+    # Build dense reference result directly:
+    adj = np.zeros((3, 3))
+    for s, _, d in edges:
+        adj[s, d] = adj[d, s] = 1
+    adj += np.eye(3)
+    dinv = np.diag(np.power(adj.sum(-1), -0.5) + 1e-7)
+    want = dinv @ adj @ dinv
+    got = np.zeros((3, 3))
+    for (i, j), weight in zip(coo, w):
+        got[i, j] = weight
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_task_sample_ratios_blank_labels():
+    raw = synthetic_molecules(10, seed=2)
+    processed = preprocess_sparse(raw, 4, True, [0], {"0": 0.5}, True,
+                                  rng=np.random.RandomState(0))
+    blanked = sum(1 for g in processed if g["labels"][0] is None)
+    assert blanked == 5
