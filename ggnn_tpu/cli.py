@@ -1,0 +1,89 @@
+"""Command-line entry points.
+
+Parity surface with the reference CLIs (chem_tensorflow_*.py usage
+strings): one subcommand per variant plus `rgcn` (the README.md:48-52
+recipe as a first-class name), with the same flags:
+
+    python -m ggnn_tpu.cli sparse [--config-file FILE] [--config JSON]
+        [--log_dir DIR] [--data_dir DIR] [--restore FILE]
+        [--freeze-graph-model] [--evaluate]
+
+Extras over the reference: `--synthetic N` trains on the built-in
+QM9-shaped generator (no rdkit/network needed), `--restrict_data N`
+(documented but dead upstream — chem_tensorflow.py:111-113 reads a flag
+no usage string defines; here it works), and `--quiet`.
+"""
+
+import argparse
+import json
+import sys
+import traceback
+
+from ggnn_tpu.training.config import resolve_config
+from ggnn_tpu.training.runner import Runner
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ggnn_tpu",
+                                description="TPU-native GGNN framework")
+    p.add_argument("variant",
+                   choices=["sparse", "dense", "gcn", "rgcn", "async"])
+    p.add_argument("--config-file", dest="config_file", default=None,
+                   help="Hyperparameter configuration file path (JSON).")
+    p.add_argument("--config", default=None,
+                   help="Hyperparameter configuration dictionary (JSON).")
+    p.add_argument("--log_dir", default=".", help="Log dir name.")
+    p.add_argument("--data_dir", default="", help="Data dir name.")
+    p.add_argument("--restore", default=None,
+                   help="File to restore weights from.")
+    p.add_argument("--freeze-graph-model", action="store_true",
+                   help="Freeze weights of graph model components.")
+    p.add_argument("--evaluate", action="store_true",
+                   help="Example evaluation using a restored model.")
+    p.add_argument("--restrict_data", type=int, default=None,
+                   help="Use only the first N graphs of each file.")
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="Train on N synthetic QM9-shaped molecules instead "
+                        "of JSON files.")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    config = resolve_config(args.variant, args.config_file, args.config)
+
+    train_data = valid_data = None
+    if args.synthetic is not None:
+        from ggnn_tpu.data.synthetic import synthetic_molecules
+        n = args.synthetic
+        train_data = synthetic_molecules(n, seed=config["random_seed"])
+        valid_data = synthetic_molecules(
+            max(1, n // 10), seed=config["random_seed"] + 1)
+
+    try:
+        runner = Runner(
+            args.variant, config,
+            data_dir=args.data_dir, log_dir=args.log_dir,
+            restore=args.restore,
+            freeze_graph_model=args.freeze_graph_model,
+            train_data=train_data, valid_data=valid_data,
+            restrict_data=args.restrict_data, quiet=args.quiet)
+        if args.evaluate:
+            if valid_data is not None:
+                runner.example_evaluation(example_molecules=valid_data[:10])
+            else:
+                import os
+                runner.example_evaluation(
+                    valid_file=os.path.join(args.data_dir,
+                                            config["valid_file"]))
+        else:
+            runner.train()
+        return 0
+    except Exception:
+        traceback.print_exc()
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

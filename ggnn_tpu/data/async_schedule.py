@@ -1,0 +1,337 @@
+"""Propagation-schedule compilation and packing for the async GGNN.
+
+Host-side analog of chem_tensorflow_async.py:232-470, re-designed for
+static shapes: the ragged per-(round, step, type) index lists become
+fixed-capacity arrays consumed by a `lax.scan` over substeps.
+
+Schedule construction per graph (async.py:293-335): for each of
+`propagation_rounds/2` round-pairs, seed a depth-first traversal, assign
+each node the depth of its first visit, then split edges into a forward
+pass (toward greater depth; the receiver at depth d fires at step d-1)
+and a mirrored backward pass. DFS (which the reference's mis-named
+`bfs_visit` actually performs) guarantees adjacent nodes never share a
+depth in an undirected graph — cross edges don't exist in undirected DFS —
+which is exactly the property the schedule needs.
+
+Two latent reference bugs are fixed here (documented, deliberate):
+  * seed selection (async.py:308): `min(num_incoming_edges.items(),
+    key=...)[prop_round]` indexes the (node, count) *tuple*, so round-pair
+    1 seeds from a degree count reinterpreted as a node id. Here the
+    p-th round-pair seeds from the p-th node in ascending (count, node)
+    order.
+  * edge types (async.py:264-266, 301): raw 1-based bond types were used
+    unshifted and filtered against range(num_edge_types), silently
+    dropping the last type (aromatic bonds) and leaving slot 0 empty.
+    Here types are 0-based like every other variant, and untied backward
+    types land in `num_fwd + e`.
+  * batch message-target offsets (async.py:399-401): the reference keeps
+    an independent offset counter per edge type while the receiving-node
+    numbering is shared across types, mis-aligning multi-type steps in
+    packed batches. Here all types of a (round, step) share the step's
+    receiver offset.
+"""
+
+import dataclasses
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ggnn_tpu.data.packing import (
+    _apply_task_sample_ratios,
+    _extract_labels,
+    _labels_to_values_and_mask,
+)
+from ggnn_tpu.graph import AsyncGraphBatch
+from ggnn_tpu.utils.padding import pad_to, round_up
+
+
+@dataclasses.dataclass(frozen=True)
+class AsyncCapacities:
+    nodes: int
+    graphs: int
+    initial_nodes: int      # per round
+    sending_edges: int      # per (round, step, type)
+    receiving_nodes: int    # per (round, step)
+
+
+def dfs_depths(outgoing: Dict[int, List[Tuple[int, int, int]]],
+               seed: int) -> Dict[int, int]:
+    """Iterative pre-order DFS depth assignment (async.py:28-34 semantics,
+    without Python recursion limits)."""
+    depths: Dict[int, int] = {}
+    stack = [(seed, 0)]
+    while stack:
+        v, depth = stack.pop()
+        if v in depths:
+            continue
+        depths[v] = depth
+        # Reverse so the first-listed neighbor is visited first, matching
+        # the recursive visit order.
+        for (_, __, w) in reversed(outgoing.get(v, [])):
+            if w not in depths:
+                stack.append((w, depth + 1))
+    return depths
+
+
+def graph_to_propagation_schedules(edges, num_edge_types: int,
+                                   tie_fwd_bkwd: bool,
+                                   propagation_rounds: int,
+                                   propagation_substeps: int):
+    """Per-graph schedules: list over rounds of
+    (initial_nodes, sending_nodes[step][type], msg_targets[step][type],
+     receiving_nodes[step])."""
+    assert propagation_rounds % 2 == 0, "propagation_rounds must be even"
+    num_fwd = num_edge_types if tie_fwd_bkwd else num_edge_types // 2
+
+    num_incoming: Dict[int, int] = {}
+    outgoing: Dict[int, List[Tuple[int, int, int]]] = {}
+    for (v, typ, w) in edges:
+        t = typ - 1  # 0-based, all variants agree
+        bwd_t = t if tie_fwd_bkwd else num_fwd + t
+        num_incoming[v] = num_incoming.get(v, 0) + 1
+        num_incoming[w] = num_incoming.get(w, 0) + 1
+        outgoing.setdefault(v, []).append((v, t, w))
+        outgoing.setdefault(w, []).append((w, bwd_t, v))
+
+    seeds = [n for (n, _) in sorted(num_incoming.items(),
+                                    key=lambda kv: (kv[1], kv[0]))]
+    schedules = []
+    for pair in range(propagation_rounds // 2):
+        seed = seeds[pair % len(seeds)]
+        depths = dfs_depths(outgoing, seed)
+        max_depth = max(depths.values())
+        assert max_depth <= propagation_substeps, (
+            f"schedule depth {max_depth} exceeds propagation_substeps "
+            f"{propagation_substeps}")
+        fwd: List[List[Tuple[int, int, int]]] = [[] for _ in range(max_depth)]
+        bwd: List[List[Tuple[int, int, int]]] = [[] for _ in range(max_depth)]
+        for (v, typ, w) in edges:
+            t = typ - 1
+            bwd_t = t if tie_fwd_bkwd else num_fwd + t
+            dv, dw = depths[v], depths[w]
+            if dv < dw:
+                fwd[dw - 1].append((v, t, w))
+                bwd[-dv - 1].append((w, bwd_t, v))
+            elif dw < dv:
+                fwd[dv - 1].append((w, bwd_t, v))
+                bwd[-dw - 1].append((v, t, w))
+            else:
+                assert v == w, "equal-depth non-self-loop edge (broken DFS)"
+        schedules.append(_tensorise(fwd, num_edge_types))
+        schedules.append(_tensorise(bwd, num_edge_types))
+    return schedules
+
+
+def _tensorise(step_edges_list, num_edge_types: int):
+    """Reference async.py:251-291: per step, unique sorted receivers with
+    dense local numbering shared across edge types."""
+    sending, msg_targets, receiving = [], [], []
+    all_nodes = set()
+    for step_edges in step_edges_list:
+        recv_nodes = sorted({w for (_, __, w) in step_edges})
+        local_id = {v: i for i, v in enumerate(recv_nodes)}
+        send_step, target_step = [], []
+        for t in range(num_edge_types):
+            send_step.append(np.array(
+                [v for (v, e, _) in step_edges if e == t], dtype=np.int32))
+            target_step.append(np.array(
+                [local_id[w] for (_, e, w) in step_edges if e == t],
+                dtype=np.int32))
+        sending.append(send_step)
+        msg_targets.append(target_step)
+        receiving.append(np.array(recv_nodes, dtype=np.int32))
+        all_nodes.update(v for (v, _, __) in step_edges)
+        all_nodes.update(w for (_, __, w) in step_edges)
+    updated = {v for step in receiving for v in step}
+    initial = np.array(sorted(all_nodes - updated), dtype=np.int32)
+    return initial, sending, msg_targets, receiving
+
+
+def check_schedule_invariants(schedule, num_edge_types: int) -> None:
+    """The reference's disabled `check_batch_invariants`
+    (async.py:456-470), promoted to a real check: every sender was
+    initialised before sending, every receiver updated exactly once."""
+    initial, sending, msg_targets, receiving = schedule
+    initialised = set(int(v) for v in initial)
+    for step in range(len(receiving)):
+        for t in range(num_edge_types):
+            for v in sending[step][t]:
+                assert int(v) in initialised, f"uninitialised sender {v}"
+        for v in receiving[step]:
+            assert int(v) not in initialised, f"receiver {v} updated twice"
+        initialised.update(int(v) for v in receiving[step])
+
+
+def preprocess_async(raw_data: Sequence, num_edge_types: int,
+                     tie_fwd_bkwd: bool, propagation_rounds: int,
+                     propagation_substeps: int, task_ids: Sequence[int],
+                     task_sample_ratios: Dict, is_training: bool,
+                     rng: Optional[np.random.RandomState] = None) -> List[dict]:
+    processed = []
+    for d in raw_data:
+        processed.append({
+            "init": np.asarray(d["node_features"], dtype=np.float32),
+            "prop_schedules": graph_to_propagation_schedules(
+                d["graph"], num_edge_types, tie_fwd_bkwd,
+                propagation_rounds, propagation_substeps),
+            "labels": _extract_labels(d, task_ids),
+        })
+    if is_training:
+        if rng is not None:
+            rng.shuffle(processed)
+        _apply_task_sample_ratios(processed, task_ids, task_sample_ratios)
+    return processed
+
+
+def plan_async_capacities(processed: Sequence[dict], num_edge_types: int,
+                          node_budget: int, propagation_rounds: int,
+                          margin: float = 1.3) -> AsyncCapacities:
+    max_graphs = 1
+    max_init, max_send, max_recv = 1, 1, 1
+    cur = None
+
+    def fresh():
+        return {"graphs": 0, "nodes": 0,
+                "init": [0] * propagation_rounds,
+                "send": {}, "recv": {}}
+
+    cur = fresh()
+    stats = []
+    for g in processed:
+        n = len(g["init"])
+        if cur["nodes"] + n >= node_budget and cur["graphs"] > 0:
+            stats.append(cur)
+            cur = fresh()
+        cur["graphs"] += 1
+        cur["nodes"] += n
+        for r, (initial, sending, _mt, receiving) in enumerate(g["prop_schedules"]):
+            cur["init"][r] += len(initial)
+            for s in range(len(receiving)):
+                cur["recv"][(r, s)] = cur["recv"].get((r, s), 0) + len(receiving[s])
+                for t in range(num_edge_types):
+                    cur["send"][(r, s, t)] = (
+                        cur["send"].get((r, s, t), 0) + len(sending[s][t]))
+    stats.append(cur)
+    for st in stats:
+        max_graphs = max(max_graphs, st["graphs"])
+        max_init = max(max_init, max(st["init"]))
+        if st["send"]:
+            max_send = max(max_send, max(st["send"].values()))
+        if st["recv"]:
+            max_recv = max(max_recv, max(st["recv"].values()))
+    return AsyncCapacities(
+        nodes=round_up(node_budget, 8),
+        graphs=round_up(int(np.ceil(max_graphs * margin)), 8),
+        initial_nodes=round_up(int(np.ceil(max_init * margin)), 8),
+        sending_edges=round_up(int(np.ceil(max_send * margin)), 8),
+        receiving_nodes=round_up(int(np.ceil(max_recv * margin)), 8),
+    )
+
+
+def pack_async_batches(processed: List[dict], num_edge_types: int,
+                       node_budget: int, caps: AsyncCapacities,
+                       propagation_rounds: int, propagation_substeps: int,
+                       hidden_size: int, annotation_size: int,
+                       is_training: bool,
+                       rng: Optional[np.random.RandomState] = None
+                       ) -> Iterator[AsyncGraphBatch]:
+    if is_training and rng is not None:
+        rng.shuffle(processed)
+    num_tasks = len(processed[0]["labels"])
+    R, S, T = propagation_rounds, propagation_substeps, num_edge_types
+    idx = 0
+    while idx < len(processed):
+        feats, graph_ids, values, masks = [], [], [], []
+        init_lists = [[] for _ in range(R)]
+        send_lists = [[[[] for _ in range(T)] for _ in range(S)] for _ in range(R)]
+        target_lists = [[[[] for _ in range(T)] for _ in range(S)] for _ in range(R)]
+        recv_lists = [[[] for _ in range(S)] for _ in range(R)]
+        recv_offsets = np.zeros((R, S), dtype=np.int64)
+        node_offset, graphs_in_batch = 0, 0
+
+        def fits(g) -> bool:
+            n = len(g["init"])
+            if node_offset + n >= node_budget or graphs_in_batch + 1 > caps.graphs:
+                return False
+            for r, (initial, sending, _mt, receiving) in enumerate(g["prop_schedules"]):
+                cur_init = sum(len(a) for a in init_lists[r])
+                if cur_init + len(initial) > caps.initial_nodes:
+                    return False
+                for s in range(len(receiving)):
+                    if (recv_offsets[r, s] + len(receiving[s])
+                            > caps.receiving_nodes):
+                        return False
+                    for t in range(T):
+                        cur_send = sum(len(a) for a in send_lists[r][s][t])
+                        if cur_send + len(sending[s][t]) > caps.sending_edges:
+                            return False
+            return True
+
+        while idx < len(processed):
+            g = processed[idx]
+            if not fits(g):
+                if graphs_in_batch == 0:
+                    raise ValueError(f"graph exceeds async capacities {caps}")
+                break
+            n = len(g["init"])
+            feats.append(np.pad(g["init"],
+                                ((0, 0), (0, hidden_size - annotation_size))))
+            graph_ids.append(np.full(n, graphs_in_batch, dtype=np.int32))
+            for r, (initial, sending, msg_targets, receiving) in enumerate(
+                    g["prop_schedules"]):
+                init_lists[r].append(initial + node_offset)
+                for s in range(len(receiving)):
+                    step_offset = recv_offsets[r, s]
+                    for t in range(T):
+                        send_lists[r][s][t].append(sending[s][t] + node_offset)
+                        # All types share the step's receiver offset —
+                        # the fixed version of async.py:399-401.
+                        target_lists[r][s][t].append(
+                            msg_targets[s][t] + step_offset)
+                    recv_lists[r][s].append(receiving[s] + node_offset)
+                    recv_offsets[r, s] += len(receiving[s])
+            v, m = _labels_to_values_and_mask(g["labels"])
+            values.append(v)
+            masks.append(m)
+            idx += 1
+            graphs_in_batch += 1
+            node_offset += n
+
+        # Assemble fixed-shape arrays with dump-slot padding.
+        initial_nodes = np.full((R, caps.initial_nodes), caps.nodes, np.int32)
+        sending_nodes = np.zeros((R, S, T, caps.sending_edges), np.int32)
+        msg_targets = np.full((R, S, T, caps.sending_edges),
+                              caps.receiving_nodes, np.int32)
+        receiving_nodes = np.full((R, S, caps.receiving_nodes),
+                                  caps.nodes, np.int32)
+        for r in range(R):
+            if init_lists[r]:
+                arr = np.concatenate(init_lists[r])
+                initial_nodes[r, :len(arr)] = arr
+            for s in range(S):
+                if recv_lists[r][s]:
+                    arr = np.concatenate(recv_lists[r][s])
+                    receiving_nodes[r, s, :len(arr)] = arr
+                for t in range(T):
+                    if send_lists[r][s][t]:
+                        arr = np.concatenate(send_lists[r][s][t])
+                        sending_nodes[r, s, t, :len(arr)] = arr
+                        tgt = np.concatenate(target_lists[r][s][t])
+                        msg_targets[r, s, t, :len(tgt)] = tgt
+
+        yield AsyncGraphBatch(
+            node_features=pad_to(
+                np.concatenate(feats, axis=0).astype(np.float32), caps.nodes),
+            node_graph_ids=pad_to(np.concatenate(graph_ids), caps.nodes,
+                                  fill=caps.graphs),
+            initial_nodes=initial_nodes,
+            sending_nodes=sending_nodes,
+            msg_targets=msg_targets,
+            receiving_nodes=receiving_nodes,
+            targets=pad_to(np.asarray(values, np.float32).T.reshape(
+                num_tasks, graphs_in_batch), caps.graphs, axis=1),
+            target_mask=pad_to(np.asarray(masks, np.float32).T.reshape(
+                num_tasks, graphs_in_batch), caps.graphs, axis=1),
+            num_graphs=np.int32(graphs_in_batch),
+            num_nodes=np.int32(node_offset),
+        )

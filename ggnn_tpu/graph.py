@@ -98,6 +98,50 @@ class DenseGraphBatch:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class AsyncGraphBatch:
+    """A packed batch with per-round scheduled-propagation tensors.
+
+    The async GGNN (reference: chem_tensorflow_async.py) propagates along
+    a DAG schedule: each round r has `S = propagation_substeps` steps; at
+    step s, edges whose receiver sits at schedule depth s fire, and the
+    receivers are updated exactly once per round.
+
+    Shapes (R = rounds, S = substeps, T = edge types, I/SE/RC = padded
+    capacities for initial nodes, per-(step,type) sending edges and
+    per-step receiving nodes):
+      initial_nodes   [R, I]        int32 — pad -> N (dump)
+      sending_nodes   [R, S, T, SE] int32 — global node ids, pad -> 0
+      msg_targets     [R, S, T, SE] int32 — per-step-local receiver ids,
+                                            pad -> RC (dump)
+      receiving_nodes [R, S, RC]    int32 — global node ids, pad -> N
+    """
+
+    node_features: jax.Array   # [N, H]
+    node_graph_ids: jax.Array  # [N]
+    initial_nodes: jax.Array
+    sending_nodes: jax.Array
+    msg_targets: jax.Array
+    receiving_nodes: jax.Array
+    targets: jax.Array         # [K, G]
+    target_mask: jax.Array     # [K, G]
+    num_graphs: jax.Array
+    num_nodes: jax.Array
+
+    @property
+    def node_capacity(self) -> int:
+        return self.node_features.shape[0]
+
+    @property
+    def graph_capacity(self) -> int:
+        return self.targets.shape[1]
+
+    @property
+    def num_rounds(self) -> int:
+        return self.initial_nodes.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class GCNGraphBatch:
     """A packed batch for the single-edge-type GCN variant.
 

@@ -1,0 +1,81 @@
+"""Sparse GCN (Kipf & Welling) over a pre-normalized packed adjacency.
+
+TPU-native re-design of chem_tensorflow_gcn.py:28-199. The symmetric
+normalization D^{-1/2}(A+I)D^{-1/2} happens at preprocess time (numpy,
+data/packing.py:graph_to_normalized_adjacency); the model is, per layer l
+of `num_timesteps` layers:
+
+    H <- Â · H           weighted gather/segment-sum over the COO list
+    H <- H · W_l (+ b_l when gcn_use_bias)
+    ReLU + state dropout on all but the last layer
+
+No RNN cell; edge types are discarded by this variant.
+"""
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.graph import GCNGraphBatch
+from ggnn_tpu.models import base
+from ggnn_tpu.ops.dropout import dropout
+from ggnn_tpu.ops.segment import segment_sum
+from ggnn_tpu.utils.init import glorot_init
+
+
+class GCN:
+    def __init__(self, config: Dict):
+        self.config = config
+        self.hidden_size = config["hidden_size"]
+        self.num_layers = config["num_timesteps"]
+        self.use_bias = config["gcn_use_bias"]
+        self.state_keep_prob = config["graph_state_dropout_keep_prob"]
+
+    def init_params(self, key: jax.Array) -> Dict:
+        h = self.hidden_size
+        layers: List[Dict] = []
+        for _ in range(self.num_layers):
+            key, sub = jax.random.split(key)
+            layer = {"W": glorot_init(sub, (h, h))}
+            if self.use_bias:
+                layer["b"] = jnp.zeros((h,), jnp.float32)
+            layers.append(layer)
+        return {"layers": layers}
+
+    def forward(self, params: Dict, batch: GCNGraphBatch, *, rng=None,
+                is_training: bool = False) -> jax.Array:
+        n_cap = batch.node_capacity
+        h = batch.node_features
+        for layer_idx, layer in enumerate(params["layers"]):
+            # Â @ H: gather source rows, scale by edge weight, segment-sum
+            # into targets (the SpMM of gcn.py:69 in gather/scatter form).
+            scaled = h[batch.edge_sources] * batch.edge_weights[:, None]
+            mixed = segment_sum(scaled, batch.edge_targets, n_cap + 1)[:n_cap]
+            new_h = jnp.dot(mixed, layer["W"],
+                            preferred_element_type=jnp.float32)
+            if self.use_bias:
+                new_h = new_h + layer["b"]
+            if layer_idx < self.num_layers - 1:
+                new_h = jax.nn.relu(new_h)
+                if is_training and self.state_keep_prob < 1.0:
+                    rng, sub = jax.random.split(rng)
+                    new_h = dropout(sub, new_h, self.state_keep_prob)
+            h = new_h
+        return h
+
+    def readout(self, heads: Dict, task_ids, last_h: jax.Array,
+                batch: GCNGraphBatch, *, keep_prob: float = 1.0,
+                rng=None) -> jax.Array:
+        outs = []
+        for task_id in task_ids:
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            else:
+                sub = None
+            gated = base.gated_regression_nodes(
+                heads[f"task{task_id}"], last_h, batch.node_features,
+                keep_prob=keep_prob, rng=sub)
+            outs.append(base.pool_nodes_to_graphs(
+                gated, batch.node_graph_ids, batch.graph_capacity))
+        return jnp.stack(outs, axis=0)

@@ -1,0 +1,162 @@
+"""Sparse GGNN — the most featureful variant, and the R-GCN host.
+
+TPU-native re-design of chem_tensorflow_sparse.py:36-376. Per layer
+(`layer_timesteps` gives the layer count and per-layer step count), each
+propagation step does, over the packed super-graph batch:
+
+  1. typed message transform: one batched einsum over all edge types
+     (gather [T,E,H] source states, contract with [T,H,H] weights) — a
+     single MXU-batched matmul instead of the reference's per-type loop
+  2. optional segment-softmax propagation attention
+     (chem_tensorflow_sparse.py:170-196)
+  3. masked segment-sum aggregation into target nodes
+  4. optional edge bias (in-degree counts x [T,H] biases) and optional
+     in-degree averaging (default on)
+  5. residual concatenation of earlier layers' node states
+     (`residual_connections`, default {"2":[0],"4":[0,2]})
+  6. RNN cell update (GRU / cuDNN-GRU / basic RNN, tanh or ReLU) with
+     TF1.3 gate math and state-dropout wrapper
+
+Edge-weight dropout is applied once per layer per forward pass (the
+reference builds one `tf.nn.dropout` op per layer at graph-construction
+time, chem_tensorflow_sparse.py:91, so all timesteps of a layer share the
+mask within one session step).
+
+The R-GCN of README.md:48-52 is this model with config
+`{"use_edge_bias": false, "use_edge_msg_avg_aggregation": true,
+"residual_connections": {}, "layer_timesteps": [1]*8,
+"graph_rnn_cell": "RNN", "graph_rnn_activation": "ReLU"}`.
+"""
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.graph import GraphBatch
+from ggnn_tpu.models import base
+from ggnn_tpu.ops.cells import make_cell
+from ggnn_tpu.ops.dropout import dropout
+from ggnn_tpu.ops.messages import (
+    aggregate_messages,
+    average_by_in_degree,
+    edge_bias_term,
+    propagation_attention,
+    typed_edge_messages,
+)
+from ggnn_tpu.utils.init import glorot_init
+
+
+class SparseGGNN:
+    """Functional model: `init_params(key)` + pure `forward(...)`.
+
+    Static configuration (layer structure, feature flags, capacities) is
+    captured in the instance so `forward` closes over python constants and
+    traces to a fixed XLA graph.
+    """
+
+    def __init__(self, config: Dict, num_edge_types: int):
+        self.config = config
+        self.num_edge_types = num_edge_types
+        self.hidden_size = config["hidden_size"]
+        self.layer_timesteps = list(config["layer_timesteps"])
+        self.residual_connections = {
+            int(k): list(v) for k, v in config["residual_connections"].items()
+        }
+        self.use_edge_bias = config["use_edge_bias"]
+        self.use_propagation_attention = config["use_propagation_attention"]
+        self.use_edge_msg_avg_aggregation = config["use_edge_msg_avg_aggregation"]
+        self.edge_weight_dropout_keep_prob = config["edge_weight_dropout_keep_prob"]
+        self.cell_init, self.cell_apply = make_cell(
+            config["graph_rnn_cell"],
+            config["graph_rnn_activation"],
+            config["graph_state_dropout_keep_prob"],
+        )
+
+    def _layer_input_size(self, layer_idx: int) -> int:
+        n_res = len(self.residual_connections.get(layer_idx, []))
+        return self.hidden_size * (1 + n_res)
+
+    def init_params(self, key: jax.Array) -> Dict:
+        h = self.hidden_size
+        t = self.num_edge_types
+        layers: List[Dict] = []
+        for layer_idx in range(len(self.layer_timesteps)):
+            key, k_w, k_cell = jax.random.split(key, 3)
+            layer: Dict = {
+                # Reference draws one glorot [T*H, H] matrix and reshapes
+                # (chem_tensorflow_sparse.py:88-90) — fan-in T*H, kept.
+                "edge_weights": glorot_init(k_w, (t * h, h)).reshape(t, h, h),
+                "cell": self.cell_init(k_cell, self._layer_input_size(layer_idx), h),
+            }
+            if self.use_propagation_attention:
+                layer["attention"] = jnp.ones((t,), jnp.float32)
+            if self.use_edge_bias:
+                layer["edge_biases"] = jnp.zeros((t, h), jnp.float32)
+            layers.append(layer)
+        return {"layers": layers}
+
+    def forward(self, params: Dict, batch: GraphBatch, *, rng=None,
+                is_training: bool = False) -> jax.Array:
+        """Final node representations [N, H]."""
+        n_cap = batch.node_capacity
+        node_states_per_layer = [batch.node_features]
+
+        for layer_idx, num_timesteps in enumerate(self.layer_timesteps):
+            layer = params["layers"][layer_idx]
+            if rng is not None:
+                rng, rng_w = jax.random.split(rng)
+            else:
+                rng_w = None
+            edge_weights = layer["edge_weights"]
+            if is_training and self.edge_weight_dropout_keep_prob < 1.0:
+                edge_weights = dropout(
+                    rng_w, edge_weights, self.edge_weight_dropout_keep_prob)
+
+            residual_states = [
+                node_states_per_layer[i]
+                for i in self.residual_connections.get(layer_idx, [])
+            ]
+
+            h = node_states_per_layer[-1]
+            for _step in range(num_timesteps):
+                messages = typed_edge_messages(h, batch.edge_sources, edge_weights)
+                if self.use_propagation_attention:
+                    messages = propagation_attention(
+                        messages, h, batch.edge_sources, batch.edge_targets,
+                        batch.edge_mask, layer["attention"], n_cap)
+                incoming = aggregate_messages(messages, batch.edge_targets, n_cap)
+                if self.use_edge_bias:
+                    incoming = incoming + edge_bias_term(
+                        batch.in_degrees, layer["edge_biases"])
+                if self.use_edge_msg_avg_aggregation:
+                    incoming = average_by_in_degree(incoming, batch.in_degrees)
+                incoming_info = jnp.concatenate(
+                    residual_states + [incoming], axis=-1)
+                if rng is not None:
+                    rng, rng_cell = jax.random.split(rng)
+                else:
+                    rng_cell = None
+                h = self.cell_apply(layer["cell"], incoming_info, h,
+                                    rng=rng_cell, is_training=is_training)
+            node_states_per_layer.append(h)
+
+        return node_states_per_layer[-1]
+
+    def readout(self, heads: Dict, task_ids, last_h: jax.Array,
+                batch: GraphBatch, *, keep_prob: float = 1.0,
+                rng=None) -> jax.Array:
+        """Per-task graph predictions [K, G] via gated segment-sum pooling
+        (chem_tensorflow_sparse.py:220-231)."""
+        outs = []
+        for task_id in task_ids:
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            else:
+                sub = None
+            gated = base.gated_regression_nodes(
+                heads[f"task{task_id}"], last_h, batch.node_features,
+                keep_prob=keep_prob, rng=sub)
+            outs.append(base.pool_nodes_to_graphs(
+                gated, batch.node_graph_ids, batch.graph_capacity))
+        return jnp.stack(outs, axis=0)

@@ -1,0 +1,74 @@
+"""Checkpoint save/restore with the reference's semantics.
+
+Saved payload mirrors chem_tensorflow.py:309-323: a pickle of
+  {"params": <resolved config dict>,
+   "weights": {flattened-name -> ndarray},     # params AND optimizer state
+   "train_step": int, "valid_step": int}
+
+Restore (chem_tensorflow.py:330-359):
+  * asserts the configs match except `task_ids` and `num_epochs`;
+  * assigns every saved weight whose name matches the current pytree;
+  * keeps the fresh initialization for missing names (warns) — this is
+    what allows restoring a checkpoint into a model with new task heads;
+  * warns about saved names the model doesn't use.
+"""
+
+import pickle
+from typing import Dict, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten_named(tree) -> Dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf)
+            for path, leaf in flat}
+
+
+def save_checkpoint(path: str, config: Dict, state_tree,
+                    train_step: int, valid_step: int) -> None:
+    weights = _flatten_named(state_tree)
+    payload = {
+        "params": config,
+        "weights": weights,
+        "train_step": train_step,
+        "valid_step": valid_step,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+
+
+def restore_checkpoint(path: str, config: Dict, state_tree,
+                       log=print) -> Tuple[object, int, int]:
+    """Returns (restored_state_tree, train_step, valid_step)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+
+    saved_config = payload["params"]
+    assert len(config) == len(saved_config), (
+        "checkpoint config has a different key set")
+    for par, par_value in config.items():
+        if par not in ("task_ids", "num_epochs"):
+            assert par_value == saved_config[par], (
+                f"config mismatch on '{par}': {par_value!r} != "
+                f"{saved_config[par]!r}")
+
+    saved = payload["weights"]
+    used = set()
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(state_tree)
+    new_leaves = []
+    for path, leaf in paths_and_leaves:
+        name = jax.tree_util.keystr(path)
+        used.add(name)
+        if name in saved:
+            new_leaves.append(jax.numpy.asarray(saved[name]))
+        else:
+            log(f"Freshly initializing {name} since no saved value was found.")
+            new_leaves.append(leaf)
+    for name in saved:
+        if name not in used:
+            log(f"Saved weights for {name} not used by model.")
+
+    restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return restored, payload["train_step"], payload["valid_step"]

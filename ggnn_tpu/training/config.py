@@ -1,0 +1,114 @@
+"""Layered configuration with the reference's exact keys and defaults.
+
+Resolution order (chem_tensorflow.py:56-65): variant `default_params`
+<- `--config-file` JSON <- `--config` inline JSON. The resolved dict is
+archived per run and becomes part of the checkpoint contract (restore
+asserts equality except task_ids/num_epochs, chem_tensorflow.py:336-340).
+
+Key names match the reference verbatim so its configs (including the
+R-GCN recipe from README.md:51) work unchanged.
+"""
+
+import json
+from typing import Dict, Optional
+
+# chem_tensorflow.py:19-37
+BASE_DEFAULTS: Dict = {
+    "num_epochs": 3000,
+    "patience": 25,
+    "learning_rate": 0.001,
+    "clamp_gradient_norm": 1.0,
+    "out_layer_dropout_keep_prob": 1.0,
+    "hidden_size": 100,
+    "num_timesteps": 4,
+    "use_graph": True,
+    "tie_fwd_bkwd": True,
+    "task_ids": [0],
+    "random_seed": 0,
+    "train_file": "molecules_train.json",
+    "valid_file": "molecules_valid.json",
+}
+
+# chem_tensorflow_sparse.py:40-61
+SPARSE_DEFAULTS: Dict = {
+    **BASE_DEFAULTS,
+    "batch_size": 100000,  # nodes
+    "use_edge_bias": False,
+    "use_propagation_attention": False,
+    "use_edge_msg_avg_aggregation": True,
+    "residual_connections": {"2": [0], "4": [0, 2]},
+    "layer_timesteps": [2, 2, 1, 2, 1],
+    "graph_rnn_cell": "GRU",
+    "graph_rnn_activation": "tanh",
+    "graph_state_dropout_keep_prob": 1.0,
+    "task_sample_ratios": {},
+    "edge_weight_dropout_keep_prob": 0.8,
+}
+
+# chem_tensorflow_dense.py:56-66
+DENSE_DEFAULTS: Dict = {
+    **BASE_DEFAULTS,
+    "batch_size": 256,  # graphs
+    "graph_state_dropout_keep_prob": 1.0,
+    "task_sample_ratios": {},
+    "use_edge_bias": True,
+    "edge_weight_dropout_keep_prob": 1,
+}
+
+# chem_tensorflow_gcn.py:32-40
+GCN_DEFAULTS: Dict = {
+    **BASE_DEFAULTS,
+    "batch_size": 100000,  # nodes
+    "task_sample_ratios": {},
+    "gcn_use_bias": False,
+    "graph_state_dropout_keep_prob": 1.0,
+}
+
+# chem_tensorflow_async.py:41-57
+ASYNC_DEFAULTS: Dict = {
+    **BASE_DEFAULTS,
+    "num_nodes": 100000,  # node budget
+    "use_edge_bias": False,
+    "propagation_rounds": 4,
+    "propagation_substeps": 15,
+    "graph_rnn_cell": "GRU",
+    "graph_rnn_activation": "tanh",
+    "graph_state_dropout_keep_prob": 1.0,
+    "task_sample_ratios": {},
+}
+
+# README.md:48-52 — R-GCN is the sparse model under this config.
+RGCN_CONFIG: Dict = {
+    "use_edge_bias": False,
+    "use_edge_msg_avg_aggregation": True,
+    "residual_connections": {},
+    "layer_timesteps": [1, 1, 1, 1, 1, 1, 1, 1],
+    "graph_rnn_cell": "RNN",
+    "graph_rnn_activation": "ReLU",
+}
+
+_VARIANT_DEFAULTS = {
+    "sparse": SPARSE_DEFAULTS,
+    "dense": DENSE_DEFAULTS,
+    "gcn": GCN_DEFAULTS,
+    "async": ASYNC_DEFAULTS,
+}
+
+
+def default_params_for(variant: str) -> Dict:
+    if variant == "rgcn":
+        return {**SPARSE_DEFAULTS, **RGCN_CONFIG}
+    if variant not in _VARIANT_DEFAULTS:
+        raise ValueError(f"unknown model variant '{variant}'")
+    return dict(_VARIANT_DEFAULTS[variant])
+
+
+def resolve_config(variant: str, config_file: Optional[str] = None,
+                   config_json: Optional[str] = None) -> Dict:
+    params = default_params_for(variant)
+    if config_file is not None:
+        with open(config_file, "r") as f:
+            params.update(json.load(f))
+    if config_json is not None:
+        params.update(json.loads(config_json))
+    return params

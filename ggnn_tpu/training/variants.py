@@ -1,0 +1,181 @@
+"""Per-variant adapters bundling model construction, preprocessing and
+packing behind one interface, so the Runner (training/runner.py) is
+model-agnostic — the analog of the reference's subclass hook contract
+(process_raw_graphs / prepare_specific_graph_model /
+make_minibatch_iterator, chem_tensorflow.py:130-212).
+"""
+
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ggnn_tpu.data import packing
+from ggnn_tpu.data import async_schedule
+from ggnn_tpu.data.loader import DatasetMeta
+from ggnn_tpu.models.async_ggnn import AsyncGGNN
+from ggnn_tpu.models.dense_ggnn import DenseGGNN
+from ggnn_tpu.models.gcn import GCN
+from ggnn_tpu.models.sparse_ggnn import SparseGGNN
+
+
+class SparseAdapter:
+    name = "sparse"
+
+    def __init__(self, config: Dict, meta: DatasetMeta):
+        self.config = config
+        self.meta = meta
+        self.caps = None
+
+    def build_model(self):
+        return SparseGGNN(self.config, self.meta.num_edge_types)
+
+    def preprocess(self, raw, is_training: bool,
+                   rng: Optional[np.random.RandomState] = None):
+        return packing.preprocess_sparse(
+            raw, self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
+            self.config["task_ids"], self.config["task_sample_ratios"],
+            is_training, rng)
+
+    def plan(self, *processed_lists):
+        caps = [packing.plan_capacities(p, self.meta.num_edge_types,
+                                        self.config["batch_size"])
+                for p in processed_lists if p]
+        self.caps = packing.PackCapacities(
+            nodes=max(c.nodes for c in caps),
+            edges_per_type=max(c.edges_per_type for c in caps),
+            graphs=max(c.graphs for c in caps),
+        )
+        return self.caps
+
+    def batches(self, processed, is_training: bool,
+                rng: Optional[np.random.RandomState] = None) -> Iterator:
+        return packing.pack_sparse_batches(
+            processed, self.meta.num_edge_types, self.config["batch_size"],
+            self.caps, self.config["hidden_size"], self.meta.annotation_size,
+            is_training, rng)
+
+
+class DenseAdapter:
+    name = "dense"
+
+    def __init__(self, config: Dict, meta: DatasetMeta,
+                 drop_remainder: bool = True):
+        self.config = config
+        self.meta = meta
+        self.drop_remainder = drop_remainder
+        self.bucket_sizes = None
+
+    def build_model(self):
+        return DenseGGNN(self.config, self.meta.num_edge_types)
+
+    def preprocess(self, raw, is_training: bool,
+                   rng: Optional[np.random.RandomState] = None):
+        bucketed, bucket_sizes = packing.preprocess_dense(
+            raw, self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
+            self.config["task_ids"], self.config["task_sample_ratios"],
+            is_training, rng)
+        self.bucket_sizes = bucket_sizes
+        return bucketed
+
+    def plan(self, *processed_lists):
+        return None  # dense shapes come from the bucket table
+
+    def batches(self, bucketed, is_training: bool,
+                rng: Optional[np.random.RandomState] = None) -> Iterator:
+        return packing.pack_dense_batches(
+            bucketed, self.bucket_sizes, self.config["batch_size"],
+            self.config["hidden_size"], self.meta.annotation_size,
+            is_training, rng, drop_remainder=self.drop_remainder)
+
+
+class GCNAdapter:
+    name = "gcn"
+
+    def __init__(self, config: Dict, meta: DatasetMeta):
+        self.config = config
+        self.meta = meta
+        self.caps = None
+
+    def build_model(self):
+        return GCN(self.config)
+
+    def preprocess(self, raw, is_training: bool,
+                   rng: Optional[np.random.RandomState] = None):
+        return packing.preprocess_gcn(
+            raw, self.config["task_ids"], self.config["task_sample_ratios"],
+            is_training, rng)
+
+    def plan(self, *processed_lists):
+        caps = [packing.plan_gcn_capacities(p, self.config["batch_size"])
+                for p in processed_lists if p]
+        self.caps = packing.PackCapacities(
+            nodes=max(c.nodes for c in caps),
+            edges_per_type=max(c.edges_per_type for c in caps),
+            graphs=max(c.graphs for c in caps),
+        )
+        return self.caps
+
+    def batches(self, processed, is_training: bool,
+                rng: Optional[np.random.RandomState] = None) -> Iterator:
+        return packing.pack_gcn_batches(
+            processed, self.config["batch_size"], self.caps,
+            self.config["hidden_size"], self.meta.annotation_size,
+            is_training, rng)
+
+
+class AsyncAdapter:
+    name = "async"
+
+    def __init__(self, config: Dict, meta: DatasetMeta):
+        self.config = config
+        self.meta = meta
+        self.caps = None
+
+    def build_model(self):
+        return AsyncGGNN(self.config, self.meta.num_edge_types)
+
+    def preprocess(self, raw, is_training: bool,
+                   rng: Optional[np.random.RandomState] = None):
+        return async_schedule.preprocess_async(
+            raw, self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
+            self.config["propagation_rounds"],
+            self.config["propagation_substeps"],
+            self.config["task_ids"], self.config["task_sample_ratios"],
+            is_training, rng)
+
+    def plan(self, *processed_lists):
+        caps = [async_schedule.plan_async_capacities(
+                    p, self.meta.num_edge_types, self.config["num_nodes"],
+                    self.config["propagation_rounds"])
+                for p in processed_lists if p]
+        self.caps = async_schedule.AsyncCapacities(
+            nodes=max(c.nodes for c in caps),
+            graphs=max(c.graphs for c in caps),
+            initial_nodes=max(c.initial_nodes for c in caps),
+            sending_edges=max(c.sending_edges for c in caps),
+            receiving_nodes=max(c.receiving_nodes for c in caps),
+        )
+        return self.caps
+
+    def batches(self, processed, is_training: bool,
+                rng: Optional[np.random.RandomState] = None) -> Iterator:
+        return async_schedule.pack_async_batches(
+            processed, self.meta.num_edge_types, self.config["num_nodes"],
+            self.caps, self.config["propagation_rounds"],
+            self.config["propagation_substeps"], self.config["hidden_size"],
+            self.meta.annotation_size, is_training, rng)
+
+
+_ADAPTERS = {
+    "sparse": SparseAdapter,
+    "rgcn": SparseAdapter,   # R-GCN = sparse model under RGCN_CONFIG
+    "dense": DenseAdapter,
+    "gcn": GCNAdapter,
+    "async": AsyncAdapter,
+}
+
+
+def make_adapter(variant: str, config: Dict, meta: DatasetMeta, **kwargs):
+    if variant not in _ADAPTERS:
+        raise ValueError(f"unknown model variant '{variant}'")
+    return _ADAPTERS[variant](config, meta, **kwargs)

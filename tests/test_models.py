@@ -1,0 +1,196 @@
+"""Model-level tests: cross-variant agreement, ablations, async invariants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ggnn_tpu.data import (
+    PackCapacities, preprocess_sparse, pack_sparse_batches,
+    preprocess_dense, pack_dense_batches,
+)
+from ggnn_tpu.data.packing import preprocess_gcn, plan_gcn_capacities, pack_gcn_batches
+from ggnn_tpu.data.async_schedule import (
+    AsyncCapacities, check_schedule_invariants, graph_to_propagation_schedules,
+    pack_async_batches, plan_async_capacities, preprocess_async,
+)
+from ggnn_tpu.data.synthetic import synthetic_molecules
+from ggnn_tpu.models.dense_ggnn import DenseGGNN
+from ggnn_tpu.models.gcn import GCN
+from ggnn_tpu.models.sparse_ggnn import SparseGGNN
+from ggnn_tpu.models.async_ggnn import AsyncGGNN
+from ggnn_tpu.training.config import (
+    ASYNC_DEFAULTS, DENSE_DEFAULTS, GCN_DEFAULTS, SPARSE_DEFAULTS)
+
+
+TEST_GRAPHS = [
+    {"targets": [[0.3]], "graph": [[0, 1, 1], [1, 2, 2], [0, 1, 3]],
+     "node_features": [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 0, 0]]},
+    {"targets": [[-0.7]], "graph": [[0, 1, 1], [1, 1, 2]],
+     "node_features": [[0, 1, 0], [0, 0, 1], [1, 0, 0]]},
+]
+NUM_EDGE_TYPES = 2
+H = 8
+
+
+def _sparse_batch(hidden=H):
+    processed = preprocess_sparse(TEST_GRAPHS, NUM_EDGE_TYPES, True, [0], {},
+                                  False)
+    caps = PackCapacities(nodes=8, edges_per_type=16, graphs=8)
+    return next(pack_sparse_batches(processed, NUM_EDGE_TYPES, 100, caps,
+                                    hidden, 3, False))
+
+
+def test_dense_and_sparse_ggnn_agree():
+    """Configured identically, the two GGNN paths must compute allclose
+    per-node states — the SURVEY §4 cross-variant oracle."""
+    config_s = {**SPARSE_DEFAULTS, "hidden_size": H,
+                "layer_timesteps": [4], "residual_connections": {},
+                "use_edge_msg_avg_aggregation": False, "use_edge_bias": True,
+                "edge_weight_dropout_keep_prob": 1.0}
+    config_d = {**DENSE_DEFAULTS, "hidden_size": H, "num_timesteps": 4,
+                "use_edge_bias": True}
+
+    sparse_model = SparseGGNN(config_s, NUM_EDGE_TYPES)
+    dense_model = DenseGGNN(config_d, NUM_EDGE_TYPES)
+    key = jax.random.PRNGKey(0)
+    sp = sparse_model.init_params(key)
+    dp = dense_model.init_params(key)
+    # Share identical weights across the two parameterizations.
+    dp["edge_weights"] = sp["layers"][0]["edge_weights"]
+    dp["edge_biases"] = jnp.array(
+        np.random.RandomState(0).randn(NUM_EDGE_TYPES, 1, H), jnp.float32)
+    sp["layers"][0]["edge_biases"] = dp["edge_biases"][:, 0, :]
+    dp["cell"] = sp["layers"][0]["cell"]
+
+    sbatch = jax.device_put(_sparse_batch())
+    s_out = np.asarray(sparse_model.forward(sp, sbatch))
+
+    bucketed, bucket_sizes = preprocess_dense(TEST_GRAPHS, NUM_EDGE_TYPES,
+                                              True, [0], {}, False)
+    dbatches = list(pack_dense_batches(bucketed, bucket_sizes, 2, H, 3,
+                                       False, drop_remainder=False))
+    assert len(dbatches) == 1
+    d_out = np.asarray(dense_model.forward(dp, jax.device_put(dbatches[0])))
+
+    # Map packed node rows back to (graph, vertex) and compare.
+    v = d_out.shape[1]
+    np.testing.assert_allclose(s_out[0:4], d_out[0, :4], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s_out[4:7], d_out[1, :3], rtol=1e-4, atol=1e-5)
+
+
+def test_sparse_residual_and_attention_paths_run():
+    config = {**SPARSE_DEFAULTS, "hidden_size": H,
+              "layer_timesteps": [2, 2, 1, 2, 1],
+              "use_propagation_attention": True,
+              "edge_weight_dropout_keep_prob": 1.0}
+    model = SparseGGNN(config, NUM_EDGE_TYPES)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = jax.device_put(_sparse_batch())
+    out = model.forward(params, batch)
+    assert out.shape == (8, H)
+    assert np.isfinite(np.asarray(out)).all()
+    # layer 2 consumes a residual from layer 0 -> wider cell input
+    assert params["layers"][2]["cell"]["gates_kernel"].shape[0] == 3 * H
+    assert params["layers"][0]["cell"]["gates_kernel"].shape[0] == 2 * H
+
+
+def test_rgcn_config_runs():
+    from ggnn_tpu.training.config import default_params_for
+    config = {**default_params_for("rgcn"), "hidden_size": H}
+    model = SparseGGNN(config, NUM_EDGE_TYPES)
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = model.forward(params, jax.device_put(_sparse_batch()))
+    assert len(params["layers"]) == 8
+    # RNN cell params, not GRU
+    assert "kernel" in params["layers"][0]["cell"]
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_gcn_forward_matches_numpy():
+    config = {**GCN_DEFAULTS, "hidden_size": H, "num_timesteps": 2}
+    model = GCN(config)
+    params = model.init_params(jax.random.PRNGKey(0))
+    processed = preprocess_gcn(TEST_GRAPHS, [0], {}, False)
+    caps = plan_gcn_capacities(processed, 100)
+    batch = next(pack_gcn_batches(processed, 100, caps, H, 3, False))
+    out = np.asarray(model.forward(params, jax.device_put(batch)))
+
+    # NumPy oracle: dense normalized adjacency per graph, two layers.
+    n = int(batch.num_nodes)
+    a_hat = np.zeros((caps.nodes, caps.nodes))
+    k = int(batch.edge_weights.astype(bool).sum())
+    for s, t, w in zip(batch.edge_sources[:k], batch.edge_targets[:k],
+                       batch.edge_weights[:k]):
+        a_hat[t, s] = w
+    h = np.asarray(batch.node_features)
+    h = np.maximum(a_hat @ h @ np.asarray(params["layers"][0]["W"]), 0)
+    h = a_hat @ h @ np.asarray(params["layers"][1]["W"])
+    np.testing.assert_allclose(out[:n], h[:n], rtol=1e-4, atol=1e-5)
+
+
+def test_async_schedule_invariants_and_coverage():
+    for g in synthetic_molecules(20, seed=3):
+        schedules = graph_to_propagation_schedules(g["graph"], 4, True, 4, 40)
+        n = len(g["node_features"])
+        for sched in schedules:
+            check_schedule_invariants(sched, 4)
+            initial, _s, _m, receiving = sched
+            covered = set(map(int, initial))
+            for r in receiving:
+                covered.update(map(int, r))
+            assert covered == set(range(n))
+
+
+def test_async_forward_runs_and_is_finite():
+    config = {**ASYNC_DEFAULTS, "hidden_size": H, "propagation_substeps": 40}
+    raw = synthetic_molecules(10, seed=4)
+    processed = preprocess_async(raw, 4, True, 4, 40, [0], {}, False)
+    caps = plan_async_capacities(processed, 4, 200, 4)
+    batches = list(pack_async_batches(processed, 4, 200, caps, 4, 40, H, 5,
+                                      False))
+    model = AsyncGGNN(config, 4)
+    params = model.init_params(jax.random.PRNGKey(0))
+    for batch in batches:
+        out = np.asarray(model.forward(params, jax.device_put(batch)))
+        assert np.isfinite(out).all()
+        # every real node was written at least once across the last round
+        n = int(batch.num_nodes)
+        assert not np.allclose(out[:n], 0.0)
+
+
+def test_async_single_round_path_graph_oracle():
+    """On a path 0-1-2 (tied), round 0 fwd from the min-degree seed: node
+    depths via DFS; receivers get GRU(prev_state, summed messages from
+    already-updated senders). Check against a step-by-step NumPy replay."""
+    graph = [{"targets": [[0.0]], "graph": [[0, 1, 1], [1, 1, 2]],
+              "node_features": [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5]]}]
+    config = {**ASYNC_DEFAULTS, "hidden_size": 2, "propagation_rounds": 2,
+              "propagation_substeps": 5}
+    processed = preprocess_async(graph, 1, True, 2, 5, [0], {}, False)
+    caps = plan_async_capacities(processed, 1, 100, 2)
+    batch = next(pack_async_batches(processed, 1, 100, caps, 2, 5, 2, 2,
+                                    False))
+    model = AsyncGGNN(config, 1)
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = np.asarray(model.forward(params, jax.device_put(batch)))
+
+    # NumPy replay of the schedule semantics.
+    from tests.test_cells import np_gru
+    w = np.asarray(params["edge_weights"][0])
+    cell = {k: np.asarray(v) for k, v in params["cell"].items()}
+    cur = np.array(graph[0]["node_features"], dtype=np.float32)
+    for r in range(2):
+        initial, sending, msg_targets, receiving = (
+            processed[0]["prop_schedules"][r])
+        new = np.zeros_like(cur)
+        for v in initial:
+            new[v] = cur[v]
+        for s in range(len(receiving)):
+            recv = receiving[s]
+            agg = np.zeros((len(recv), 2), dtype=np.float32)
+            for v, t_local in zip(sending[s][0], msg_targets[s][0]):
+                agg[t_local] += new[v] @ w
+            upd = np_gru(cell, agg, cur[recv])
+            new[recv] = upd
+        cur = new
+    np.testing.assert_allclose(out[:3], cur, rtol=1e-4, atol=1e-5)

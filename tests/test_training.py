@@ -1,0 +1,163 @@
+"""End-to-end training framework tests on synthetic data."""
+
+import copy
+import glob
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from ggnn_tpu.data.synthetic import synthetic_molecules
+from ggnn_tpu.training.config import resolve_config, default_params_for
+from ggnn_tpu.training.optimizer import clip_by_norm_per_leaf, tf_adam
+from ggnn_tpu.training.runner import Runner
+
+
+def small_config(variant, **overrides):
+    cfg = default_params_for(variant)
+    cfg.update({"hidden_size": 16, "num_epochs": 2, "random_seed": 0})
+    if variant in ("sparse", "rgcn", "gcn"):
+        cfg["batch_size"] = 600
+    if variant == "dense":
+        cfg["batch_size"] = 16
+    if variant == "async":
+        cfg["num_nodes"] = 600
+        cfg["propagation_substeps"] = 40
+    cfg.update(overrides)
+    return cfg
+
+
+def make_runner(variant, tmp_path, n=120, **overrides):
+    cfg = small_config(variant, **overrides)
+    adapter_kwargs = {"drop_remainder": False} if variant == "dense" else None
+    return Runner(
+        variant, cfg, log_dir=str(tmp_path), quiet=True,
+        train_data=synthetic_molecules(n, seed=0),
+        valid_data=synthetic_molecules(max(20, n // 5), seed=1),
+        adapter_kwargs=adapter_kwargs,
+    )
+
+
+@pytest.mark.parametrize("variant", ["sparse", "dense", "gcn", "rgcn"])
+def test_training_reduces_loss(variant, tmp_path):
+    epochs = 4 if variant == "rgcn" else 2  # 8-layer ReLU-RNN learns slowly
+    runner = make_runner(variant, tmp_path, num_epochs=epochs,
+                         learning_rate=0.003)
+    log = runner.train()
+    assert len(log) == epochs
+    first_train_loss = log[0]["train_results"][0]
+    last_train_loss = log[-1]["train_results"][0]
+    assert np.isfinite(first_train_loss)
+    assert last_train_loss < first_train_loss
+    # epoch log file written and loadable
+    with open(runner.log_file) as f:
+        saved = json.load(f)
+    assert saved[0]["epoch"] == 1
+    # best checkpoint saved
+    assert os.path.exists(runner.best_model_file)
+
+
+def test_async_training_smoke(tmp_path):
+    runner = make_runner("async", tmp_path, n=60)
+    log = runner.train()
+    assert np.isfinite(log[-1]["valid_results"][0])
+
+
+def test_checkpoint_restore_roundtrip(tmp_path):
+    runner = make_runner("sparse", tmp_path, n=60, num_epochs=1)
+    runner.train()
+    ckpt = runner.best_model_file
+
+    cfg = small_config("sparse", num_epochs=1)
+    restored = Runner("sparse", cfg, log_dir=str(tmp_path), quiet=True,
+                      restore=ckpt,
+                      train_data=synthetic_molecules(60, seed=0),
+                      valid_data=synthetic_molecules(20, seed=1))
+    # weights restored exactly
+    w_orig = np.asarray(
+        runner.state["params"]["graph"]["layers"][0]["edge_weights"])
+    w_rest = np.asarray(
+        restored.state["params"]["graph"]["layers"][0]["edge_weights"])
+    np.testing.assert_array_equal(w_orig, w_rest)
+    assert restored.train_step_id == runner.train_step_id
+
+
+def test_checkpoint_config_mismatch_rejected(tmp_path):
+    runner = make_runner("sparse", tmp_path, n=40, num_epochs=1)
+    runner.train()
+    cfg = small_config("sparse", num_epochs=1, hidden_size=8)
+    with pytest.raises(AssertionError):
+        Runner("sparse", cfg, log_dir=str(tmp_path), quiet=True,
+               restore=runner.best_model_file,
+               train_data=synthetic_molecules(40, seed=0),
+               valid_data=synthetic_molecules(20, seed=1))
+
+
+def test_freeze_graph_model(tmp_path):
+    cfg = small_config("sparse", num_epochs=1)
+    runner = Runner("sparse", cfg, log_dir=str(tmp_path), quiet=True,
+                    freeze_graph_model=True,
+                    train_data=synthetic_molecules(60, seed=0),
+                    valid_data=synthetic_molecules(20, seed=1))
+    before = copy.deepcopy(jax.tree_util.tree_map(
+        np.asarray, runner.state["params"]))
+    runner.train()
+    after = jax.tree_util.tree_map(np.asarray, runner.state["params"])
+    # graph weights untouched, heads moved
+    np.testing.assert_array_equal(
+        before["graph"]["layers"][0]["edge_weights"],
+        after["graph"]["layers"][0]["edge_weights"])
+    assert not np.allclose(before["heads"]["task0"]["gate"][0]["W"],
+                           after["heads"]["task0"]["gate"][0]["W"])
+
+
+def test_use_graph_false_ablation(tmp_path):
+    runner = make_runner("sparse", tmp_path, n=40, use_graph=False,
+                         num_epochs=1)
+    log = runner.train()
+    assert np.isfinite(log[0]["train_results"][0])
+
+
+def test_clip_by_norm_per_leaf():
+    import jax.numpy as jnp
+    opt = clip_by_norm_per_leaf(1.0)
+    grads = {"a": jnp.array([3.0, 4.0]), "b": jnp.array([0.1, 0.0])}
+    clipped, _ = opt.update(grads, opt.init(grads))
+    np.testing.assert_allclose(np.asarray(clipped["a"]), [0.6, 0.8],
+                               rtol=1e-6)  # norm 5 -> scaled to 1
+    np.testing.assert_allclose(np.asarray(clipped["b"]), [0.1, 0.0],
+                               rtol=1e-6)  # norm < 1 untouched
+
+
+def test_tf_adam_matches_tf1_formula():
+    import jax.numpy as jnp
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+    opt = tf_adam(lr, b1, b2, eps)
+    g = {"w": jnp.array([0.5, -2.0])}
+    state = opt.init(g)
+    upd1, state = opt.update(g, state)
+    # step 1: m=(1-b1)g, v=(1-b2)g^2 ; lr_1 = lr*sqrt(1-b2)/(1-b1)
+    gg = np.array([0.5, -2.0])
+    m = (1 - b1) * gg
+    v = (1 - b2) * gg ** 2
+    lr1 = lr * np.sqrt(1 - b2) / (1 - b1)
+    want = -lr1 * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(np.asarray(upd1["w"]), want, rtol=1e-5)
+
+
+def test_example_evaluation_prints(tmp_path, capsys):
+    runner = make_runner("sparse", tmp_path, n=40, num_epochs=1)
+    runner.example_evaluation(example_molecules=synthetic_molecules(5, seed=9))
+    out = capsys.readouterr().out
+    assert out.count("[") >= 5  # five target lines + prediction arrays
+
+
+def test_resolve_config_layering(tmp_path):
+    cfg_file = tmp_path / "c.json"
+    cfg_file.write_text(json.dumps({"hidden_size": 64, "patience": 7}))
+    cfg = resolve_config("sparse", str(cfg_file), '{"patience": 3}')
+    assert cfg["hidden_size"] == 64
+    assert cfg["patience"] == 3        # inline JSON wins
+    assert cfg["layer_timesteps"] == [2, 2, 1, 2, 1]
