@@ -55,9 +55,16 @@ class SparseGGNN:
     traces to a fixed XLA graph.
     """
 
-    def __init__(self, config: Dict, num_edge_types: int):
+    def __init__(self, config: Dict, num_edge_types: int,
+                 edge_axis: str = None):
+        """`edge_axis` names a mesh axis over which the batch's edge set
+        is partitioned (graph parallelism inside `shard_map`): message
+        aggregation then psums partial per-node sums across edge shards
+        over ICI, and propagation attention's segment reductions become
+        cross-shard collectives. `None` = single-shard semantics."""
         self.config = config
         self.num_edge_types = num_edge_types
+        self.edge_axis = edge_axis
         self.hidden_size = config["hidden_size"]
         self.layer_timesteps = list(config["layer_timesteps"])
         self.residual_connections = {
@@ -124,8 +131,14 @@ class SparseGGNN:
                 if self.use_propagation_attention:
                     messages = propagation_attention(
                         messages, h, batch.edge_sources, batch.edge_targets,
-                        batch.edge_mask, layer["attention"], n_cap)
+                        batch.edge_mask, layer["attention"], n_cap,
+                        edge_axis=self.edge_axis)
                 incoming = aggregate_messages(messages, batch.edge_targets, n_cap)
+                if self.edge_axis is not None:
+                    # Edge-partitioned graph parallelism: each shard summed
+                    # only its local edges' messages; combine the partial
+                    # per-node sums across shards over ICI.
+                    incoming = jax.lax.psum(incoming, self.edge_axis)
                 if self.use_edge_bias:
                     incoming = incoming + edge_bias_term(
                         batch.in_degrees, layer["edge_biases"])

@@ -54,13 +54,16 @@ def aggregate_messages(messages: jax.Array, edge_targets: jax.Array,
 def propagation_attention(messages: jax.Array, node_states: jax.Array,
                           edge_sources: jax.Array, edge_targets: jax.Array,
                           edge_mask: jax.Array, type_factors: jax.Array,
-                          node_capacity: int) -> jax.Array:
+                          node_capacity: int,
+                          edge_axis: Optional[str] = None) -> jax.Array:
     """Segment-softmax attention over incoming messages.
 
     Reproduces chem_tensorflow_sparse.py:170-196: score = <src, tgt>
     scaled by a per-edge-type factor, softmaxed over each target's
     incoming set (log-sum-exp trick), messages reweighted. Padded edge
-    lanes are masked out of both the max and the sum.
+    lanes are masked out of both the max and the sum. With edges
+    partitioned over mesh axis `edge_axis`, the segment reductions
+    become cross-shard collectives (see ops/segment.py).
     """
     t, e, h = messages.shape
     src_states = node_states[edge_sources]                     # [T, E, H]
@@ -74,7 +77,8 @@ def propagation_attention(messages: jax.Array, node_states: jax.Array,
     flat_targets = edge_targets.reshape(t * e)
     flat_mask = edge_mask.reshape(t * e)
     attention = segment_softmax(
-        flat_scores, flat_targets, node_capacity + 1, flat_mask, SMALL_NUMBER
+        flat_scores, flat_targets, node_capacity + 1, flat_mask, SMALL_NUMBER,
+        axis_name=edge_axis,
     )
     return messages * attention.reshape(t, e)[..., None]
 

@@ -1,0 +1,36 @@
+"""Device-mesh construction for the (data, edge) axis layout."""
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+EDGE_AXIS = "edge"
+
+
+def make_mesh(n_data: Optional[int] = None, n_edge: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """A `Mesh` with axes ("data", "edge") over `n_data * n_edge` devices.
+
+    With `n_data=None`, uses all available devices divided by `n_edge`.
+    On a real multi-chip TPU slice, `jax.devices()` is ordered so that
+    the trailing (fastest-varying) axis maps to physically adjacent
+    chips — the edge axis carries per-propagation-step psums, so it gets
+    the trailing position and therefore the shortest ICI hops.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if n_data is None:
+        if len(devices) % n_edge != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by n_edge={n_edge}")
+        n_data = len(devices) // n_edge
+    need = n_data * n_edge
+    if need > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_edge} needs {need} devices, "
+                         f"have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_data, n_edge)
+    return Mesh(arr, (DATA_AXIS, EDGE_AXIS))

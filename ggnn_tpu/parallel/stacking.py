@@ -1,0 +1,113 @@
+"""Host-side batch stacking + sharding specs for the (data, edge) mesh.
+
+The single-chip pipeline yields `GraphBatch` pytrees one at a time. For
+multi-chip training, `n_data * steps_per_update` of them are stacked
+along a new leading axis; shard_map splits that axis over the "data"
+mesh axis and the per-type edge-capacity axis over the "edge" mesh axis.
+Ragged epochs are topped up with explicit empty batches (all-masked, so
+their loss/gradient contribution is exactly zero) rather than repeating
+data — replicating the reference's graph-weighted metric accounting
+(chem_tensorflow.py:229-247) under a fixed step shape.
+"""
+
+from typing import List
+
+import numpy as np
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from ggnn_tpu.graph import GraphBatch
+from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
+
+
+def repad_edges(batch: GraphBatch, edge_capacity: int) -> GraphBatch:
+    """Grow the per-type edge capacity to `edge_capacity` (e.g. to a
+    multiple of the edge-mesh size). Padding follows the GraphBatch
+    dump-slot convention: source 0, target `node_capacity`, mask 0."""
+    t, e = batch.edge_sources.shape
+    if edge_capacity < e:
+        raise ValueError(f"cannot shrink edge capacity {e} -> {edge_capacity}")
+    if edge_capacity == e:
+        return batch
+    pad = edge_capacity - e
+    return GraphBatch(
+        node_features=batch.node_features,
+        node_graph_ids=batch.node_graph_ids,
+        edge_sources=np.concatenate(
+            [batch.edge_sources, np.zeros((t, pad), np.int32)], axis=1),
+        edge_targets=np.concatenate(
+            [batch.edge_targets,
+             np.full((t, pad), batch.node_capacity, np.int32)], axis=1),
+        edge_mask=np.concatenate(
+            [batch.edge_mask, np.zeros((t, pad), np.float32)], axis=1),
+        in_degrees=batch.in_degrees,
+        targets=batch.targets,
+        target_mask=batch.target_mask,
+        num_graphs=batch.num_graphs,
+        num_nodes=batch.num_nodes,
+    )
+
+
+def empty_batch_like(batch: GraphBatch) -> GraphBatch:
+    """An all-padding batch with the same capacities: zero graphs, zero
+    masked targets — a no-op under the masked loss and metrics."""
+    n_cap = batch.node_capacity
+    g_cap = batch.graph_capacity
+    t, e = batch.edge_sources.shape
+    k = batch.targets.shape[0]
+    h = batch.node_features.shape[1]
+    return GraphBatch(
+        node_features=np.zeros((n_cap, h), np.float32),
+        node_graph_ids=np.full((n_cap,), g_cap, np.int32),
+        edge_sources=np.zeros((t, e), np.int32),
+        edge_targets=np.full((t, e), n_cap, np.int32),
+        edge_mask=np.zeros((t, e), np.float32),
+        in_degrees=np.zeros((n_cap, t), np.float32),
+        targets=np.zeros((k, g_cap), np.float32),
+        target_mask=np.zeros((k, g_cap), np.float32),
+        num_graphs=np.int32(0),
+        num_nodes=np.int32(0),
+    )
+
+
+def stack_batches(batches: List[GraphBatch], n_data: int,
+                  n_edge: int = 1) -> GraphBatch:
+    """Stack per-step batches into one leading-axis pytree whose leading
+    dim is a multiple of `n_data` and whose edge capacity divides by
+    `n_edge`. Short stacks are topped up with empty batches."""
+    if not batches:
+        raise ValueError("no batches to stack")
+    e_cap = max(b.edge_sources.shape[1] for b in batches)
+    e_cap = ((e_cap + n_edge - 1) // n_edge) * n_edge
+    batches = [repad_edges(b, e_cap) for b in batches]
+    if len(batches) % n_data != 0:
+        filler = empty_batch_like(batches[0])
+        batches = batches + [filler] * (n_data - len(batches) % n_data)
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
+def stacked_batch_specs(n_edge: int = 1) -> GraphBatch:
+    """PartitionSpecs for a stacked GraphBatch: every leaf splits its
+    leading (step) axis over "data"; with `n_edge > 1`, edge arrays
+    additionally split the per-type edge-capacity axis over "edge".
+    Node-indexed arrays stay replicated along "edge" (each edge shard
+    aggregates into a full node array; the psum in the model completes
+    it). When `n_edge == 1` the edge axis is left out of the specs
+    entirely: the model then contains no edge-axis collective, and
+    naming the axis would make vma inference flag every output as
+    possibly edge-varying."""
+    edge_spec = P(DATA_AXIS, None, EDGE_AXIS) if n_edge > 1 else P(DATA_AXIS)
+    return GraphBatch(
+        node_features=P(DATA_AXIS),
+        node_graph_ids=P(DATA_AXIS),
+        edge_sources=edge_spec,
+        edge_targets=edge_spec,
+        edge_mask=edge_spec,
+        in_degrees=P(DATA_AXIS),
+        targets=P(DATA_AXIS),
+        target_mask=P(DATA_AXIS),
+        num_graphs=P(DATA_AXIS),
+        num_nodes=P(DATA_AXIS),
+    )

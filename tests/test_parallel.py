@@ -1,0 +1,176 @@
+"""Multi-chip (data, edge) mesh tests on the virtual 8-device CPU mesh.
+
+The oracle is the single-device model run over the same batches with
+global-batch loss semantics: sharding over the mesh must be a pure
+re-layout, so losses, accuracies and one-step-updated parameters must
+agree to float32 tolerance across mesh shapes (SURVEY.md §4's
+multi-host-on-one-host strategy).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggnn_tpu.data import packing
+from ggnn_tpu.data.loader import infer_metadata
+from ggnn_tpu.data.synthetic import synthetic_molecules
+from ggnn_tpu.models.base import init_output_heads
+from ggnn_tpu.models.sparse_ggnn import SparseGGNN
+from ggnn_tpu.parallel import (
+    empty_batch_like,
+    make_mesh,
+    make_parallel_steps,
+    repad_edges,
+    stack_batches,
+)
+from ggnn_tpu.training.config import default_params_for
+from ggnn_tpu.training.optimizer import make_optimizer
+from ggnn_tpu.utils.constants import SMALL_NUMBER
+
+
+def _setup(attention=True, edge_bias=True, n_mols=48, batch_nodes=160):
+    cfg = default_params_for("sparse")
+    cfg.update({
+        "batch_size": batch_nodes,
+        "use_propagation_attention": attention,
+        "use_edge_bias": edge_bias,
+        # Deterministic: dropout off so parallel and oracle rng paths
+        # cannot diverge.
+        "edge_weight_dropout_keep_prob": 1.0,
+        "graph_state_dropout_keep_prob": 1.0,
+    })
+    data = synthetic_molecules(n_mols, seed=3)
+    meta = infer_metadata([data], cfg["tie_fwd_bkwd"])
+    proc = packing.preprocess_sparse(
+        data, meta.num_edge_types, cfg["tie_fwd_bkwd"], cfg["task_ids"],
+        cfg["task_sample_ratios"], False)
+    caps = packing.plan_capacities(proc, meta.num_edge_types,
+                                   cfg["batch_size"])
+    batches = list(packing.pack_sparse_batches(
+        proc, meta.num_edge_types, cfg["batch_size"], caps,
+        cfg["hidden_size"], meta.annotation_size, False, None))
+    assert len(batches) >= 2
+    return cfg, meta, batches
+
+
+def _params(cfg, meta, edge_axis=None):
+    model = SparseGGNN(cfg, meta.num_edge_types, edge_axis=edge_axis)
+    key = jax.random.PRNGKey(7)
+    params = {
+        "graph": model.init_params(key),
+        "heads": init_output_heads(key, cfg["hidden_size"], cfg["task_ids"]),
+    }
+    return model, params
+
+
+def _oracle_loss(model, params, batches, task_ids):
+    """Global-batch loss: per-task sums over every batch, normalised once."""
+    abs_s = sq_s = mask_s = 0.0
+    for b in batches:
+        final = model.forward(params["graph"], b)
+        computed = model.readout(params["heads"], task_ids, final, b)
+        diff = (computed - b.targets) * b.target_mask
+        abs_s = abs_s + jnp.sum(jnp.abs(diff), axis=1)
+        sq_s = sq_s + jnp.sum(0.5 * jnp.square(diff), axis=1)
+        mask_s = mask_s + jnp.sum(b.target_mask, axis=1)
+    target_num = mask_s + SMALL_NUMBER
+    return jnp.sum(sq_s / target_num), abs_s / target_num
+
+
+@pytest.mark.parametrize("n_data,n_edge", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_parallel_loss_matches_single_device(n_data, n_edge):
+    cfg, meta, batches = _setup()
+    mesh = make_mesh(n_data=n_data, n_edge=n_edge)
+    model_p, params = _params(cfg, meta,
+                              edge_axis="edge" if n_edge > 1 else None)
+    model_s, _ = _params(cfg, meta)
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": params, "opt_state": opt.init(params)}
+    _, eval_step = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
+                                       mesh)
+    stack = stack_batches(batches, n_data=n_data, n_edge=n_edge)
+    _, metrics = eval_step(state, stack, None)
+
+    exp_loss, exp_acc = _oracle_loss(model_s, params, batches,
+                                     cfg["task_ids"])
+    np.testing.assert_allclose(float(metrics["loss"]), float(exp_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(metrics["accuracies"]),
+                               np.asarray(exp_acc), rtol=1e-5)
+    assert int(metrics["num_graphs"]) == sum(
+        int(b.num_graphs) for b in batches)
+
+
+@pytest.mark.parametrize("n_data,n_edge", [(4, 2), (2, 4)])
+def test_parallel_train_step_matches_single_device(n_data, n_edge):
+    cfg, meta, batches = _setup()
+    mesh = make_mesh(n_data=n_data, n_edge=n_edge)
+    model_p, params = _params(cfg, meta, edge_axis="edge")
+    model_s, _ = _params(cfg, meta)
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": jax.tree_util.tree_map(jnp.copy, params),
+             "opt_state": opt.init(params)}
+    train_step, _ = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
+                                        mesh, return_grads=True)
+    stack = stack_batches(batches, n_data=n_data, n_edge=n_edge)
+    new_state, metrics = train_step(state, stack, jax.random.PRNGKey(0))
+
+    # Oracle: the global-batch gradient on one device. (Post-Adam params
+    # are not comparable: the first Adam update is ~ -lr*sign(g), so any
+    # float accumulation-order difference in a near-zero gradient flips
+    # the sign; the gradient itself is the invariant.)
+    def loss_fn(p):
+        loss, acc = _oracle_loss(model_s, p, batches, cfg["task_ids"])
+        return loss, acc
+
+    (exp_loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(exp_loss),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        metrics["grads"], grads)
+
+
+def test_empty_batch_is_a_noop():
+    cfg, meta, batches = _setup(attention=False, edge_bias=False)
+    mesh = make_mesh(n_data=2, n_edge=1)
+    model_p, params = _params(cfg, meta)
+    model_s, _ = _params(cfg, meta)
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": params, "opt_state": opt.init(params)}
+    _, eval_step = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
+                                       mesh)
+    # Odd count -> stacker appends one empty filler batch.
+    odd = batches[:3] if len(batches) >= 3 else batches[:1]
+    stack = stack_batches(odd, n_data=2, n_edge=1)
+    assert stack.num_graphs.shape[0] % 2 == 0
+    _, metrics = eval_step(state, stack, None)
+    exp_loss, _ = _oracle_loss(model_s, params, odd, cfg["task_ids"])
+    np.testing.assert_allclose(float(metrics["loss"]), float(exp_loss),
+                               rtol=1e-5)
+    assert int(metrics["num_graphs"]) == sum(int(b.num_graphs) for b in odd)
+
+
+def test_repad_edges_preserves_forward():
+    cfg, meta, batches = _setup(attention=True, edge_bias=True)
+    model, params = _params(cfg, meta)
+    b = batches[0]
+    padded = repad_edges(b, b.edge_sources.shape[1] + 13)
+    out_a = model.forward(params["graph"], b)
+    out_b = model.forward(params["graph"], padded)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-6)
+
+
+def test_empty_batch_like_shapes():
+    cfg, meta, batches = _setup(attention=False, edge_bias=False)
+    b = batches[0]
+    e = empty_batch_like(b)
+    assert int(e.num_graphs) == 0
+    assert float(np.sum(np.asarray(e.target_mask))) == 0.0
+    for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(b),
+                              jax.tree_util.tree_leaves(e)):
+        assert np.asarray(leaf_a).shape == np.asarray(leaf_b).shape
