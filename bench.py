@@ -8,6 +8,13 @@ synthetic molecules (no network/rdkit dependency), default dense config
 per-leaf clip) — and measures steady-state training throughput on the
 current default JAX platform (one TPU chip under the driver).
 
+Timing methodology (ggnn_tpu/utils/timing.py): all steps of an epoch are
+chained on-device (lax.scan over stacked per-shape batch groups,
+fori_loop over epochs) and two run lengths are differenced, because the
+tunneled TPU transport has ~30ms round-trips and an unreliable
+block_until_ready — python-loop timing would measure dispatch, not
+device work.
+
 Prints ONE JSON line to stdout; progress goes to stderr.
 """
 
@@ -24,6 +31,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def tree_stack(batches):
+    import jax
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
 def run_bench(jax, smoke: bool = False):
     from ggnn_tpu.data import packing
     from ggnn_tpu.data.loader import infer_metadata
@@ -32,6 +45,7 @@ def run_bench(jax, smoke: bool = False):
     from ggnn_tpu.models.dense_ggnn import DenseGGNN
     from ggnn_tpu.training.config import default_params_for
     from ggnn_tpu.training.optimizer import make_optimizer
+    from ggnn_tpu.utils.timing import make_epochs_fn, time_epochs
 
     cfg = default_params_for("dense")
     n_mols = 2560 if smoke else 25600
@@ -41,16 +55,24 @@ def run_bench(jax, smoke: bool = False):
     data = synthetic_molecules(n_mols, seed=0)
     meta = infer_metadata([data], cfg["tie_fwd_bkwd"])
     rng = np.random.RandomState(0)
+    # Coarse buckets: numerically identical (padding is masked and
+    # disconnected), but 2 compiled shapes instead of 13 — remote
+    # compiles cost minutes each over the tunnel.
     bucketed, bucket_sizes = packing.preprocess_dense(
         data, meta.num_edge_types, cfg["tie_fwd_bkwd"], cfg["task_ids"],
-        cfg["task_sample_ratios"], True, rng)
+        cfg["task_sample_ratios"], True, rng,
+        bucket_sizes=np.array([16, 32]))
     batches = list(packing.pack_dense_batches(
         bucketed, bucket_sizes, cfg["batch_size"], cfg["hidden_size"],
         meta.annotation_size, True, rng))
     total_graphs = sum(int(b.num_graphs) for b in batches)
-    log(f"packed {total_graphs} graphs into {len(batches)} batches "
-        f"in {time.time() - t0:.1f}s "
-        f"({len(set(b.node_features.shape for b in batches))} shapes)")
+
+    # Group by shape so each group scans under one compiled step.
+    groups = {}
+    for b in batches:
+        groups.setdefault(b.node_features.shape, []).append(b)
+    log(f"packed {total_graphs} graphs into {len(batches)} batches / "
+        f"{len(groups)} shapes in {time.time() - t0:.1f}s")
 
     model = DenseGGNN(cfg, meta.num_edge_types)
     key = jax.random.PRNGKey(0)
@@ -67,14 +89,13 @@ def run_bench(jax, smoke: bool = False):
         final = model.forward(params["graph"], batch, rng=rng_key,
                               is_training=True)
         computed = model.readout(params["heads"], task_ids, final, batch)
-        loss, accs = masked_regression_loss(
+        loss, _ = masked_regression_loss(
             computed, batch.targets, batch.target_mask, task_ids,
             cfg["task_sample_ratios"])
-        return loss, accs
+        return loss
 
-    @jax.jit
     def train_step(state, batch, rng_key):
-        (loss, accs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        loss, grads = jax.value_and_grad(loss_fn)(
             state["params"], batch, rng_key)
         updates, opt_state = optimizer.update(
             grads, state["opt_state"], state["params"])
@@ -83,29 +104,29 @@ def run_bench(jax, smoke: bool = False):
         return {"params": new_params, "opt_state": opt_state}, loss
 
     t0 = time.time()
-    device_batches = [jax.device_put(b) for b in batches]
-    keys = jax.device_put(jax.random.split(key, len(batches)))
+    stacked = [jax.device_put(tree_stack(g)) for g in groups.values()]
+    group_keys = [jax.device_put(jax.random.split(
+        jax.random.fold_in(key, i), len(g)))
+        for i, g in enumerate(groups.values())]
+    state = jax.device_put(state)
     log(f"device_put in {time.time() - t0:.1f}s")
 
-    # Warmup epoch: compiles one executable per bucket shape.
+    epochs_fn = make_epochs_fn(train_step)
     t0 = time.time()
-    for b, k in zip(device_batches, keys):
-        state, loss = train_step(state, b, k)
-    jax.block_until_ready(loss)
-    log(f"warmup epoch (compile) {time.time() - t0:.1f}s, "
-        f"loss={float(loss):.5f}")
-
-    # Timed: steady-state epochs, async dispatch, one final sync.
-    n_epochs = 1 if smoke else 3
-    t0 = time.time()
-    for _ in range(n_epochs):
-        for b, k in zip(device_batches, keys):
-            state, loss = train_step(state, b, k)
-    jax.block_until_ready(loss)
-    elapsed = time.time() - t0
-    instances_per_sec = n_epochs * total_graphs / elapsed
-    log(f"{n_epochs} epochs x {total_graphs} graphs in {elapsed:.2f}s "
-        f"-> {instances_per_sec:.1f} graphs/s, final loss {float(loss):.5f}")
+    # First pass bounds per-epoch time; second pass sizes the run so the
+    # measured work dwarfs round-trip jitter (~30ms per fetch).
+    per_epoch, loss = time_epochs(epochs_fn, state, stacked, group_keys,
+                                  1, 26)
+    log(f"pilot: epoch ~{per_epoch * 1e3:.2f}ms "
+        f"(compile+pilot {time.time() - t0:.1f}s)")
+    target_s = 3.0 if smoke else 15.0
+    n2 = int(np.clip(target_s / max(per_epoch, 1e-6), 26, 20000))
+    per_epoch, loss = time_epochs(epochs_fn, state, stacked, group_keys,
+                                  1, n2)
+    instances_per_sec = total_graphs / per_epoch
+    log(f"timing took {time.time() - t0:.1f}s (n2={n2}); "
+        f"epoch = {per_epoch * 1e3:.2f}ms -> {instances_per_sec:.1f} "
+        f"graphs/s, loss {loss:.5f}")
 
     print(json.dumps({
         "metric": "dense_ggnn_train_throughput",

@@ -234,6 +234,11 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
         for e in range(num_edge_types):
             if adj[e]:
                 lst = np.concatenate(adj[e], axis=0)
+                # Sort by (target, source): scatter-adds into node rows
+                # become runs per target (better TPU locality), and the
+                # dump-slot padding (target = caps.nodes, the largest id)
+                # keeps the whole lane target-sorted.
+                lst = lst[np.lexsort((lst[:, 0], lst[:, 1]))]
                 k = len(lst)
                 edge_sources[e, :k] = lst[:, 0]
                 edge_targets[e, :k] = lst[:, 1]

@@ -39,9 +39,11 @@ from ggnn_tpu.ops.cells import make_cell
 from ggnn_tpu.ops.dropout import dropout
 from ggnn_tpu.ops.messages import (
     aggregate_messages,
+    aggregate_then_transform,
     average_by_in_degree,
     edge_bias_term,
     propagation_attention,
+    propagation_attention_weights,
     typed_edge_messages,
 )
 from ggnn_tpu.utils.init import glorot_init
@@ -61,10 +63,24 @@ class SparseGGNN:
         is partitioned (graph parallelism inside `shard_map`): message
         aggregation then psums partial per-node sums across edge shards
         over ICI, and propagation attention's segment reductions become
-        cross-shard collectives. `None` = single-shard semantics."""
+        cross-shard collectives. `None` = single-shard semantics.
+
+        Config extras beyond the reference surface:
+          aggregate_first (default True) — aggregate source states per
+            (type, target) before the [T,H,H] transform; identical math
+            (linearity), ~E/N fewer matmul FLOPs (see
+            ops/messages.py:aggregate_then_transform). False keeps the
+            reference's per-edge transform order.
+          compute_dtype (default "float32") — "bfloat16" runs gathers,
+            segment sums and matmuls in bf16 with f32 accumulation
+            (MXU-native, halves HBM traffic on the gather/scatter hot
+            path); parameters and the loss stay f32.
+        """
         self.config = config
         self.num_edge_types = num_edge_types
         self.edge_axis = edge_axis
+        self.aggregate_first = bool(config.get("aggregate_first", True))
+        self.compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
         self.hidden_size = config["hidden_size"]
         self.layer_timesteps = list(config["layer_timesteps"])
         self.residual_connections = {
@@ -126,14 +142,32 @@ class SparseGGNN:
             ]
 
             h = node_states_per_layer[-1]
+            cdt = self.compute_dtype
+            w_c = edge_weights.astype(cdt)
             for _step in range(num_timesteps):
-                messages = typed_edge_messages(h, batch.edge_sources, edge_weights)
-                if self.use_propagation_attention:
-                    messages = propagation_attention(
-                        messages, h, batch.edge_sources, batch.edge_targets,
-                        batch.edge_mask, layer["attention"], n_cap,
-                        edge_axis=self.edge_axis)
-                incoming = aggregate_messages(messages, batch.edge_targets, n_cap)
+                h_c = h.astype(cdt)
+                if self.aggregate_first:
+                    attn = None
+                    if self.use_propagation_attention:
+                        attn = propagation_attention_weights(
+                            h_c, batch.edge_sources, batch.edge_targets,
+                            batch.edge_mask, layer["attention"], n_cap,
+                            edge_axis=self.edge_axis).astype(cdt)
+                    incoming = aggregate_then_transform(
+                        h_c, batch.edge_sources, batch.edge_targets, w_c,
+                        n_cap, attn)
+                else:
+                    messages = typed_edge_messages(
+                        h_c, batch.edge_sources, w_c)
+                    if self.use_propagation_attention:
+                        messages = propagation_attention(
+                            messages, h_c, batch.edge_sources,
+                            batch.edge_targets, batch.edge_mask,
+                            layer["attention"], n_cap,
+                            edge_axis=self.edge_axis)
+                    incoming = aggregate_messages(
+                        messages, batch.edge_targets, n_cap)
+                incoming = incoming.astype(jnp.float32)
                 if self.edge_axis is not None:
                     # Edge-partitioned graph parallelism: each shard summed
                     # only its local edges' messages; combine the partial

@@ -43,6 +43,12 @@ SPARSE_DEFAULTS: Dict = {
     "graph_state_dropout_keep_prob": 1.0,
     "task_sample_ratios": {},
     "edge_weight_dropout_keep_prob": 0.8,
+    # TPU-native extras (not in the reference surface; see
+    # models/sparse_ggnn.py): aggregate-before-transform is identical
+    # math with ~E/N fewer matmul FLOPs; compute_dtype "bfloat16" runs
+    # the message path on the MXU in bf16 with f32 accumulation.
+    "aggregate_first": True,
+    "compute_dtype": "float32",
 }
 
 # chem_tensorflow_dense.py:56-66

@@ -194,3 +194,35 @@ def test_async_single_round_path_graph_oracle():
             new[recv] = upd
         cur = new
     np.testing.assert_allclose(out[:3], cur, rtol=1e-4, atol=1e-5)
+
+
+def test_aggregate_first_matches_transform_first():
+    """Aggregate-before-transform is a pure linearity rewrite: both paths
+    must agree to f32 reduction tolerance, with attention and edge bias
+    on (ops/messages.py:aggregate_then_transform)."""
+    base = {**SPARSE_DEFAULTS, "hidden_size": H,
+            "layer_timesteps": [2, 2], "residual_connections": {"1": [0]},
+            "use_propagation_attention": True, "use_edge_bias": True,
+            "edge_weight_dropout_keep_prob": 1.0}
+    m_fast = SparseGGNN({**base, "aggregate_first": True}, NUM_EDGE_TYPES)
+    m_ref = SparseGGNN({**base, "aggregate_first": False}, NUM_EDGE_TYPES)
+    params = m_fast.init_params(jax.random.PRNGKey(1))
+    batch = jax.device_put(_sparse_batch())
+    out_fast = np.asarray(m_fast.forward(params, batch))
+    out_ref = np.asarray(m_ref.forward(params, batch))
+    np.testing.assert_allclose(out_fast, out_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_bfloat16_compute_dtype_runs_close_to_f32():
+    base = {**SPARSE_DEFAULTS, "hidden_size": H,
+            "edge_weight_dropout_keep_prob": 1.0}
+    m32 = SparseGGNN(base, NUM_EDGE_TYPES)
+    m16 = SparseGGNN({**base, "compute_dtype": "bfloat16"}, NUM_EDGE_TYPES)
+    params = m32.init_params(jax.random.PRNGKey(2))
+    batch = jax.device_put(_sparse_batch())
+    out32 = np.asarray(m32.forward(params, batch))
+    out16 = np.asarray(m16.forward(params, batch))
+    assert out16.dtype == np.float32  # states return in f32
+    assert np.isfinite(out16).all()
+    # bf16 has ~8 mantissa bits; states are tanh-bounded.
+    np.testing.assert_allclose(out16, out32, atol=0.05)
