@@ -31,7 +31,8 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from ggnn_tpu.graph import DenseGraphBatch, GCNGraphBatch, GraphBatch
+from ggnn_tpu.graph import (DenseGraphBatch, ELLGraphBatch, GCNGraphBatch,
+                            GraphBatch)
 from ggnn_tpu.utils.padding import pad_to, round_up
 
 DENSE_BUCKET_SIZES = np.array(list(range(4, 28, 2)) + [29])
@@ -176,9 +177,17 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
                         node_budget: int, caps: PackCapacities,
                         hidden_size: int, annotation_size: int,
                         is_training: bool,
-                        rng: Optional[np.random.RandomState] = None
+                        rng: Optional[np.random.RandomState] = None,
+                        ell_block: int = 0,
+                        ell_k: Optional[int] = None
                         ) -> Iterator[GraphBatch]:
-    """Pack graphs into padded disconnected super-graph batches."""
+    """Pack graphs into padded disconnected super-graph batches.
+
+    With `ell_block > 0`, every batch additionally carries blocked-ELL
+    edge layouts (ELLGraphBatch) for the Pallas SpMM kernels; `ell_k`
+    fixes the per-(type, block) slot count across batches (one kernel
+    compilation) — when None it is sized per batch (tests only).
+    """
     if is_training and rng is not None:
         rng.shuffle(processed)
     num_tasks = len(processed[0]["labels"])
@@ -248,7 +257,7 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
         target_mask = pad_to(np.asarray(masks, dtype=np.float32).T.reshape(
             num_tasks, graphs_in_batch), caps.graphs, axis=1)
 
-        yield GraphBatch(
+        common = dict(
             node_features=node_features,
             node_graph_ids=node_graph_ids,
             edge_sources=edge_sources,
@@ -260,6 +269,17 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
             num_graphs=np.int32(graphs_in_batch),
             num_nodes=np.int32(node_offset),
         )
+        if ell_block:
+            from ggnn_tpu.data.ell import build_ell_layout
+            layout = build_ell_layout(edge_sources, edge_targets, edge_mask,
+                                      caps.nodes, ell_block, ell_k)
+            yield ELLGraphBatch(
+                **common,
+                ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
+                ell_bwd_tgt=layout.bwd_tgt, ell_bwd_src=layout.bwd_src,
+            )
+        else:
+            yield GraphBatch(**common)
 
 
 # --------------------------------------------------------------------

@@ -72,6 +72,25 @@ class GraphBatch:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class ELLGraphBatch(GraphBatch):
+    """GraphBatch plus blocked-ELL edge layouts for the Pallas SpMM
+    kernels (ops/pallas/ell_spmm.py; built by data/ell.py). The edge
+    list fields stay valid — XLA fallback paths and the packer's
+    invariants are unchanged; the ELL arrays are a redundant layout of
+    the same edges keyed by target block (fwd) / source block (bwd).
+
+    Shapes ([T, NB, KE]): NB = padded-node-count / ell-block, KE = max
+    edges per (type, node-block) across the corpus plan.
+    """
+
+    ell_fwd_src: jax.Array = None
+    ell_fwd_tgt: jax.Array = None
+    ell_bwd_tgt: jax.Array = None
+    ell_bwd_src: jax.Array = None
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class DenseGraphBatch:
     """A dense-adjacency batch, one graph per row (dense GGNN variant).
 

@@ -81,6 +81,12 @@ class SparseGGNN:
         self.edge_axis = edge_axis
         self.aggregate_first = bool(config.get("aggregate_first", True))
         self.compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+        # Pallas blocked-ELL SpMM (ops/pallas/ell_spmm.py): engaged when
+        # the batch carries ELL layouts (packer ell_block) and neither
+        # attention nor edge partitioning is active. ~1.7x over the XLA
+        # scatter path on a v5e at QM9 packing shapes.
+        self.ell_block = int(config.get("ell_block", 0))
+        self.ell_interpret = bool(config.get("ell_interpret", False))
         self.hidden_size = config["hidden_size"]
         self.layer_timesteps = list(config["layer_timesteps"])
         self.residual_connections = {
@@ -144,9 +150,25 @@ class SparseGGNN:
             h = node_states_per_layer[-1]
             cdt = self.compute_dtype
             w_c = edge_weights.astype(cdt)
+            use_ell = (self.ell_block > 0
+                       and getattr(batch, "ell_fwd_src", None) is not None
+                       and not self.use_propagation_attention
+                       and self.edge_axis is None)
             for _step in range(num_timesteps):
                 h_c = h.astype(cdt)
-                if self.aggregate_first:
+                if use_ell:
+                    from ggnn_tpu.ops.pallas import ell_aggregate_by_type
+                    np_total = batch.ell_fwd_src.shape[1] * self.ell_block
+                    h_p = jnp.pad(h_c, ((0, np_total - n_cap), (0, 0)))
+                    per_type = ell_aggregate_by_type(
+                        h_p,
+                        (batch.ell_fwd_src, batch.ell_fwd_tgt),
+                        (batch.ell_bwd_tgt, batch.ell_bwd_src),
+                        self.ell_block, self.ell_interpret)
+                    incoming = jnp.einsum(
+                        "tnh,thd->nd", per_type[:, :n_cap].astype(cdt), w_c,
+                        preferred_element_type=jnp.float32)
+                elif self.aggregate_first:
                     attn = None
                     if self.use_propagation_attention:
                         attn = propagation_attention_weights(

@@ -49,6 +49,10 @@ SPARSE_DEFAULTS: Dict = {
     # the message path on the MXU in bf16 with f32 accumulation.
     "aggregate_first": True,
     "compute_dtype": "float32",
+    # Pallas blocked-ELL SpMM kernel: node-block size (0 = off, use the
+    # XLA path). 256 is the tuned value for TPU; requires attention off.
+    "ell_block": 0,
+    "ell_interpret": False,  # interpret-mode kernels (CPU tests only)
 }
 
 # chem_tensorflow_dense.py:56-66

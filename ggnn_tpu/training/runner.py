@@ -31,6 +31,7 @@ from ggnn_tpu.models.base import masked_regression_loss
 from ggnn_tpu.models.base import init_output_heads
 from ggnn_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
 from ggnn_tpu.training.optimizer import make_optimizer
+from ggnn_tpu.training.summaries import SummarySink
 from ggnn_tpu.training.variants import make_adapter
 from ggnn_tpu.utils.constants import CHEMICAL_ACCURACIES
 from ggnn_tpu.utils.prefetch import ThreadedIterator
@@ -45,7 +46,9 @@ class Runner:
                  valid_data: Optional[List] = None,
                  restrict_data: Optional[int] = None,
                  quiet: bool = False,
-                 adapter_kwargs: Optional[Dict] = None):
+                 adapter_kwargs: Optional[Dict] = None,
+                 tensorboard: bool = True,
+                 mesh=None):
         self.variant = variant
         self.config = config
         self.quiet = quiet
@@ -60,6 +63,10 @@ class Runner:
             log_dir, f"{self.run_id}_model_best.pickle")
         with open(os.path.join(log_dir, f"{self.run_id}_params.json"), "w") as f:
             json.dump(config, f)
+        # TB scalars under <log_dir>/tb/<run_id>/{train,validation}
+        # (chem_tensorflow.py:53-54,101-102).
+        self.summaries = SummarySink(log_dir, self.run_id,
+                                     enabled=tensorboard)
         if not quiet:
             print(f"Run {self.run_id} starting with following parameters:\n"
                   f"{json.dumps(config)}")
@@ -80,13 +87,32 @@ class Runner:
 
         self.adapter = make_adapter(variant, config, self.meta,
                                     **(adapter_kwargs or {}))
+        if mesh is not None and getattr(self.adapter, "ell_block", 0):
+            # The ELL kernel path is single-chip; on a mesh the edge
+            # axis + XLA path handles aggregation. Disable before
+            # capacity planning so no ELL planning pass runs.
+            self.adapter.ell_block = 0
         self.train_processed = self.adapter.preprocess(
             train_data, True, self.np_rng)
         self.valid_processed = self.adapter.preprocess(valid_data, False)
         self.adapter.plan(self.train_processed, self.valid_processed)
 
+        # Multi-chip: a jax.sharding.Mesh with ("data", "edge") axes
+        # (parallel/mesh.py). Sparse-family variants only; each step
+        # consumes a stack of n_data packed batches.
+        self.mesh = mesh
+        if mesh is not None and variant not in ("sparse", "rgcn"):
+            raise ValueError("mesh training currently supports the "
+                             "sparse/rgcn variants")
+
         # Model + parameters.
-        self.model = self.adapter.build_model()
+        if mesh is not None:
+            from ggnn_tpu.parallel.mesh import EDGE_AXIS
+            n_edge = mesh.shape[EDGE_AXIS]
+            self.model = self.adapter.build_model(
+                edge_axis=EDGE_AXIS if n_edge > 1 else None)
+        else:
+            self.model = self.adapter.build_model()
         self.key, k_graph, k_heads = jax.random.split(self.key, 3)
         params = {
             "graph": self.model.init_params(k_graph),
@@ -106,9 +132,14 @@ class Runner:
                 restore_checkpoint(restore, config, self.state))
         self.restored = restore is not None
 
-        self._train_step = jax.jit(self._make_step(is_training=True),
-                                   donate_argnums=(0,))
-        self._eval_step = jax.jit(self._make_step(is_training=False))
+        if mesh is not None:
+            from ggnn_tpu.parallel.step import make_parallel_steps
+            self._train_step, self._eval_step = make_parallel_steps(
+                self.model, self.optimizer, config, self.task_ids, mesh)
+        else:
+            self._train_step = jax.jit(self._make_step(is_training=True),
+                                       donate_argnums=(0,))
+            self._eval_step = jax.jit(self._make_step(is_training=False))
 
     # ------------------------------------------------------------- steps
 
@@ -153,6 +184,8 @@ class Runner:
 
     def run_epoch(self, epoch_name: str, processed, is_training: bool):
         """Returns (loss, accuracies, error_ratios, instances/sec, steps)."""
+        if self.mesh is not None:
+            return self._run_epoch_mesh(epoch_name, processed, is_training)
         chem_acc = CHEMICAL_ACCURACIES[self.task_ids]
         total_loss = 0.0
         accumulated = []
@@ -164,6 +197,8 @@ class Runner:
             self.adapter.batches(processed, is_training,
                                  self.np_rng if is_training else None),
             max_queue_size=5)
+        split = "train" if is_training else "validation"
+        step_base = self.train_step_id if is_training else self.valid_step_id
         for step, batch in enumerate(batch_iter):
             num_graphs = int(batch.num_graphs)
             processed_graphs += num_graphs
@@ -172,6 +207,8 @@ class Runner:
             self.state, loss, accs = step_fn(self.state, batch, rng)
             loss = float(loss)
             accs = np.asarray(accs)
+            self.summaries.add_batch(split, step_base + step, loss, accs,
+                                     self.task_ids)
             total_loss += loss * num_graphs
             accumulated.append(accs * num_graphs)
             if not self.quiet:
@@ -185,6 +222,61 @@ class Runner:
                 "variant's reference-compatible remainder dropping, every "
                 "bucket needs at least batch_size graphs (pass "
                 "adapter_kwargs={'drop_remainder': False} to process all).")
+        accuracies = np.sum(accumulated, axis=0) / processed_graphs
+        mean_loss = total_loss / processed_graphs
+        error_ratios = accuracies / chem_acc
+        instance_per_sec = processed_graphs / (time.time() - start_time)
+        return mean_loss, accuracies, error_ratios, instance_per_sec, steps
+
+    def _run_epoch_mesh(self, epoch_name: str, processed, is_training: bool):
+        """Multi-chip epoch: stacks of n_data packed batches per step,
+        split over the mesh's data axis (edges over the edge axis)."""
+        from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
+        from ggnn_tpu.parallel.stacking import stack_batches
+        n_data = self.mesh.shape[DATA_AXIS]
+        n_edge = self.mesh.shape[EDGE_AXIS]
+        chem_acc = CHEMICAL_ACCURACIES[self.task_ids]
+        split = "train" if is_training else "validation"
+        step_base = self.train_step_id if is_training else self.valid_step_id
+        step_fn = self._train_step if is_training else self._eval_step
+        total_loss, accumulated, processed_graphs, steps = 0.0, [], 0, 0
+        start_time = time.time()
+        batch_iter = ThreadedIterator(
+            self.adapter.batches(processed, is_training,
+                                 self.np_rng if is_training else None),
+            max_queue_size=3 * n_data)
+        group: List = []
+
+        def run_group(group):
+            nonlocal total_loss, processed_graphs, steps
+            stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
+            self.key, rng = jax.random.split(self.key)
+            self.state, metrics = step_fn(self.state, jax.device_put(stack),
+                                          rng)
+            loss = float(metrics["loss"])
+            accs = np.asarray(metrics["accuracies"])
+            num_graphs = int(metrics["num_graphs"])
+            self.summaries.add_batch(split, step_base + steps, loss, accs,
+                                     self.task_ids)
+            total_loss += loss * num_graphs
+            accumulated.append(accs * num_graphs)
+            processed_graphs += num_graphs
+            steps += 1
+            if not self.quiet:
+                print(f"Running {epoch_name}, step {steps} (has "
+                      f"{num_graphs} graphs). Loss so far: "
+                      f"{total_loss / max(processed_graphs, 1):.4f}",
+                      end="\r")
+
+        for batch in batch_iter:
+            group.append(batch)
+            if len(group) == n_data:
+                run_group(group)
+                group = []
+        if group:
+            run_group(group)  # stacker pads with empty batches
+        if processed_graphs == 0:
+            raise RuntimeError(f"{epoch_name}: no batches produced")
         accuracies = np.sum(accumulated, axis=0) / processed_graphs
         mean_loss = total_loss / processed_graphs
         error_ratios = accuracies / chem_acc

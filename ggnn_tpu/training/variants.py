@@ -25,9 +25,13 @@ class SparseAdapter:
         self.config = config
         self.meta = meta
         self.caps = None
+        # Pallas blocked-ELL kernel layout (0 = off, XLA path).
+        self.ell_block = int(config.get("ell_block", 0))
+        self.ell_k = None
 
-    def build_model(self):
-        return SparseGGNN(self.config, self.meta.num_edge_types)
+    def build_model(self, edge_axis=None):
+        return SparseGGNN(self.config, self.meta.num_edge_types,
+                          edge_axis=edge_axis)
 
     def preprocess(self, raw, is_training: bool,
                    rng: Optional[np.random.RandomState] = None):
@@ -45,6 +49,26 @@ class SparseAdapter:
             edges_per_type=max(c.edges_per_type for c in caps),
             graphs=max(c.graphs for c in caps),
         )
+        if self.ell_block:
+            # Exact KE over a deterministic dry pack (+30% shuffle
+            # margin): oversized KE slows the kernel's gather loop
+            # linearly, so no generous analytic bound here.
+            from ggnn_tpu.data.ell import plan_ell_k
+            from ggnn_tpu.utils.padding import round_up
+            ke = 8
+            for p in processed_lists:
+                if not p:
+                    continue
+                for b in packing.pack_sparse_batches(
+                        p, self.meta.num_edge_types,
+                        self.config["batch_size"], self.caps,
+                        self.config["hidden_size"],
+                        self.meta.annotation_size, False, None):
+                    ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask,
+                                            self.caps.nodes, self.ell_block))
+                    ke = max(ke, plan_ell_k(b.edge_sources, b.edge_mask,
+                                            self.caps.nodes, self.ell_block))
+            self.ell_k = round_up(int(ke * 1.3), 8)
         return self.caps
 
     def batches(self, processed, is_training: bool,
@@ -52,7 +76,7 @@ class SparseAdapter:
         return packing.pack_sparse_batches(
             processed, self.meta.num_edge_types, self.config["batch_size"],
             self.caps, self.config["hidden_size"], self.meta.annotation_size,
-            is_training, rng)
+            is_training, rng, ell_block=self.ell_block, ell_k=self.ell_k)
 
 
 class DenseAdapter:

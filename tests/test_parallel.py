@@ -174,3 +174,26 @@ def test_empty_batch_like_shapes():
     for leaf_a, leaf_b in zip(jax.tree_util.tree_leaves(b),
                               jax.tree_util.tree_leaves(e)):
         assert np.asarray(leaf_a).shape == np.asarray(leaf_b).shape
+
+
+def test_runner_trains_on_mesh():
+    """End-to-end: Runner with a (2,2) mesh trains the sparse model and
+    improves the loss on synthetic data."""
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 2, "hidden_size": 16, "batch_size": 120,'
+        ' "layer_timesteps": [2, 2], "residual_connections": {"1": [0]},'
+        ' "use_propagation_attention": true, "use_edge_bias": true}')
+    mesh = make_mesh(n_data=2, n_edge=2)
+    runner = Runner("sparse", cfg, log_dir="/tmp/mesh_runner_test",
+                    train_data=synthetic_molecules(80, seed=0),
+                    valid_data=synthetic_molecules(16, seed=1),
+                    quiet=True, tensorboard=False, mesh=mesh)
+    log = runner.train()
+    assert len(log) == 2
+    assert log[1]["train_results"][0] < log[0]["train_results"][0] * 1.5
+    assert np.isfinite(log[1]["valid_results"][0])
