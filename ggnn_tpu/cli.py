@@ -16,8 +16,23 @@ no usage string defines; here it works), and `--quiet`.
 
 import argparse
 import json
+import os
 import sys
 import traceback
+
+
+def _honor_jax_platforms_env():
+    """Some environments install a sitecustomize that force-selects a
+    platform plugin at interpreter start, overriding JAX_PLATFORMS. Make
+    the user's env var authoritative again before any backend
+    initializes."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+
+
+_honor_jax_platforms_env()
 
 from ggnn_tpu.training.config import resolve_config
 from ggnn_tpu.training.runner import Runner
@@ -27,7 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ggnn_tpu",
                                 description="TPU-native GGNN framework")
     p.add_argument("variant",
-                   choices=["sparse", "dense", "gcn", "rgcn", "async"])
+                   choices=["sparse", "dense", "blocked", "gcn", "rgcn",
+                            "async"])
     p.add_argument("--config-file", dest="config_file", default=None,
                    help="Hyperparameter configuration file path (JSON).")
     p.add_argument("--config", default=None,

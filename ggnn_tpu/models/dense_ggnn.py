@@ -13,9 +13,22 @@ contraction over `w` sums over message *sources*. The GRU cell is shared
 across all `num_timesteps` steps (TF scope reuse, dense.py:99-115); edge
 weight dropout draws a fresh mask per (timestep, edge-type) like the
 reference's per-op dropout inside the unrolled loop (dense.py:104).
+
+EXTENDED MODE (this framework's TPU-first addition): when the config
+carries sparse-style keys (`layer_timesteps` present), the dense path
+exposes the FULL sparse-GGNN feature surface — per-layer weights and
+RNN cells (GRU / cuDNN-GRU / RNN, tanh or ReLU), residual connections,
+propagation attention, per-type edge bias and in-degree averaging
+(chem_tensorflow_sparse.py:63-218 semantics) — computed entirely with
+dense masked tensor ops. Rationale: on TPU the block-diagonal dense
+formulation of a packed molecular batch runs ~10x faster per graph than
+edge-list scatter/gather (bench.py; the MXU eats the padded [V,V]
+contraction, and there is no scatter), so small-graph workloads get the
+featureful model at dense-path speed while the sparse edge-list path
+remains for graphs too large to bucket.
 """
 
-from typing import Dict
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +37,7 @@ from ggnn_tpu.graph import DenseGraphBatch
 from ggnn_tpu.models import base
 from ggnn_tpu.ops.cells import make_cell
 from ggnn_tpu.ops.dropout import dropout
+from ggnn_tpu.utils.constants import SMALL_NUMBER
 from ggnn_tpu.utils.init import glorot_init
 
 
@@ -32,29 +46,75 @@ class DenseGGNN:
         self.config = config
         self.num_edge_types = num_edge_types
         self.hidden_size = config["hidden_size"]
-        self.num_timesteps = config["num_timesteps"]
         self.use_edge_bias = config["use_edge_bias"]
         self.edge_weight_dropout_keep_prob = config["edge_weight_dropout_keep_prob"]
-        # Dense variant hard-codes a tanh GRU (tf.contrib.rnn.GRUCell,
-        # dense.py:88) wrapped in state dropout.
-        self.cell_init, self.cell_apply = make_cell(
-            "gru", "tanh", config["graph_state_dropout_keep_prob"])
+        self.extended = "layer_timesteps" in config
+        if self.extended:
+            self.layer_timesteps = list(config["layer_timesteps"])
+            self.residual_connections = {
+                int(k): list(v)
+                for k, v in config.get("residual_connections", {}).items()
+            }
+            self.use_propagation_attention = config.get(
+                "use_propagation_attention", False)
+            self.use_edge_msg_avg_aggregation = config.get(
+                "use_edge_msg_avg_aggregation", False)
+            self.cell_init, self.cell_apply = make_cell(
+                config.get("graph_rnn_cell", "GRU"),
+                config.get("graph_rnn_activation", "tanh"),
+                config["graph_state_dropout_keep_prob"])
+        else:
+            self.num_timesteps = config["num_timesteps"]
+            # Reference dense variant hard-codes a tanh GRU
+            # (tf.contrib.rnn.GRUCell, dense.py:88) in state dropout.
+            self.cell_init, self.cell_apply = make_cell(
+                "gru", "tanh", config["graph_state_dropout_keep_prob"])
+
+    # ----------------------------------------------------------- params
+
+    def _layer_input_size(self, layer_idx: int) -> int:
+        n_res = len(self.residual_connections.get(layer_idx, []))
+        return self.hidden_size * (1 + n_res)
 
     def init_params(self, key: jax.Array) -> Dict:
         h = self.hidden_size
         t = self.num_edge_types
-        k_w, k_cell = jax.random.split(key)
-        params = {
-            "edge_weights": glorot_init(k_w, (t, h, h)),
-            "cell": self.cell_init(k_cell, h, h),
-        }
-        if self.use_edge_bias:
-            params["edge_biases"] = jnp.zeros((t, 1, h), jnp.float32)
-        return params
+        if not self.extended:
+            k_w, k_cell = jax.random.split(key)
+            params = {
+                "edge_weights": glorot_init(k_w, (t, h, h)),
+                "cell": self.cell_init(k_cell, h, h),
+            }
+            if self.use_edge_bias:
+                params["edge_biases"] = jnp.zeros((t, 1, h), jnp.float32)
+            return params
+        layers: List[Dict] = []
+        for layer_idx in range(len(self.layer_timesteps)):
+            key, k_w, k_cell = jax.random.split(key, 3)
+            layer: Dict = {
+                # Same init layout as the sparse variant (fan-in T*H).
+                "edge_weights": glorot_init(k_w, (t * h, h)).reshape(t, h, h),
+                "cell": self.cell_init(k_cell, self._layer_input_size(layer_idx), h),
+            }
+            if self.use_propagation_attention:
+                layer["attention"] = jnp.ones((t,), jnp.float32)
+            if self.use_edge_bias:
+                layer["edge_biases"] = jnp.zeros((t, h), jnp.float32)
+            layers.append(layer)
+        return {"layers": layers}
+
+    # ---------------------------------------------------------- forward
 
     def forward(self, params: Dict, batch: DenseGraphBatch, *, rng=None,
                 is_training: bool = False) -> jax.Array:
-        """Final node representations [B, V, H]."""
+        if self.extended:
+            return self._forward_extended(params, batch, rng=rng,
+                                          is_training=is_training)
+        return self._forward_reference(params, batch, rng=rng,
+                                       is_training=is_training)
+
+    def _forward_reference(self, params, batch, *, rng, is_training):
+        """Final node representations [B, V, H] (dense.py:93-117)."""
         h = batch.node_features  # [B, V, H]
         for _step in range(self.num_timesteps):
             w = params["edge_weights"]  # [T, H, H]
@@ -77,6 +137,84 @@ class DenseGGNN:
                 rng=rng_cell, is_training=is_training).reshape(b, v, d)
         return h
 
+    def _dense_attention(self, h, adjacency, type_factors):
+        """Dense analog of the sparse segment-softmax attention
+        (chem_tensorflow_sparse.py:170-196): per target vertex v, the
+        softmax runs jointly over every incoming (type, source) pair
+        with an adjacency entry, max-shifted under stop_gradient and
+        epsilon-stabilised exactly like ops/segment.py."""
+        b, t, v, _ = adjacency.shape
+        scores = jnp.einsum("bvh,bwh->bvw", h, h,
+                            preferred_element_type=jnp.float32)
+        scores = scores[:, None] * type_factors[None, :, None, None]
+        mask = adjacency > 0                               # [B,T,V,W]
+        neg_inf = jnp.finfo(scores.dtype).min
+        masked = jnp.where(mask, scores, neg_inf)
+        flat = masked.transpose(0, 2, 1, 3).reshape(b, v, t * v)
+        s_max = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(flat, axis=-1, keepdims=True), neg_inf / 2))
+        exped = jnp.exp(flat - s_max) * flat_mask_cast(mask, b, v, t)
+        denom = jnp.sum(exped, axis=-1, keepdims=True) + SMALL_NUMBER
+        attn = (exped / denom).reshape(b, v, t, v).transpose(0, 2, 1, 3)
+        return attn                                         # [B,T,V,W]
+
+    def _forward_extended(self, params, batch, *, rng, is_training):
+        adjacency = batch.adjacency                          # [B,T,V,W]
+        b, t, v, _ = adjacency.shape
+        d = self.hidden_size
+        in_deg = jnp.sum(adjacency, axis=(1, 3))             # [B,V]
+        node_states_per_layer = [batch.node_features]
+
+        for layer_idx, num_timesteps in enumerate(self.layer_timesteps):
+            layer = params["layers"][layer_idx]
+            if rng is not None:
+                rng, rng_w = jax.random.split(rng)
+            else:
+                rng_w = None
+            edge_weights = layer["edge_weights"]
+            if is_training and self.edge_weight_dropout_keep_prob < 1.0:
+                edge_weights = dropout(
+                    rng_w, edge_weights, self.edge_weight_dropout_keep_prob)
+            residual_states = [
+                node_states_per_layer[i]
+                for i in self.residual_connections.get(layer_idx, [])
+            ]
+
+            h = node_states_per_layer[-1]
+            for _step in range(num_timesteps):
+                m = jnp.einsum("bvh,thd->btvd", h, edge_weights,
+                               preferred_element_type=jnp.float32)
+                a = adjacency
+                if self.use_propagation_attention:
+                    a = a * self._dense_attention(h, adjacency,
+                                                  layer["attention"])
+                incoming = jnp.einsum("btvw,btwd->bvd", a, m,
+                                      preferred_element_type=jnp.float32)
+                if self.use_edge_bias:
+                    # sum_t indeg_t[v] * bias_t — identical to the
+                    # sparse num_incoming_edges_per_type @ edge_biases.
+                    indeg_t = jnp.sum(adjacency, axis=3)     # [B,T,V]
+                    incoming = incoming + jnp.einsum(
+                        "btv,th->bvh", indeg_t, layer["edge_biases"],
+                        preferred_element_type=jnp.float32)
+                if self.use_edge_msg_avg_aggregation:
+                    incoming = incoming / (in_deg[..., None] + SMALL_NUMBER)
+                incoming_info = jnp.concatenate(
+                    residual_states + [incoming], axis=-1)
+                if rng is not None:
+                    rng, rng_cell = jax.random.split(rng)
+                else:
+                    rng_cell = None
+                width = incoming_info.shape[-1]
+                h = self.cell_apply(
+                    layer["cell"], incoming_info.reshape(b * v, width),
+                    h.reshape(b * v, d), rng=rng_cell,
+                    is_training=is_training).reshape(b, v, d)
+            node_states_per_layer.append(h)
+        return node_states_per_layer[-1]
+
+    # ---------------------------------------------------------- readout
+
     def readout(self, heads: Dict, task_ids, last_h: jax.Array,
                 batch: DenseGraphBatch, *, keep_prob: float = 1.0,
                 rng=None) -> jax.Array:
@@ -97,3 +235,9 @@ class DenseGGNN:
             masked = gated.reshape(b, v) * batch.node_mask
             outs.append(jnp.sum(masked, axis=1))        # [B]
         return jnp.stack(outs, axis=0)
+
+
+def flat_mask_cast(mask, b, v, t):
+    """[B,T,V,W] bool adjacency mask -> [B,V,T*W] float in softmax order."""
+    return mask.transpose(0, 2, 1, 3).reshape(b, v, t * mask.shape[3]
+                                              ).astype(jnp.float32)

@@ -194,6 +194,7 @@ _ADAPTERS = {
     "sparse": SparseAdapter,
     "rgcn": SparseAdapter,   # R-GCN = sparse model under RGCN_CONFIG
     "dense": DenseAdapter,
+    "blocked": DenseAdapter,  # sparse feature surface, dense-path compute
     "gcn": GCNAdapter,
     "async": AsyncAdapter,
 }
@@ -202,4 +203,10 @@ _ADAPTERS = {
 def make_adapter(variant: str, config: Dict, meta: DatasetMeta, **kwargs):
     if variant not in _ADAPTERS:
         raise ValueError(f"unknown model variant '{variant}'")
+    if variant == "blocked":
+        # The reference's silent bucket-remainder dropping
+        # (chem_tensorflow_dense.py:160) is kept for the `dense` parity
+        # variant only; `blocked` is this framework's own variant and
+        # processes every graph by default.
+        kwargs.setdefault("drop_remainder", False)
     return _ADAPTERS[variant](config, meta, **kwargs)

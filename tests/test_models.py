@@ -226,3 +226,56 @@ def test_bfloat16_compute_dtype_runs_close_to_f32():
     assert np.isfinite(out16).all()
     # bf16 has ~8 mantissa bits; states are tanh-bounded.
     np.testing.assert_allclose(out16, out32, atol=0.05)
+
+
+def test_extended_dense_matches_sparse_full_features():
+    """The TPU-first extended dense path (block-diagonal formulation)
+    must reproduce the sparse model exactly under the FULL feature set:
+    5 layers, residual connections, propagation attention, edge bias,
+    in-degree averaging. Same params pytree drives both models."""
+    config = {**SPARSE_DEFAULTS, "hidden_size": H,
+              "layer_timesteps": [2, 2, 1, 2, 1],
+              "residual_connections": {"2": [0], "4": [0, 2]},
+              "use_propagation_attention": True,
+              "use_edge_bias": True,
+              "use_edge_msg_avg_aggregation": True,
+              "edge_weight_dropout_keep_prob": 1.0}
+    sparse_model = SparseGGNN(config, NUM_EDGE_TYPES)
+    dense_model = DenseGGNN(config, NUM_EDGE_TYPES)
+    params = sparse_model.init_params(jax.random.PRNGKey(3))
+
+    sbatch = jax.device_put(_sparse_batch())
+    s_out = np.asarray(sparse_model.forward(params, sbatch))
+
+    bucketed, bucket_sizes = preprocess_dense(TEST_GRAPHS, NUM_EDGE_TYPES,
+                                              True, [0], {}, False)
+    dbatch = next(pack_dense_batches(bucketed, bucket_sizes, 2, H, 3,
+                                     False, drop_remainder=False))
+    d_out = np.asarray(dense_model.forward(params, jax.device_put(dbatch)))
+
+    np.testing.assert_allclose(s_out[0:4], d_out[0, :4], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(s_out[4:7], d_out[1, :3], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_extended_dense_gradients_finite():
+    config = {**SPARSE_DEFAULTS, "hidden_size": H,
+              "layer_timesteps": [2, 1],
+              "residual_connections": {"1": [0]},
+              "use_propagation_attention": True,
+              "use_edge_bias": True,
+              "edge_weight_dropout_keep_prob": 1.0}
+    model = DenseGGNN(config, NUM_EDGE_TYPES)
+    params = model.init_params(jax.random.PRNGKey(0))
+    bucketed, bucket_sizes = preprocess_dense(TEST_GRAPHS, NUM_EDGE_TYPES,
+                                              True, [0], {}, False)
+    dbatch = next(pack_dense_batches(bucketed, bucket_sizes, 2, H, 3,
+                                     False, drop_remainder=False))
+
+    def loss(p):
+        return jnp.sum(model.forward(p, dbatch) ** 2)
+
+    grads = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
