@@ -55,16 +55,27 @@ def run_bench(jax, smoke: bool = False):
     data = synthetic_molecules(n_mols, seed=0)
     meta = infer_metadata([data], cfg["tie_fwd_bkwd"])
     rng = np.random.RandomState(0)
-    # Coarse buckets: numerically identical (padding is masked and
-    # disconnected), but 2 compiled shapes instead of 13 — remote
-    # compiles cost minutes each over the tunnel.
-    bucketed, bucket_sizes = packing.preprocess_dense(
-        data, meta.num_edge_types, cfg["tie_fwd_bkwd"], cfg["task_ids"],
-        cfg["task_sample_ratios"], True, rng,
-        bucket_sizes=np.array([16, 32]))
-    batches = list(packing.pack_dense_batches(
-        bucketed, bucket_sizes, cfg["batch_size"], cfg["hidden_size"],
-        meta.annotation_size, True, rng))
+    # Native C++ assembly; coarse buckets are numerically identical
+    # (padding is masked and disconnected) but give 2 compiled shapes
+    # instead of 13 — remote compiles cost minutes each over the tunnel.
+    from ggnn_tpu.data import native_pack
+    from ggnn_tpu.native import native_available
+    if native_available():
+        proc = native_pack.preprocess_dense_native(
+            data, cfg["task_ids"], cfg["task_sample_ratios"], True, rng,
+            bucket_sizes=np.array([16, 32]))
+        batches = list(native_pack.pack_dense_batches_native(
+            proc, cfg["batch_size"], cfg["hidden_size"],
+            meta.annotation_size, meta.num_edge_types,
+            cfg["tie_fwd_bkwd"], True, rng))
+    else:
+        bucketed, bucket_sizes = packing.preprocess_dense(
+            data, meta.num_edge_types, cfg["tie_fwd_bkwd"], cfg["task_ids"],
+            cfg["task_sample_ratios"], True, rng,
+            bucket_sizes=np.array([16, 32]))
+        batches = list(packing.pack_dense_batches(
+            bucketed, bucket_sizes, cfg["batch_size"], cfg["hidden_size"],
+            meta.annotation_size, True, rng))
     total_graphs = sum(int(b.num_graphs) for b in batches)
 
     # Group by shape so each group scans under one compiled step.

@@ -1,0 +1,322 @@
+"""Native-accelerated batch pipeline (C assembly, python orchestration).
+
+The corpus is flattened ONCE into contiguous arrays (`FlatCorpus`);
+bucketing, shuffling and label semantics stay in (vectorised) python,
+and each batch's per-edge/per-node scatter work is one C call
+(native/packer.cpp). In eval mode the emitted batches are bit-identical
+to the pure-python packers (tests/test_native.py); in training mode the
+shuffle draws differ but the semantics match.
+
+Measured at 25.6k QM9-sized molecules: dense preprocess+pack drops from
+~42s (python per-graph loops, the analog of the reference's feed-dict
+assembly chem_tensorflow_dense.py:164-228) to well under a second of C
+time; the flattening itself is paid once per run, not per epoch.
+"""
+
+import dataclasses
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ggnn_tpu.data.packing import DENSE_BUCKET_SIZES, PackCapacities
+from ggnn_tpu.graph import DenseGraphBatch, ELLGraphBatch, GraphBatch
+from ggnn_tpu.native import get_lib
+
+
+@dataclasses.dataclass
+class FlatCorpus:
+    """The whole dataset as contiguous arrays (one-time flattening)."""
+
+    edges: np.ndarray         # [E_tot, 3] int32 (src, 1-based type, dst)
+    edge_offsets: np.ndarray  # [G+1] int64
+    feats: np.ndarray         # [N_tot, A] float32
+    node_offsets: np.ndarray  # [G+1] int64
+    targets: np.ndarray       # [G, K] float32
+    target_mask: np.ndarray   # [G, K] float32
+    max_vertex: np.ndarray    # [G] int32 (max vertex id per graph)
+    num_nodes: np.ndarray     # [G] int64
+    edges_per_graph: np.ndarray  # [G] int64
+
+    @property
+    def num_graphs(self) -> int:
+        return len(self.num_nodes)
+
+    @classmethod
+    def from_raw(cls, raw_data: Sequence[Any],
+                 task_ids: Sequence[int]) -> "FlatCorpus":
+        g_count = len(raw_data)
+        edge_counts = np.fromiter((len(d["graph"]) for d in raw_data),
+                                  np.int64, g_count)
+        node_counts = np.fromiter((len(d["node_features"]) for d in raw_data),
+                                  np.int64, g_count)
+        edge_offsets = np.zeros(g_count + 1, np.int64)
+        np.cumsum(edge_counts, out=edge_offsets[1:])
+        node_offsets = np.zeros(g_count + 1, np.int64)
+        np.cumsum(node_counts, out=node_offsets[1:])
+        edges = np.empty((int(edge_offsets[-1]), 3), np.int32)
+        feats = np.empty((int(node_offsets[-1]),
+                          len(raw_data[0]["node_features"][0])), np.float32)
+        for i, d in enumerate(raw_data):
+            if d["graph"]:
+                edges[edge_offsets[i]:edge_offsets[i + 1]] = d["graph"]
+            feats[node_offsets[i]:node_offsets[i + 1]] = d["node_features"]
+        targets = np.zeros((g_count, len(task_ids)), np.float32)
+        target_mask = np.ones((g_count, len(task_ids)), np.float32)
+        for i, d in enumerate(raw_data):
+            for k, task_id in enumerate(task_ids):
+                v = d["targets"][task_id][0]
+                if v is None:
+                    target_mask[i, k] = 0.0
+                else:
+                    targets[i, k] = float(v)
+        max_vertex = np.zeros(g_count, np.int32)
+        have = edge_counts > 0
+        seg = np.repeat(np.arange(g_count), edge_counts)
+        if len(seg):
+            m = np.maximum(edges[:, 0], edges[:, 2])
+            np.maximum.at(max_vertex, seg, m)
+        return cls(edges=edges, edge_offsets=edge_offsets, feats=feats,
+                   node_offsets=node_offsets, targets=targets,
+                   target_mask=target_mask, max_vertex=max_vertex,
+                   num_nodes=node_counts, edges_per_graph=edge_counts)
+
+
+def apply_task_sample_ratios(target_mask: np.ndarray, order: np.ndarray,
+                             task_ids: Sequence[int],
+                             task_sample_ratios: Dict) -> None:
+    """Blank labels past the sampled prefix of `order` (the shuffled
+    per-split graph order), mirroring chem_tensorflow_sparse.py:243-250."""
+    for k, task_id in enumerate(task_ids):
+        ratio = task_sample_ratios.get(str(task_id))
+        if ratio is not None:
+            cut = int(len(order) * ratio)
+            target_mask[order[cut:], k] = 0.0
+
+
+# ------------------------------------------------------------- dense
+
+@dataclasses.dataclass
+class DenseProcessed:
+    corpus: FlatCorpus
+    bucket_order: List[np.ndarray]   # graph ids per bucket (stable order)
+    bucket_v: List[int]              # padded vertex count per bucket
+
+
+def preprocess_dense_native(raw_data, task_ids, task_sample_ratios,
+                            is_training: bool,
+                            rng: Optional[np.random.RandomState] = None,
+                            bucket_sizes: Optional[np.ndarray] = None
+                            ) -> DenseProcessed:
+    corpus = FlatCorpus.from_raw(raw_data, task_ids)
+    if bucket_sizes is None:
+        bucket_sizes = DENSE_BUCKET_SIZES
+    chosen = np.argmax(bucket_sizes[None, :] > corpus.max_vertex[:, None],
+                       axis=1)
+    # Buckets in first-seen order, like the python dict insertion order.
+    seen: List[int] = []
+    for c in chosen:
+        if c not in seen:
+            seen.append(int(c))
+    bucket_order, bucket_v = [], []
+    for c in seen:
+        ids = np.nonzero(chosen == c)[0].astype(np.int32)
+        if is_training:
+            if rng is not None:
+                rng.shuffle(ids)
+            apply_task_sample_ratios(corpus.target_mask, ids, task_ids,
+                                     task_sample_ratios)
+        bucket_order.append(ids)
+        bucket_v.append(int(bucket_sizes[c]))
+    return DenseProcessed(corpus=corpus, bucket_order=bucket_order,
+                          bucket_v=bucket_v)
+
+
+def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
+                              hidden_size: int, annotation_size: int,
+                              num_edge_types: int, tie_fwd_bkwd: bool,
+                              is_training: bool,
+                              rng: Optional[np.random.RandomState] = None,
+                              drop_remainder: bool = True
+                              ) -> Iterator[DenseGraphBatch]:
+    lib = get_lib()
+    corpus = processed.corpus
+    bwd_offset = 0 if tie_fwd_bkwd else num_edge_types // 2
+    orders = [ids.copy() for ids in processed.bucket_order]
+    div = ((len(ids) // batch_size) if drop_remainder
+           else -(-len(ids) // batch_size) for ids in orders)
+    bucket_at_step = [bi for bi, n in enumerate(div) for _ in range(n)]
+    if is_training and rng is not None:
+        rng.shuffle(bucket_at_step)
+        for ids in orders:
+            rng.shuffle(ids)
+    counters = [0] * len(orders)
+    for bi in bucket_at_step:
+        start = counters[bi] * batch_size
+        counters[bi] += 1
+        ids = orders[bi][start:start + batch_size]
+        v = processed.bucket_v[bi]
+        b_real = len(ids)
+        init = np.zeros((batch_size, v, hidden_size), np.float32)
+        adj = np.zeros((batch_size, num_edge_types, v, v), np.float32)
+        mask = np.zeros((batch_size, v), np.float32)
+        lib.pack_dense_batch(
+            corpus.edges, corpus.edge_offsets, corpus.feats,
+            corpus.node_offsets, np.ascontiguousarray(ids, np.int32),
+            b_real, num_edge_types, v, annotation_size, hidden_size,
+            bwd_offset, init, adj, mask)
+        targets = np.zeros((corpus.targets.shape[1], batch_size), np.float32)
+        t_mask = np.zeros_like(targets)
+        targets[:, :b_real] = corpus.targets[ids].T
+        t_mask[:, :b_real] = corpus.target_mask[ids].T
+        yield DenseGraphBatch(
+            node_features=init, adjacency=adj, node_mask=mask,
+            targets=targets, target_mask=t_mask,
+            num_graphs=np.int32(b_real),
+        )
+
+
+# ------------------------------------------------------------- sparse
+
+@dataclasses.dataclass
+class SparseProcessed:
+    corpus: FlatCorpus
+    order: np.ndarray                # packing order of graph ids
+    edge_type_counts: np.ndarray     # [G, T] int64 (incl. bkwd)
+
+
+def preprocess_sparse_native(raw_data, num_edge_types, tie_fwd_bkwd,
+                             task_ids, task_sample_ratios,
+                             is_training: bool,
+                             rng: Optional[np.random.RandomState] = None
+                             ) -> SparseProcessed:
+    corpus = FlatCorpus.from_raw(raw_data, task_ids)
+    g_count = corpus.num_graphs
+    counts = np.zeros((g_count, num_edge_types), np.int64)
+    seg = np.repeat(np.arange(g_count), corpus.edges_per_graph)
+    if len(seg):
+        typ = corpus.edges[:, 1].astype(np.int64) - 1
+        if tie_fwd_bkwd:
+            np.add.at(counts, (seg, typ), 2)  # fwd + reversed, same type
+        else:
+            np.add.at(counts, (seg, typ), 1)
+            np.add.at(counts, (seg, typ + num_edge_types // 2), 1)
+    order = np.arange(g_count, dtype=np.int32)
+    if is_training:
+        if rng is not None:
+            rng.shuffle(order)
+        apply_task_sample_ratios(corpus.target_mask, order, task_ids,
+                                 task_sample_ratios)
+    return SparseProcessed(corpus=corpus, order=order,
+                           edge_type_counts=counts)
+
+
+def plan_capacities_native(processed: SparseProcessed, node_budget: int,
+                           margin: float = 1.3) -> PackCapacities:
+    """Same walk as packing.plan_capacities over the flat arrays."""
+    from ggnn_tpu.utils.padding import round_up
+    t_dim = processed.edge_type_counts.shape[1]
+    max_graphs, max_edges = 1, np.zeros(t_dim, np.int64)
+    cur_nodes, cur_graphs = 0, 0
+    cur_edges = np.zeros(t_dim, np.int64)
+    for g in processed.order:
+        n = int(processed.corpus.num_nodes[g])
+        if cur_nodes + n >= node_budget and cur_graphs > 0:
+            max_graphs = max(max_graphs, cur_graphs)
+            max_edges = np.maximum(max_edges, cur_edges)
+            cur_nodes, cur_graphs = 0, 0
+            cur_edges = np.zeros(t_dim, np.int64)
+        cur_nodes += n
+        cur_graphs += 1
+        cur_edges += processed.edge_type_counts[g]
+    max_graphs = max(max_graphs, cur_graphs)
+    max_edges = np.maximum(max_edges, cur_edges)
+    return PackCapacities(
+        nodes=round_up(node_budget, 8),
+        edges_per_type=round_up(int(np.ceil(max_edges.max() * margin)), 8),
+        graphs=round_up(int(np.ceil(max_graphs * margin)), 8),
+    )
+
+
+def pack_sparse_batches_native(processed: SparseProcessed,
+                               num_edge_types: int, tie_fwd_bkwd: bool,
+                               node_budget: int, caps: PackCapacities,
+                               hidden_size: int, annotation_size: int,
+                               is_training: bool,
+                               rng: Optional[np.random.RandomState] = None,
+                               ell_block: int = 0,
+                               ell_k: Optional[int] = None
+                               ) -> Iterator[GraphBatch]:
+    lib = get_lib()
+    corpus = processed.corpus
+    order = processed.order.copy()
+    if is_training and rng is not None:
+        rng.shuffle(order)
+    num_tasks = corpus.targets.shape[1]
+    idx = 0
+    while idx < len(order):
+        batch_ids: List[int] = []
+        node_count, edge_counts = 0, np.zeros(num_edge_types, np.int64)
+        while idx < len(order):
+            g = int(order[idx])
+            n = int(corpus.num_nodes[g])
+            g_edges = processed.edge_type_counts[g]
+            fits = (node_count + n < node_budget
+                    and len(batch_ids) + 1 <= caps.graphs
+                    and np.all(edge_counts + g_edges <= caps.edges_per_type))
+            if not fits:
+                if not batch_ids:
+                    raise ValueError(
+                        f"graph with {n} nodes / {g_edges.max()} edges "
+                        f"exceeds pack capacities {caps}")
+                break
+            batch_ids.append(g)
+            node_count += n
+            edge_counts += g_edges
+            idx += 1
+
+        e_cap = caps.edges_per_type
+        edge_sources = np.zeros((num_edge_types, e_cap), np.int32)
+        edge_targets = np.full((num_edge_types, e_cap), caps.nodes, np.int32)
+        edge_mask = np.zeros((num_edge_types, e_cap), np.float32)
+        in_degrees = np.zeros((caps.nodes, num_edge_types), np.float32)
+        init = np.zeros((caps.nodes, hidden_size), np.float32)
+        node_graph_ids = np.full((caps.nodes,), caps.graphs, np.int32)
+        type_counts = np.zeros((num_edge_types,), np.int64)
+        rc = lib.pack_sparse_batch(
+            corpus.edges, corpus.edge_offsets, corpus.feats,
+            corpus.node_offsets,
+            np.ascontiguousarray(batch_ids, np.int32), len(batch_ids),
+            num_edge_types, int(tie_fwd_bkwd), e_cap, annotation_size,
+            hidden_size, edge_sources, edge_targets, edge_mask,
+            in_degrees, init, node_graph_ids, type_counts)
+        if rc != 0:
+            raise ValueError(f"edge capacity overflow (caps {caps})")
+        # Target-sort each type lane (padding target==caps.nodes stays
+        # at the end), matching packing.pack_sparse_batches.
+        for t in range(num_edge_types):
+            sl = np.lexsort((edge_sources[t], edge_targets[t]))
+            edge_sources[t] = edge_sources[t][sl]
+            edge_targets[t] = edge_targets[t][sl]
+            edge_mask[t] = edge_mask[t][sl]
+        targets = np.zeros((num_tasks, caps.graphs), np.float32)
+        t_mask = np.zeros_like(targets)
+        targets[:, :len(batch_ids)] = corpus.targets[batch_ids].T
+        t_mask[:, :len(batch_ids)] = corpus.target_mask[batch_ids].T
+        common = dict(
+            node_features=init, node_graph_ids=node_graph_ids,
+            edge_sources=edge_sources, edge_targets=edge_targets,
+            edge_mask=edge_mask, in_degrees=in_degrees,
+            targets=targets, target_mask=t_mask,
+            num_graphs=np.int32(len(batch_ids)),
+            num_nodes=np.int32(node_count),
+        )
+        if ell_block:
+            from ggnn_tpu.data.ell import build_ell_layout
+            layout = build_ell_layout(edge_sources, edge_targets, edge_mask,
+                                      caps.nodes, ell_block, ell_k)
+            yield ELLGraphBatch(
+                **common,
+                ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
+                ell_bwd_tgt=layout.bwd_tgt, ell_bwd_src=layout.bwd_src)
+        else:
+            yield GraphBatch(**common)

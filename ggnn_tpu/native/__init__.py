@@ -1,0 +1,69 @@
+"""Native (C++) host-pipeline kernels: build + ctypes bindings.
+
+The library is compiled on first use with g++ (-O3, shared) and cached
+next to the source keyed by a source hash; no pybind11 — plain C ABI +
+ctypes. Set GGNN_TPU_NO_NATIVE=1 to force the pure-python pipeline.
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "packer.cpp")
+_LIB: Optional[ctypes.CDLL] = None
+_LOAD_ERROR: Optional[str] = None
+
+
+def _build_and_load() -> ctypes.CDLL:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    lib_path = os.path.join(_HERE, f"libpacker_{digest}.so")
+    if not os.path.exists(lib_path):
+        tmp = lib_path + ".tmp"
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", tmp, _SRC],
+            check=True, capture_output=True)
+        os.replace(tmp, lib_path)  # atomic vs concurrent builders
+    lib = ctypes.CDLL(lib_path)
+
+    i32 = ctypes.c_int32
+    p_i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+    lib.pack_dense_batch.restype = None
+    lib.pack_dense_batch.argtypes = [
+        p_i32, p_i64, p_f32, p_i64, p_i32,
+        i32, i32, i32, i32, i32, i32,
+        p_f32, p_f32, p_f32,
+    ]
+    lib.pack_sparse_batch.restype = i32
+    lib.pack_sparse_batch.argtypes = [
+        p_i32, p_i64, p_f32, p_i64, p_i32,
+        i32, i32, i32, i32, i32, i32,
+        p_i32, p_i32, p_f32, p_f32, p_f32, p_i32, p_i64,
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None (disabled or build failed)."""
+    global _LIB, _LOAD_ERROR
+    if os.environ.get("GGNN_TPU_NO_NATIVE"):
+        return None
+    if _LIB is None and _LOAD_ERROR is None:
+        try:
+            _LIB = _build_and_load()
+        except (OSError, subprocess.CalledProcessError) as e:
+            _LOAD_ERROR = str(e)
+    return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None

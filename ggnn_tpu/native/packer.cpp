@@ -1,0 +1,126 @@
+// Native batch-assembly kernels for the host-side data pipeline.
+//
+// The reference's feed-dict assembly (chem_tensorflow_dense.py:164-228,
+// chem_tensorflow_sparse.py:278-350) is pure-python per-graph looping; at
+// QM9 scale the equivalent numpy pipeline costs ~1000x the device epoch
+// (bench: 42s host assembly vs 48ms TPU epoch for 25.6k molecules). These
+// kernels do the per-edge/per-node scatter work in C; python keeps the
+// orchestration (bucketing, shuffling, label semantics).
+//
+// Built as a plain C-ABI shared library (no pybind11); see
+// ggnn_tpu/native/__init__.py for the ctypes bindings and build rule.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Fill a bucketed dense batch: adjacency [B,T,V,V] (A[b,t,dst,src]=1,
+// tied-bkwd in the same slice or at t+bwd_offset), node features
+// [B,V,H] (annotations in the first A columns, zero-padded to H), node
+// mask [B,V]. Outputs must be zero-initialised by the caller.
+void pack_dense_batch(
+    const int32_t* edges,        // [E_tot, 3] (src, 1-based type, dst)
+    const int64_t* edge_offsets, // [G+1] per-corpus-graph edge ranges
+    const float* feats,          // [N_tot, A]
+    const int64_t* node_offsets, // [G+1]
+    const int32_t* graph_ids,    // [b_real] corpus graph ids this batch
+    int32_t b_real,
+    int32_t num_edge_types,
+    int32_t v,
+    int32_t annotation_size,
+    int32_t hidden_size,
+    int32_t bwd_offset,          // 0 when tied, num_fwd_types otherwise
+    float* init_out,             // [B, V, H]
+    float* adj_out,              // [B, T, V, V]
+    float* mask_out) {           // [B, V]
+  const int64_t vv = (int64_t)v * v;
+  const int64_t adj_stride = (int64_t)num_edge_types * vv;
+  for (int32_t b = 0; b < b_real; ++b) {
+    const int32_t g = graph_ids[b];
+    float* adj = adj_out + (int64_t)b * adj_stride;
+    for (int64_t e = edge_offsets[g]; e < edge_offsets[g + 1]; ++e) {
+      const int32_t src = edges[e * 3 + 0];
+      const int32_t typ = edges[e * 3 + 1] - 1;  // 1-based in JSON
+      const int32_t dst = edges[e * 3 + 2];
+      adj[(int64_t)typ * vv + (int64_t)dst * v + src] = 1.0f;
+      adj[(int64_t)(typ + bwd_offset) * vv + (int64_t)src * v + dst] = 1.0f;
+    }
+    const int64_t n0 = node_offsets[g];
+    const int32_t n = (int32_t)(node_offsets[g + 1] - n0);
+    float* init = init_out + (int64_t)b * v * hidden_size;
+    float* mask = mask_out + (int64_t)b * v;
+    for (int32_t i = 0; i < n; ++i) {
+      std::memcpy(init + (int64_t)i * hidden_size,
+                  feats + (n0 + i) * annotation_size,
+                  sizeof(float) * annotation_size);
+      mask[i] = 1.0f;
+    }
+  }
+}
+
+// Fill a packed sparse super-graph batch: per-type edge lists with
+// node-id offsets, per-type in-degrees, node features and graph ids.
+// Outputs must be pre-initialised by the caller (edge_targets to the
+// dump slot, edge_mask/init/in_degrees to zero, node_graph_ids to the
+// dump graph id). Per-type edge lists are target-sorted afterwards in
+// python (cheap vectorised lexsort). Returns 0 on success, -1 if any
+// per-type edge capacity would overflow.
+int32_t pack_sparse_batch(
+    const int32_t* edges,        // [E_tot, 3]
+    const int64_t* edge_offsets, // [G+1]
+    const float* feats,          // [N_tot, A]
+    const int64_t* node_offsets, // [G+1]
+    const int32_t* graph_ids,    // [b_real]
+    int32_t b_real,
+    int32_t num_edge_types,      // total (doubled when untied)
+    int32_t tie_fwd_bkwd,        // 1 = tied
+    int32_t edge_capacity,       // per-type cap E
+    int32_t annotation_size,
+    int32_t hidden_size,
+    int32_t* edge_sources,       // [T, E]
+    int32_t* edge_targets,       // [T, E]
+    float* edge_mask,            // [T, E]
+    float* in_degrees,           // [N_cap, T]
+    float* init_out,             // [N_cap, H]
+    int32_t* node_graph_ids,     // [N_cap]
+    int64_t* type_counts) {      // [T] running fill counts (zeroed in)
+  const int32_t num_fwd = tie_fwd_bkwd ? num_edge_types
+                                       : num_edge_types / 2;
+  int64_t node_off = 0;
+  for (int32_t b = 0; b < b_real; ++b) {
+    const int32_t g = graph_ids[b];
+    const int64_t n0 = node_offsets[g];
+    const int32_t n = (int32_t)(node_offsets[g + 1] - n0);
+    for (int64_t e = edge_offsets[g]; e < edge_offsets[g + 1]; ++e) {
+      const int32_t src = edges[e * 3 + 0] + (int32_t)node_off;
+      const int32_t typ = edges[e * 3 + 1] - 1;
+      const int32_t dst = edges[e * 3 + 2] + (int32_t)node_off;
+      // forward edge
+      int64_t k = type_counts[typ]++;
+      if (k >= edge_capacity) return -1;
+      edge_sources[(int64_t)typ * edge_capacity + k] = src;
+      edge_targets[(int64_t)typ * edge_capacity + k] = dst;
+      edge_mask[(int64_t)typ * edge_capacity + k] = 1.0f;
+      in_degrees[(int64_t)dst * num_edge_types + typ] += 1.0f;
+      // backward edge (same type when tied, offset type otherwise)
+      const int32_t btyp = tie_fwd_bkwd ? typ : num_fwd + typ;
+      k = type_counts[btyp]++;
+      if (k >= edge_capacity) return -1;
+      edge_sources[(int64_t)btyp * edge_capacity + k] = dst;
+      edge_targets[(int64_t)btyp * edge_capacity + k] = src;
+      edge_mask[(int64_t)btyp * edge_capacity + k] = 1.0f;
+      in_degrees[(int64_t)src * num_edge_types + btyp] += 1.0f;
+    }
+    for (int32_t i = 0; i < n; ++i) {
+      std::memcpy(init_out + (node_off + i) * hidden_size,
+                  feats + (n0 + i) * annotation_size,
+                  sizeof(float) * annotation_size);
+      node_graph_ids[node_off + i] = b;
+    }
+    node_off += n;
+  }
+  return 0;
+}
+
+}  // extern "C"

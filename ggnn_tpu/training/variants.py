@@ -11,7 +11,23 @@ import numpy as np
 
 from ggnn_tpu.data import packing
 from ggnn_tpu.data import async_schedule
+from ggnn_tpu.data import native_pack
 from ggnn_tpu.data.loader import DatasetMeta
+from ggnn_tpu.native import native_available
+
+
+def _use_native(config: Dict) -> bool:
+    """Native C++ batch assembly (data/native_pack.py): ~20-60x faster
+    host packing, bit-identical eval batches. On by default when the
+    library builds; `"native_pack": false` (or GGNN_TPU_NO_NATIVE=1)
+    forces the pure-python pipeline."""
+    return bool(config.get("native_pack", True)) and native_available()
+
+
+def _nonempty(p) -> bool:
+    if isinstance(p, (list, tuple, dict)):
+        return len(p) > 0
+    return p is not None
 from ggnn_tpu.models.async_ggnn import AsyncGGNN
 from ggnn_tpu.models.dense_ggnn import DenseGGNN
 from ggnn_tpu.models.gcn import GCN
@@ -35,15 +51,23 @@ class SparseAdapter:
 
     def preprocess(self, raw, is_training: bool,
                    rng: Optional[np.random.RandomState] = None):
+        if _use_native(self.config):
+            return native_pack.preprocess_sparse_native(
+                raw, self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
+                self.config["task_ids"], self.config["task_sample_ratios"],
+                is_training, rng)
         return packing.preprocess_sparse(
             raw, self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
             self.config["task_ids"], self.config["task_sample_ratios"],
             is_training, rng)
 
     def plan(self, *processed_lists):
-        caps = [packing.plan_capacities(p, self.meta.num_edge_types,
-                                        self.config["batch_size"])
-                for p in processed_lists if p]
+        caps = [
+            native_pack.plan_capacities_native(p, self.config["batch_size"])
+            if isinstance(p, native_pack.SparseProcessed)
+            else packing.plan_capacities(p, self.meta.num_edge_types,
+                                         self.config["batch_size"])
+            for p in processed_lists if _nonempty(p)]
         self.caps = packing.PackCapacities(
             nodes=max(c.nodes for c in caps),
             edges_per_type=max(c.edges_per_type for c in caps),
@@ -57,13 +81,9 @@ class SparseAdapter:
             from ggnn_tpu.utils.padding import round_up
             ke = 8
             for p in processed_lists:
-                if not p:
+                if not _nonempty(p):
                     continue
-                for b in packing.pack_sparse_batches(
-                        p, self.meta.num_edge_types,
-                        self.config["batch_size"], self.caps,
-                        self.config["hidden_size"],
-                        self.meta.annotation_size, False, None):
+                for b in self._pack(p, False, None):
                     ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask,
                                             self.caps.nodes, self.ell_block))
                     ke = max(ke, plan_ell_k(b.edge_sources, b.edge_mask,
@@ -71,12 +91,23 @@ class SparseAdapter:
             self.ell_k = round_up(int(ke * 1.3), 8)
         return self.caps
 
-    def batches(self, processed, is_training: bool,
-                rng: Optional[np.random.RandomState] = None) -> Iterator:
+    def _pack(self, processed, is_training, rng, ell_block=0, ell_k=None):
+        if isinstance(processed, native_pack.SparseProcessed):
+            return native_pack.pack_sparse_batches_native(
+                processed, self.meta.num_edge_types,
+                self.config["tie_fwd_bkwd"], self.config["batch_size"],
+                self.caps, self.config["hidden_size"],
+                self.meta.annotation_size, is_training, rng,
+                ell_block=ell_block, ell_k=ell_k)
         return packing.pack_sparse_batches(
             processed, self.meta.num_edge_types, self.config["batch_size"],
             self.caps, self.config["hidden_size"], self.meta.annotation_size,
-            is_training, rng, ell_block=self.ell_block, ell_k=self.ell_k)
+            is_training, rng, ell_block=ell_block, ell_k=ell_k)
+
+    def batches(self, processed, is_training: bool,
+                rng: Optional[np.random.RandomState] = None) -> Iterator:
+        return self._pack(processed, is_training, rng,
+                          ell_block=self.ell_block, ell_k=self.ell_k)
 
 
 class DenseAdapter:
@@ -94,6 +125,10 @@ class DenseAdapter:
 
     def preprocess(self, raw, is_training: bool,
                    rng: Optional[np.random.RandomState] = None):
+        if _use_native(self.config):
+            return native_pack.preprocess_dense_native(
+                raw, self.config["task_ids"],
+                self.config["task_sample_ratios"], is_training, rng)
         bucketed, bucket_sizes = packing.preprocess_dense(
             raw, self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
             self.config["task_ids"], self.config["task_sample_ratios"],
@@ -104,10 +139,16 @@ class DenseAdapter:
     def plan(self, *processed_lists):
         return None  # dense shapes come from the bucket table
 
-    def batches(self, bucketed, is_training: bool,
+    def batches(self, processed, is_training: bool,
                 rng: Optional[np.random.RandomState] = None) -> Iterator:
+        if isinstance(processed, native_pack.DenseProcessed):
+            return native_pack.pack_dense_batches_native(
+                processed, self.config["batch_size"],
+                self.config["hidden_size"], self.meta.annotation_size,
+                self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
+                is_training, rng, drop_remainder=self.drop_remainder)
         return packing.pack_dense_batches(
-            bucketed, self.bucket_sizes, self.config["batch_size"],
+            processed, self.bucket_sizes, self.config["batch_size"],
             self.config["hidden_size"], self.meta.annotation_size,
             is_training, rng, drop_remainder=self.drop_remainder)
 
