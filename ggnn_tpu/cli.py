@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Train on N synthetic QM9-shaped molecules instead "
                         "of JSON files.")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="Write a jax.profiler trace of the first training "
+                        "epoch to DIR.")
     return p
 
 
@@ -84,7 +87,8 @@ def main(argv=None) -> int:
             restore=args.restore,
             freeze_graph_model=args.freeze_graph_model,
             train_data=train_data, valid_data=valid_data,
-            restrict_data=args.restrict_data, quiet=args.quiet)
+            restrict_data=args.restrict_data, quiet=args.quiet,
+            profile_dir=args.profile)
         if args.evaluate:
             if valid_data is not None:
                 runner.example_evaluation(example_molecules=valid_data[:10])

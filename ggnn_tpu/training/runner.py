@@ -48,7 +48,8 @@ class Runner:
                  quiet: bool = False,
                  adapter_kwargs: Optional[Dict] = None,
                  tensorboard: bool = True,
-                 mesh=None):
+                 mesh=None,
+                 profile_dir: Optional[str] = None):
         self.variant = variant
         self.config = config
         self.quiet = quiet
@@ -125,6 +126,9 @@ class Runner:
         opt_state = self.optimizer.init(params)
         self.state = {"params": params, "opt_state": opt_state}
 
+        # jax.profiler trace of the first training epoch (SURVEY §5.1 —
+        # the reference has no profiler; wall-clock instances/sec only).
+        self.profile_dir = profile_dir
         self.train_step_id = 0
         self.valid_step_id = 0
         if restore is not None:
@@ -302,9 +306,14 @@ class Runner:
         for epoch in range(1, self.config["num_epochs"] + 1):
             if not self.quiet:
                 print(f"== Epoch {epoch}")
+            profiling = self.profile_dir is not None and epoch == 1
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
             train_loss, train_accs, train_errs, train_speed, train_steps = (
                 self.run_epoch(f"epoch {epoch} (training)",
                                self.train_processed, True))
+            if profiling:
+                jax.profiler.stop_trace()
             self.train_step_id += train_steps
             if not self.quiet:
                 accs_str = " ".join(f"{i}:{a:.5f}" for i, a in
