@@ -1,0 +1,97 @@
+"""Multi-chip scaling-efficiency harness (SURVEY north star: >=80%
+edges/s efficiency 1 -> N chips).
+
+Usage: python benchmarks/scaling.py [N_DATA] [N_EDGE]
+
+Runs the shard_map training step over an (N_DATA, N_EDGE) mesh and over
+a (1, 1) mesh on the same global batch stack, reports edges/s/chip and
+the scaling efficiency. On a single-chip environment run it on a virtual
+CPU mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/scaling.py 4 2
+
+(CPU numbers validate the harness and the collectives, not ICI.)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    import jax.numpy as jnp
+    from ggnn_tpu.data import native_pack
+    from ggnn_tpu.data.loader import infer_metadata
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.models.base import init_output_heads
+    from ggnn_tpu.models.sparse_ggnn import SparseGGNN
+    from ggnn_tpu.parallel import make_mesh, make_parallel_steps, stack_batches
+    from ggnn_tpu.training.config import default_params_for
+    from ggnn_tpu.training.optimizer import make_optimizer
+
+    n_data = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    n_edge = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_chips = n_data * n_edge
+
+    cfg = default_params_for("sparse")
+    cfg.update({"batch_size": 2000, "edge_weight_dropout_keep_prob": 1.0,
+                "use_propagation_attention": True, "use_edge_bias": True,
+                "native_pack": True})
+    data = synthetic_molecules(64 * n_chips, seed=0)
+    meta = infer_metadata([data], True)
+    proc = native_pack.preprocess_sparse_native(
+        data, meta.num_edge_types, True, [0], {}, False)
+    caps = native_pack.plan_capacities_native(proc, cfg["batch_size"])
+    batches = list(native_pack.pack_sparse_batches_native(
+        proc, meta.num_edge_types, True, cfg["batch_size"], caps,
+        cfg["hidden_size"], meta.annotation_size, False, None))
+    total_edges = sum(float(np.asarray(b.edge_mask).sum()) for b in batches)
+    steps_per_call = 8
+
+    def measure(nd, ne):
+        mesh = make_mesh(n_data=nd, n_edge=ne)
+        model = SparseGGNN(cfg, meta.num_edge_types,
+                           edge_axis="edge" if ne > 1 else None)
+        key = jax.random.PRNGKey(0)
+        params = {"graph": model.init_params(key),
+                  "heads": init_output_heads(key, cfg["hidden_size"], [0])}
+        opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+        state = {"params": params, "opt_state": opt.init(params)}
+        train, _ = make_parallel_steps(model, opt, cfg, [0], mesh)
+        stack = jax.device_put(stack_batches(batches, n_data=nd, n_edge=ne))
+
+        def run(state, n):
+            m = None
+            for i in range(n):
+                state, m = train(state, stack,
+                                 jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return state, m
+
+        s, m = run(state, 1)
+        float(m["loss"])  # compile + warm
+        t0 = time.time()
+        s, m = run(s, 2)
+        loss = float(m["loss"])
+        t1 = time.time()
+        s, m = run(s, 2 + steps_per_call)
+        loss = float(m["loss"])
+        t2 = time.time()
+        per_step = ((t2 - t1) - (t1 - t0)) / steps_per_call
+        prop_steps = sum(cfg["layer_timesteps"])
+        return total_edges * prop_steps / per_step, loss
+
+    base_eps, _ = measure(1, 1)
+    mesh_eps, loss = measure(n_data, n_edge)
+    eff = mesh_eps / (base_eps * n_chips)
+    print(f"(1,1): {base_eps/1e6:.1f}M edge-msg/s | "
+          f"({n_data},{n_edge}): {mesh_eps/1e6:.1f}M edge-msg/s "
+          f"({mesh_eps/n_chips/1e6:.1f}M/chip) | "
+          f"scaling efficiency {eff*100:.1f}% | loss {loss:.5f}")
+
+
+if __name__ == "__main__":
+    main()

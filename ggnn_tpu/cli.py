@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="Write a jax.profiler trace of the first training "
                         "epoch to DIR.")
+    p.add_argument("--save-every-epoch", action="store_true",
+                   help="Also write a rolling <run_id>_model_last.pickle "
+                        "after every epoch (preemption recovery).")
     return p
 
 
@@ -88,7 +91,8 @@ def main(argv=None) -> int:
             freeze_graph_model=args.freeze_graph_model,
             train_data=train_data, valid_data=valid_data,
             restrict_data=args.restrict_data, quiet=args.quiet,
-            profile_dir=args.profile)
+            profile_dir=args.profile,
+            save_every_epoch=args.save_every_epoch)
         if args.evaluate:
             if valid_data is not None:
                 runner.example_evaluation(example_molecules=valid_data[:10])

@@ -49,6 +49,13 @@ def infer_metadata(datasets: Sequence[Sequence[Any]], tie_fwd_bkwd: bool) -> Dat
     return meta
 
 
+def graph_string_to_array(graph_string: str) -> List[List[int]]:
+    """Parse a whitespace graph string into [[src, type, dst], ...]
+    (unused helper kept for parity, chem_tensorflow.py:125-128)."""
+    return [[int(v) for v in s.split(" ")]
+            for s in graph_string.split("\n")]
+
+
 def load_graphs_json(path: str, restrict: Optional[int] = None) -> List[Any]:
     with open(path, "r") as f:
         data = json.load(f)

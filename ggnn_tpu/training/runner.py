@@ -49,7 +49,8 @@ class Runner:
                  adapter_kwargs: Optional[Dict] = None,
                  tensorboard: bool = True,
                  mesh=None,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 save_every_epoch: bool = False):
         self.variant = variant
         self.config = config
         self.quiet = quiet
@@ -129,6 +130,14 @@ class Runner:
         # jax.profiler trace of the first training epoch (SURVEY §5.1 —
         # the reference has no profiler; wall-clock instances/sec only).
         self.profile_dir = profile_dir
+        # Preemption recovery (SURVEY §5.3): beyond the reference's
+        # best-on-validation checkpoint, optionally write a rolling
+        # "<run_id>_model_last.pickle" after every epoch so an
+        # interrupted run resumes from the latest epoch, not the last
+        # validation improvement.
+        self.save_every_epoch = save_every_epoch
+        self.last_model_file = os.path.join(
+            log_dir, f"{self.run_id}_model_last.pickle")
         self.train_step_id = 0
         self.valid_step_id = 0
         if restore is not None:
@@ -346,6 +355,10 @@ class Runner:
             })
             with open(self.log_file, "w") as f:
                 json.dump(log_to_save, f, indent=4)
+            if self.save_every_epoch:
+                save_checkpoint(self.last_model_file, self.config,
+                                self.state, self.train_step_id,
+                                self.valid_step_id)
 
             val_acc = float(np.sum(valid_accs))
             if val_acc < best_val_acc:

@@ -161,3 +161,30 @@ def test_resolve_config_layering(tmp_path):
     assert cfg["hidden_size"] == 64
     assert cfg["patience"] == 3        # inline JSON wins
     assert cfg["layer_timesteps"] == [2, 2, 1, 2, 1]
+
+
+def test_save_every_epoch_and_resume_latest(tmp_path):
+    cfg = small_config("sparse", num_epochs=2)
+    runner = Runner("sparse", cfg, log_dir=str(tmp_path), quiet=True,
+                    save_every_epoch=True,
+                    train_data=synthetic_molecules(40, seed=0),
+                    valid_data=synthetic_molecules(20, seed=1))
+    runner.train()
+    assert os.path.exists(runner.last_model_file)
+    resumed = Runner("sparse", small_config("sparse", num_epochs=1),
+                     log_dir=str(tmp_path), quiet=True,
+                     restore=runner.last_model_file,
+                     train_data=synthetic_molecules(40, seed=0),
+                     valid_data=synthetic_molecules(20, seed=1))
+    assert resumed.train_step_id == runner.train_step_id
+
+
+def test_blocked_variant_trains(tmp_path):
+    runner = make_runner("blocked", tmp_path, n=60, num_epochs=4,
+                         batch_size=32,
+                         layer_timesteps=[2, 1],
+                         residual_connections={"1": [0]},
+                         edge_weight_dropout_keep_prob=1.0,
+                         learning_rate=0.003)
+    log = runner.train()
+    assert log[-1]["train_results"][0] < log[0]["train_results"][0]
