@@ -37,7 +37,7 @@ def tree_stack(batches):
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
 
 
-def run_bench(jax, smoke: bool = False):
+def run_bench(jax, smoke: bool = False, overrides=None):
     from ggnn_tpu.data import packing
     from ggnn_tpu.data.loader import infer_metadata
     from ggnn_tpu.data.synthetic import synthetic_molecules
@@ -48,6 +48,7 @@ def run_bench(jax, smoke: bool = False):
     from ggnn_tpu.utils.timing import make_epochs_fn, time_epochs
 
     cfg = default_params_for("dense")
+    cfg.update(overrides or {})
     n_mols = 2560 if smoke else 25600
     log(f"platform: {jax.default_backend()}  devices: {jax.devices()}")
 

@@ -1,4 +1,6 @@
 """Measure the blocked (featureful dense-path) variant honestly on TPU."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, numpy as np, jax, jax.numpy as jnp
 from ggnn_tpu.data import native_pack
 from ggnn_tpu.data.loader import infer_metadata

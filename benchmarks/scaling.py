@@ -13,6 +13,8 @@ CPU mesh:
 
 (CPU numbers validate the harness and the collectives, not ICI.)
 """
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import sys
 import time

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys, time, numpy as np, jax, jax.numpy as jnp
 from ggnn_tpu.data import packing
 from ggnn_tpu.data.ell import plan_ell_k

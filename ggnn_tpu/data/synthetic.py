@@ -15,7 +15,7 @@ from typing import Any, Dict, List
 import numpy as np
 
 
-def _one_graph(rng: np.random.Generator) -> Dict[str, Any]:
+def _one_graph(rng: np.random.Generator, num_targets: int = 1) -> Dict[str, Any]:
     n = int(np.clip(rng.normal(18.0, 5.0), 4, 29))
     # Random spanning tree: node i>0 attaches to a previous node.
     edges = []
@@ -40,21 +40,27 @@ def _one_graph(rng: np.random.Generator) -> Dict[str, Any]:
         + 0.02 * bond_sum
         + 0.1 * rng.normal()
     )
+    targets = [[target]]
+    for k in range(1, num_targets):  # extra tasks: distinct smooth fns
+        targets.append([0.05 * n + 0.4 * float(np.sum(atom_types == k % 5))
+                        + 0.1 * rng.normal()])
     return {
-        "targets": [[target]],
+        "targets": targets,
         "graph": edges,
         "node_features": node_features,
     }
 
 
 def synthetic_molecules(num_graphs: int, seed: int = 0,
-                        normalize: bool = True) -> List[Dict[str, Any]]:
+                        normalize: bool = True,
+                        num_targets: int = 1) -> List[Dict[str, Any]]:
     rng = np.random.default_rng(seed)
-    data = [_one_graph(rng) for _ in range(num_graphs)]
+    data = [_one_graph(rng, num_targets) for _ in range(num_graphs)]
     if normalize:
         # Normalize targets by corpus mean/std like get_data.py:51-56.
-        vals = np.array([d["targets"][0][0] for d in data])
-        mean, std = vals.mean(), max(vals.std(), 1e-8)
-        for d in data:
-            d["targets"][0][0] = float((d["targets"][0][0] - mean) / std)
+        for k in range(num_targets):
+            vals = np.array([d["targets"][k][0] for d in data])
+            mean, std = vals.mean(), max(vals.std(), 1e-8)
+            for d in data:
+                d["targets"][k][0] = float((d["targets"][k][0] - mean) / std)
     return data

@@ -48,6 +48,9 @@ class DenseGGNN:
         self.hidden_size = config["hidden_size"]
         self.use_edge_bias = config["use_edge_bias"]
         self.edge_weight_dropout_keep_prob = config["edge_weight_dropout_keep_prob"]
+        # "bfloat16" runs the propagation matmuls on the MXU in bf16
+        # with f32 accumulation (same policy as the sparse model).
+        self.compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
         self.extended = "layer_timesteps" in config
         if self.extended:
             self.layer_timesteps = list(config["layer_timesteps"])
@@ -121,11 +124,13 @@ class DenseGGNN:
             if is_training and self.edge_weight_dropout_keep_prob < 1.0:
                 rng, rng_w = jax.random.split(rng)
                 w = dropout(rng_w, w, self.edge_weight_dropout_keep_prob)
-            m = jnp.einsum("bvh,thd->btvd", h, w,
+            cdt = self.compute_dtype
+            m = jnp.einsum("bvh,thd->btvd", h.astype(cdt), w.astype(cdt),
                            preferred_element_type=jnp.float32)
             if self.use_edge_bias:
                 m = m + params["edge_biases"][None]  # [T,1,H] broadcasts
-            acts = jnp.einsum("btvw,btwd->bvd", batch.adjacency, m,
+            acts = jnp.einsum("btvw,btwd->bvd",
+                              batch.adjacency.astype(cdt), m.astype(cdt),
                               preferred_element_type=jnp.float32)
             if rng is not None:
                 rng, rng_cell = jax.random.split(rng)
@@ -181,14 +186,17 @@ class DenseGGNN:
             ]
 
             h = node_states_per_layer[-1]
+            cdt = self.compute_dtype
             for _step in range(num_timesteps):
-                m = jnp.einsum("bvh,thd->btvd", h, edge_weights,
+                m = jnp.einsum("bvh,thd->btvd", h.astype(cdt),
+                               edge_weights.astype(cdt),
                                preferred_element_type=jnp.float32)
                 a = adjacency
                 if self.use_propagation_attention:
                     a = a * self._dense_attention(h, adjacency,
                                                   layer["attention"])
-                incoming = jnp.einsum("btvw,btwd->bvd", a, m,
+                incoming = jnp.einsum("btvw,btwd->bvd", a.astype(cdt),
+                                      m.astype(cdt),
                                       preferred_element_type=jnp.float32)
                 if self.use_edge_bias:
                     # sum_t indeg_t[v] * bias_t — identical to the

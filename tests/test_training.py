@@ -188,3 +188,39 @@ def test_blocked_variant_trains(tmp_path):
                          learning_rate=0.003)
     log = runner.train()
     assert log[-1]["train_results"][0] < log[0]["train_results"][0]
+
+
+def test_multitask_training_with_sample_ratios(tmp_path):
+    """Two regression tasks, task 1 sampled at 50% (labels blanked past
+    the prefix, chem_tensorflow_sparse.py:243-250); both losses finite
+    and improving, per-task accuracies reported."""
+    cfg = small_config("sparse", num_epochs=2, task_ids=[0, 1],
+                       task_sample_ratios={"1": 0.5},
+                       learning_rate=0.003)
+    runner = Runner(
+        "sparse", cfg, log_dir=str(tmp_path), quiet=True,
+        train_data=synthetic_molecules(80, seed=0, num_targets=2),
+        valid_data=synthetic_molecules(20, seed=1, num_targets=2))
+    log = runner.train()
+    accs0 = log[0]["train_results"][1]
+    assert len(accs0) == 2
+    assert all(np.isfinite(a) for a in accs0)
+    assert log[-1]["train_results"][0] < log[0]["train_results"][0]
+
+
+def test_multitask_partial_restore_new_head(tmp_path):
+    """Restoring a 1-task checkpoint into a 2-task model keeps the graph
+    weights and freshly initializes the new head
+    (chem_tensorflow.py:342-357 partial-restore semantics)."""
+    runner = make_runner("sparse", tmp_path, n=40, num_epochs=1)
+    runner.train()
+    cfg = small_config("sparse", num_epochs=1, task_ids=[0, 1])
+    restored = Runner(
+        "sparse", cfg, log_dir=str(tmp_path), quiet=True,
+        restore=runner.best_model_file,
+        train_data=synthetic_molecules(40, seed=0, num_targets=2),
+        valid_data=synthetic_molecules(20, seed=1, num_targets=2))
+    np.testing.assert_array_equal(
+        np.asarray(runner.state["params"]["graph"]["layers"][0]["edge_weights"]),
+        np.asarray(restored.state["params"]["graph"]["layers"][0]["edge_weights"]))
+    assert "task1" in restored.state["params"]["heads"]
