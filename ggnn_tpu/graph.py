@@ -17,6 +17,11 @@ Padding conventions (sparse):
     reductions run with `num_segments = num_nodes_cap + 1` and the dump row
     is sliced off. `edge_mask` additionally zeroes padded messages so
     attention scores cannot leak through max-reductions.
+  * LAYOUT CONTRACT: each edge type's lane is sorted by target (padding at
+    the dump slot N, the largest id, keeps the whole lane sorted). The
+    packers guarantee this; the sparse model exploits it via XLA's sorted
+    scatter (config `edges_sorted_by_target`, default on). Hand-built
+    batches must either sort or disable the flag.
 """
 
 import dataclasses

@@ -86,8 +86,8 @@ def aggregate_then_transform(node_states: jax.Array,
                              edge_targets: jax.Array,
                              edge_weights: jax.Array,
                              node_capacity: int,
-                             attention: Optional[jax.Array] = None
-                             ) -> jax.Array:
+                             attention: Optional[jax.Array] = None,
+                             targets_sorted: bool = False) -> jax.Array:
     """One propagation step's incoming activations [N, H], computed as
     aggregate-BEFORE-transform.
 
@@ -106,8 +106,13 @@ def aggregate_then_transform(node_states: jax.Array,
     gathered = node_states[edge_sources]            # [T, E, H]
     if attention is not None:
         gathered = gathered * attention[..., None]
+    # `targets_sorted`: the packers emit per-type lanes sorted by target
+    # (padding lands at the dump slot N, the largest id, so sortedness
+    # holds through the padding) — XLA's sorted-scatter path is ~1.5x
+    # the unsorted one on TPU. Only valid for packer-built batches.
     per_type = jax.vmap(
-        lambda data, seg: segment_sum(data, seg, node_capacity + 1)
+        lambda data, seg: segment_sum(data, seg, node_capacity + 1,
+                                      indices_are_sorted=targets_sorted)
     )(gathered, edge_targets)                       # [T, N+1, H]
     per_type = per_type[:, :node_capacity]
     return jnp.einsum("tnh,thd->nd", per_type, edge_weights,
