@@ -382,12 +382,18 @@ class Runner:
     def predict(self, raw_graphs) -> List[np.ndarray]:
         """Model outputs for raw graphs — the reference's
         `evaluate_one_batch` path with all keep-probs at 1.0."""
+        # Mesh-trained models contain edge-axis collectives that only
+        # exist inside shard_map; inference runs single-device on a
+        # collective-free copy of the model (params are replicated).
+        model = self.model
+        if self.mesh is not None and getattr(model, "edge_axis", None):
+            model = self.adapter.build_model()
         processed = self.adapter.preprocess(raw_graphs, False)
         outputs = []
         for batch in self.adapter.batches(processed, False):
             batch = jax.device_put(batch)
-            final = self.model.forward(self.state["params"]["graph"], batch)
-            computed = self.model.readout(
+            final = model.forward(self.state["params"]["graph"], batch)
+            computed = model.readout(
                 self.state["params"]["heads"], self.task_ids, final, batch)
             n = int(batch.num_graphs)
             outputs.append(np.asarray(computed)[:, :n])

@@ -224,3 +224,31 @@ def test_multitask_partial_restore_new_head(tmp_path):
         np.asarray(runner.state["params"]["graph"]["layers"][0]["edge_weights"]),
         np.asarray(restored.state["params"]["graph"]["layers"][0]["edge_weights"]))
     assert "task1" in restored.state["params"]["heads"]
+
+
+def test_untied_fwd_bkwd_training(tmp_path):
+    """tie_fwd_bkwd=False doubles the edge-type set with distinct
+    backward weights (fixing the reference's out-of-range-type bug,
+    chem_tensorflow_sparse.py:271); training must run and improve."""
+    runner = make_runner("sparse", tmp_path, n=60, num_epochs=2,
+                         tie_fwd_bkwd=False, learning_rate=0.003)
+    t_dim = runner.meta.num_edge_types
+    assert t_dim == 8  # 4 bond types doubled
+    w = runner.state["params"]["graph"]["layers"][0]["edge_weights"]
+    assert w.shape[0] == 8
+    log = runner.train()
+    assert log[-1]["train_results"][0] < log[0]["train_results"][0]
+
+
+def test_predict_on_mesh_runner(tmp_path):
+    """example_evaluation works on a mesh-trained Runner (inference runs
+    single-device on a collective-free model copy)."""
+    from ggnn_tpu.parallel import make_mesh
+    cfg = small_config("sparse", num_epochs=1, batch_size=120)
+    runner = Runner("sparse", cfg, log_dir=str(tmp_path), quiet=True,
+                    mesh=make_mesh(n_data=2, n_edge=2),
+                    train_data=synthetic_molecules(40, seed=0),
+                    valid_data=synthetic_molecules(20, seed=1))
+    runner.train()
+    outs = runner.predict(synthetic_molecules(5, seed=3))
+    assert sum(o.shape[1] for o in outs) == 5
