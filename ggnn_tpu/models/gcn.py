@@ -31,6 +31,10 @@ class GCN:
         self.num_layers = config["num_timesteps"]
         self.use_bias = config["gcn_use_bias"]
         self.state_keep_prob = config["graph_state_dropout_keep_prob"]
+        # Packer emits the COO row-major = sorted by target, with dump
+        # padding at the end (data/packing.py:505-514) — XLA's sorted
+        # scatter path applies.
+        self.edges_sorted = bool(config.get("edges_sorted_by_target", True))
 
     def init_params(self, key: jax.Array) -> Dict:
         h = self.hidden_size
@@ -51,7 +55,8 @@ class GCN:
             # Â @ H: gather source rows, scale by edge weight, segment-sum
             # into targets (the SpMM of gcn.py:69 in gather/scatter form).
             scaled = h[batch.edge_sources] * batch.edge_weights[:, None]
-            mixed = segment_sum(scaled, batch.edge_targets, n_cap + 1)[:n_cap]
+            mixed = segment_sum(scaled, batch.edge_targets, n_cap + 1,
+                                indices_are_sorted=self.edges_sorted)[:n_cap]
             new_h = jnp.dot(mixed, layer["W"],
                             preferred_element_type=jnp.float32)
             if self.use_bias:
