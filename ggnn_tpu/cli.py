@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-every-epoch", action="store_true",
                    help="Also write a rolling <run_id>_model_last.pickle "
                         "after every epoch (preemption recovery).")
+    p.add_argument("--pdb", action="store_true",
+                   help="Drop into pdb.post_mortem on any exception (the "
+                        "reference CLIs' behavior, e.g. "
+                        "chem_tensorflow_sparse.py:386-389).")
     return p
 
 
@@ -106,6 +110,9 @@ def main(argv=None) -> int:
         return 0
     except Exception:
         traceback.print_exc()
+        if args.pdb:
+            import pdb
+            pdb.post_mortem()
         return 1
 
 

@@ -34,3 +34,14 @@ def make_mesh(n_data: Optional[int] = None, n_edge: int = 1,
                          f"have {len(devices)}")
     arr = np.asarray(devices[:need]).reshape(n_data, n_edge)
     return Mesh(arr, (DATA_AXIS, EDGE_AXIS))
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host process-group setup (SURVEY §5.8): call once per host
+    before `make_mesh()` on a multi-host slice. Thin wrapper over
+    `jax.distributed.initialize` — coordinator address/process counts
+    come from the TPU environment automatically on Cloud TPU; kwargs
+    pass through for manual setups. After this, `jax.devices()` spans
+    every host and the mesh axes ride ICI within a slice and DCN across
+    slices."""
+    jax.distributed.initialize(**kwargs)

@@ -148,3 +148,50 @@ def test_task_sample_ratios_blank_labels():
                                   rng=np.random.RandomState(0))
     blanked = sum(1 for g in processed if g["labels"][0] is None)
     assert blanked == 5
+
+
+def test_packing_determinism_same_seed():
+    """SURVEY §5.2: determinism tests instead of sanitizers — the same
+    seed must produce identical shuffled batches (python and native)."""
+    import numpy as np
+    from ggnn_tpu.data import packing, native_pack
+    from ggnn_tpu.data.loader import infer_metadata
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+
+    data = synthetic_molecules(60, seed=0)
+    meta = infer_metadata([data], True)
+
+    def run(seed):
+        rng = np.random.RandomState(seed)
+        proc = native_pack.preprocess_sparse_native(
+            data, meta.num_edge_types, True, [0], {}, True, rng)
+        caps = native_pack.plan_capacities_native(proc, 300)
+        return list(native_pack.pack_sparse_batches_native(
+            proc, meta.num_edge_types, True, 300, caps, 16,
+            meta.annotation_size, True, np.random.RandomState(seed + 1)))
+
+    import jax
+    a, b = run(7), run(7)
+    for x, y in zip(a, b):
+        for lx, ly in zip(jax.tree_util.tree_leaves(x),
+                          jax.tree_util.tree_leaves(y)):
+            np.testing.assert_array_equal(np.asarray(lx), np.asarray(ly))
+
+
+def test_runner_determinism_same_seed(tmp_path):
+    """Same seed end-to-end: identical first-epoch loss."""
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import default_params_for
+    from ggnn_tpu.training.runner import Runner
+
+    def one():
+        cfg = default_params_for("sparse")
+        cfg.update({"hidden_size": 16, "num_epochs": 1, "batch_size": 300,
+                    "random_seed": 5})
+        r = Runner("sparse", cfg, log_dir=str(tmp_path), quiet=True,
+                   tensorboard=False,
+                   train_data=synthetic_molecules(40, seed=0),
+                   valid_data=synthetic_molecules(20, seed=1))
+        return r.train()[0]["train_results"][0]
+
+    assert one() == one()
