@@ -14,7 +14,8 @@ time; the flattening itself is paid once per run, not per epoch.
 """
 
 import dataclasses
-from typing import Any, Dict, Iterator, List, Optional, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -81,6 +82,32 @@ class FlatCorpus:
                    num_nodes=node_counts, edges_per_graph=edge_counts)
 
 
+def _map_ordered(fn: Callable, items: List, workers: int) -> Iterator:
+    """Run `fn` over `items` on a thread pool, yielding results in
+    order with bounded lookahead. The C assembly calls release the GIL
+    (ctypes), so packing fans out across cores while the consumer
+    dispatches device steps."""
+    if workers <= 1 or len(items) <= 1:
+        for it in items:
+            yield fn(it)
+        return
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        it = iter(items)
+        for _ in range(2 * workers):
+            try:
+                pending.append(pool.submit(fn, next(it)))
+            except StopIteration:
+                break
+        while pending:
+            out = pending.pop(0).result()
+            try:
+                pending.append(pool.submit(fn, next(it)))
+            except StopIteration:
+                pass
+            yield out
+
+
 def apply_task_sample_ratios(target_mask: np.ndarray, order: np.ndarray,
                              task_ids: Sequence[int],
                              task_sample_ratios: Dict) -> None:
@@ -136,7 +163,8 @@ def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
                               num_edge_types: int, tie_fwd_bkwd: bool,
                               is_training: bool,
                               rng: Optional[np.random.RandomState] = None,
-                              drop_remainder: bool = True
+                              drop_remainder: bool = True,
+                              workers: int = 4
                               ) -> Iterator[DenseGraphBatch]:
     lib = get_lib()
     corpus = processed.corpus
@@ -150,11 +178,15 @@ def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
         for ids in orders:
             rng.shuffle(ids)
     counters = [0] * len(orders)
+    compositions = []
     for bi in bucket_at_step:
         start = counters[bi] * batch_size
         counters[bi] += 1
-        ids = orders[bi][start:start + batch_size]
-        v = processed.bucket_v[bi]
+        compositions.append((orders[bi][start:start + batch_size],
+                             processed.bucket_v[bi]))
+
+    def assemble(comp):
+        ids, v = comp
         b_real = len(ids)
         init = np.zeros((batch_size, v, hidden_size), np.float32)
         adj = np.zeros((batch_size, num_edge_types, v, v), np.float32)
@@ -168,11 +200,13 @@ def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
         t_mask = np.zeros_like(targets)
         targets[:, :b_real] = corpus.targets[ids].T
         t_mask[:, :b_real] = corpus.target_mask[ids].T
-        yield DenseGraphBatch(
+        return DenseGraphBatch(
             node_features=init, adjacency=adj, node_mask=mask,
             targets=targets, target_mask=t_mask,
             num_graphs=np.int32(b_real),
         )
+
+    yield from _map_ordered(assemble, compositions, workers)
 
 
 # ------------------------------------------------------------- sparse
@@ -244,7 +278,8 @@ def pack_sparse_batches_native(processed: SparseProcessed,
                                is_training: bool,
                                rng: Optional[np.random.RandomState] = None,
                                ell_block: int = 0,
-                               ell_k: Optional[int] = None
+                               ell_k: Optional[int] = None,
+                               workers: int = 4
                                ) -> Iterator[GraphBatch]:
     lib = get_lib()
     corpus = processed.corpus
@@ -252,6 +287,9 @@ def pack_sparse_batches_native(processed: SparseProcessed,
     if is_training and rng is not None:
         rng.shuffle(order)
     num_tasks = corpus.targets.shape[1]
+
+    # Sequential composition walk (cheap), parallel C assembly.
+    compositions = []
     idx = 0
     while idx < len(order):
         batch_ids: List[int] = []
@@ -273,7 +311,10 @@ def pack_sparse_batches_native(processed: SparseProcessed,
             node_count += n
             edge_counts += g_edges
             idx += 1
+        compositions.append((batch_ids, node_count))
 
+    def assemble(comp):
+        batch_ids, node_count = comp
         e_cap = caps.edges_per_type
         edge_sources = np.zeros((num_edge_types, e_cap), np.int32)
         edge_targets = np.full((num_edge_types, e_cap), caps.nodes, np.int32)
@@ -314,9 +355,10 @@ def pack_sparse_batches_native(processed: SparseProcessed,
             from ggnn_tpu.data.ell import build_ell_layout
             layout = build_ell_layout(edge_sources, edge_targets, edge_mask,
                                       caps.nodes, ell_block, ell_k)
-            yield ELLGraphBatch(
+            return ELLGraphBatch(
                 **common,
                 ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
                 ell_bwd_tgt=layout.bwd_tgt, ell_bwd_src=layout.bwd_src)
-        else:
-            yield GraphBatch(**common)
+        return GraphBatch(**common)
+
+    yield from _map_ordered(assemble, compositions, workers)
