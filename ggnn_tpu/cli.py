@@ -15,7 +15,6 @@ no usage string defines; here it works), and `--quiet`.
 """
 
 import argparse
-import json
 import os
 import sys
 import traceback

@@ -25,11 +25,8 @@ Padding conventions (sparse):
 """
 
 import dataclasses
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 @jax.tree_util.register_dataclass

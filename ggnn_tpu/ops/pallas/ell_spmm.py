@@ -35,7 +35,6 @@ route; this kernel is for graphs too large to bucket densely.
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

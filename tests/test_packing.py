@@ -195,3 +195,41 @@ def test_runner_determinism_same_seed(tmp_path):
         return r.train()[0]["train_results"][0]
 
     assert one() == one()
+
+
+def test_large_graph_capability():
+    """Beyond-QM9 capability: a single 3000-node graph packs and runs
+    through the sparse model (the edge-list path exists precisely for
+    graphs too large to bucket densely)."""
+    import numpy as np
+    import jax
+    from ggnn_tpu.data import native_pack
+    from ggnn_tpu.data.loader import infer_metadata
+    from ggnn_tpu.models.base import init_output_heads
+    from ggnn_tpu.models.sparse_ggnn import SparseGGNN
+    from ggnn_tpu.training.config import default_params_for
+
+    rng = np.random.RandomState(0)
+    n = 3000
+    edges = [[int(i), int(rng.randint(1, 5)), int(rng.randint(0, n))]
+             for i in range(n - 1)] + [[0, 1, n - 1]]
+    big = {"targets": [[0.5]],
+           "graph": edges,
+           "node_features": rng.randint(0, 2, size=(n, 5)).tolist()}
+    data = [big]
+    meta = infer_metadata([data], True)
+    proc = native_pack.preprocess_sparse_native(data, meta.num_edge_types,
+                                                True, [0], {}, False)
+    caps = native_pack.plan_capacities_native(proc, 4000)
+    batches = list(native_pack.pack_sparse_batches_native(
+        proc, meta.num_edge_types, True, 4000, caps, 32, 5, False, None))
+    assert len(batches) == 1 and int(batches[0].num_nodes) == n
+
+    cfg = {**default_params_for("sparse"), "hidden_size": 32,
+           "layer_timesteps": [2], "residual_connections": {},
+           "edge_weight_dropout_keep_prob": 1.0}
+    model = SparseGGNN(cfg, meta.num_edge_types)
+    params = model.init_params(jax.random.PRNGKey(0))
+    out = np.asarray(model.forward(params, jax.device_put(batches[0])))
+    assert out.shape[0] == batches[0].node_capacity
+    assert np.isfinite(out).all()
