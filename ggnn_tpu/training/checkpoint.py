@@ -11,8 +11,17 @@ Restore (chem_tensorflow.py:330-359):
   * keeps the fresh initialization for missing names (warns) — this is
     what allows restoring a checkpoint into a model with new task heads;
   * warns about saved names the model doesn't use.
+
+Two on-disk formats share these semantics:
+  * pickle (default, `.pickle` path) — the reference's format contract;
+  * Orbax (directory path) — multi-host-safe async-capable TPU-native
+    storage; the flattened name->array dict plus a metadata JSON live in
+    an `ocp.StandardCheckpointer` tree, so partial restore and the
+    config-compat check behave identically.
 """
 
+import json
+import os
 import pickle
 from typing import Dict, Tuple
 
@@ -26,9 +35,37 @@ def _flatten_named(tree) -> Dict[str, np.ndarray]:
             for path, leaf in flat}
 
 
+def _is_orbax_path(path: str) -> bool:
+    return not path.endswith(".pickle") and not path.endswith(".pkl")
+
+
+def _sanitize(name: str) -> str:
+    """keystr -> storage-safe name: "['a']['b'][0]" -> "a.b.0"."""
+    return (name.replace("']['", ".").replace("['", "")
+            .replace("']", "").replace("][", ".")
+            .replace("[", ".").replace("]", ""))
+
+
 def save_checkpoint(path: str, config: Dict, state_tree,
                     train_step: int, valid_step: int) -> None:
     weights = _flatten_named(state_tree)
+    if _is_orbax_path(path):
+        import orbax.checkpoint as ocp
+        path = os.path.abspath(path)
+        meta = {"params": config, "train_step": train_step,
+                "valid_step": valid_step, "sanitized_keys": True}
+        weights = {_sanitize(k): v for k, v in weights.items()}
+        with ocp.StandardCheckpointer() as ckptr:
+            # Orbax refuses to overwrite; stage then atomically replace.
+            tmp = path + ".tmp_new"
+            ckptr.save(tmp, weights, force=True)
+        with open(os.path.join(tmp, "ggnn_meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(path):
+            import shutil
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        return
     payload = {
         "params": config,
         "weights": weights,
@@ -39,11 +76,25 @@ def save_checkpoint(path: str, config: Dict, state_tree,
         pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
 
 
+def _load_payload(path: str) -> Dict:
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        with open(os.path.join(path, "ggnn_meta.json")) as f:
+            meta = json.load(f)
+        with ocp.StandardCheckpointer() as ckptr:
+            weights = ckptr.restore(os.path.abspath(path))
+        return {"params": meta["params"], "weights": weights,
+                "train_step": meta["train_step"],
+                "valid_step": meta["valid_step"],
+                "sanitized_keys": meta.get("sanitized_keys", False)}
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def restore_checkpoint(path: str, config: Dict, state_tree,
                        log=print) -> Tuple[object, int, int]:
     """Returns (restored_state_tree, train_step, valid_step)."""
-    with open(path, "rb") as f:
-        payload = pickle.load(f)
+    payload = _load_payload(path)
 
     saved_config = payload["params"]
     assert len(config) == len(saved_config), (
@@ -55,11 +106,12 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
                 f"{saved_config[par]!r}")
 
     saved = payload["weights"]
+    key_fn = _sanitize if payload.get("sanitized_keys") else (lambda s: s)
     used = set()
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(state_tree)
     new_leaves = []
     for path, leaf in paths_and_leaves:
-        name = jax.tree_util.keystr(path)
+        name = key_fn(jax.tree_util.keystr(path))
         used.add(name)
         if name in saved:
             new_leaves.append(jax.numpy.asarray(saved[name]))

@@ -252,3 +252,34 @@ def test_predict_on_mesh_runner(tmp_path):
     runner.train()
     outs = runner.predict(synthetic_molecules(5, seed=3))
     assert sum(o.shape[1] for o in outs) == 5
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Directory checkpoint paths use Orbax storage with identical
+    semantics (config-compat assert, exact weights, step counters)."""
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    from ggnn_tpu.training.checkpoint import (restore_checkpoint,
+                                              save_checkpoint)
+    runner = make_runner("sparse", tmp_path, n=40, num_epochs=1)
+    runner.train()
+    ckpt_dir = str(tmp_path / "orbax_ckpt")
+    save_checkpoint(ckpt_dir, runner.config, runner.state,
+                    runner.train_step_id, runner.valid_step_id)
+    assert os.path.isdir(ckpt_dir)
+    state2, ts, vs = restore_checkpoint(ckpt_dir, runner.config,
+                                        runner.state, log=lambda *a: None)
+    assert ts == runner.train_step_id and vs == runner.valid_step_id
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        runner.state, state2)
+    # overwrite works (rolling best-checkpoint behavior)
+    save_checkpoint(ckpt_dir, runner.config, runner.state, ts + 1, vs)
+    _, ts2, _ = restore_checkpoint(ckpt_dir, runner.config, runner.state,
+                                   log=lambda *a: None)
+    assert ts2 == ts + 1
+    # config mismatch still rejected
+    bad = dict(runner.config); bad["hidden_size"] = 99
+    with pytest.raises(AssertionError):
+        restore_checkpoint(ckpt_dir, bad, runner.state, log=lambda *a: None)
