@@ -104,6 +104,9 @@ BLOCKED_DEFAULTS: Dict = {
     "graph_state_dropout_keep_prob": 1.0,
     "task_sample_ratios": {},
     "edge_weight_dropout_keep_prob": 0.8,
+    # Coarse buckets: same math (padding is masked), 4 compiled shapes
+    # instead of the reference's 13 (XLA compiles per bucket shape).
+    "dense_bucket_sizes": [8, 16, 24, 32],
 }
 
 # README.md:48-52 — R-GCN is the sparse model under this config.

@@ -123,16 +123,26 @@ class DenseAdapter:
     def build_model(self):
         return DenseGGNN(self.config, self.meta.num_edge_types)
 
+    def _bucket_sizes(self):
+        """Config `dense_bucket_sizes` overrides the reference bucket
+        table — numerically identical (padding is masked/disconnected),
+        but fewer distinct shapes means fewer compilations; XLA compiles
+        one program per bucket shape. The `blocked` variant defaults to
+        a coarse table for this reason."""
+        sizes = self.config.get("dense_bucket_sizes")
+        return None if sizes is None else np.asarray(sizes)
+
     def preprocess(self, raw, is_training: bool,
                    rng: Optional[np.random.RandomState] = None):
         if _use_native(self.config):
             return native_pack.preprocess_dense_native(
                 raw, self.config["task_ids"],
-                self.config["task_sample_ratios"], is_training, rng)
+                self.config["task_sample_ratios"], is_training, rng,
+                bucket_sizes=self._bucket_sizes())
         bucketed, bucket_sizes = packing.preprocess_dense(
             raw, self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
             self.config["task_ids"], self.config["task_sample_ratios"],
-            is_training, rng)
+            is_training, rng, bucket_sizes=self._bucket_sizes())
         self.bucket_sizes = bucket_sizes
         return bucketed
 
