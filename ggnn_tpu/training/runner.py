@@ -212,23 +212,36 @@ class Runner:
             max_queue_size=5)
         split = "train" if is_training else "validation"
         step_base = self.train_step_id if is_training else self.valid_step_id
+        # Per-step metrics stay ON DEVICE until the epoch ends (one fetch
+        # for the whole epoch): a per-batch `float(loss)` would stall the
+        # dispatch pipeline on every step — the reference could afford a
+        # per-batch sess.run fetch, a TPU pipeline cannot. In verbose
+        # mode the progress line forces a fetch per batch (opt-in cost).
+        step_metrics = []
+        graph_counts = []
         for step, batch in enumerate(batch_iter):
             num_graphs = int(batch.num_graphs)
             processed_graphs += num_graphs
             self.key, rng = jax.random.split(self.key)
             batch = jax.device_put(batch)
             self.state, loss, accs = step_fn(self.state, batch, rng)
-            loss = float(loss)
-            accs = np.asarray(accs)
-            self.summaries.add_batch(split, step_base + step, loss, accs,
-                                     self.task_ids)
-            total_loss += loss * num_graphs
-            accumulated.append(accs * num_graphs)
+            step_metrics.append((loss, accs))
+            graph_counts.append(num_graphs)
             if not self.quiet:
+                total_loss += float(loss) * num_graphs
                 print(f"Running {epoch_name}, batch {step} (has {num_graphs} "
                       f"graphs). Loss so far: "
                       f"{total_loss / processed_graphs:.4f}", end="\r")
             steps += 1
+        if step_metrics:
+            losses = np.asarray(jnp.stack([m[0] for m in step_metrics]))
+            accs_all = np.asarray(jnp.stack([m[1] for m in step_metrics]))
+            counts = np.asarray(graph_counts, dtype=np.float64)
+            total_loss = float(np.sum(losses * counts))
+            accumulated = list(accs_all * counts[:, None])
+            for i, (l, a) in enumerate(zip(losses, accs_all)):
+                self.summaries.add_batch(split, step_base + i, float(l), a,
+                                         self.task_ids)
         if processed_graphs == 0:
             raise RuntimeError(
                 f"{epoch_name}: no batches produced — with the dense "
