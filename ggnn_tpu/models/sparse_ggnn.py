@@ -157,7 +157,10 @@ class SparseGGNN:
             use_ell = (self.ell_block > 0
                        and getattr(batch, "ell_fwd_src", None) is not None
                        and not self.use_propagation_attention
-                       and self.edge_axis is None)
+                       and self.edge_axis is None
+                       # Mosaic cannot prove bf16 dynamic row indexing
+                       # aligned (16-sublane tiles); kernel is f32-only.
+                       and self.compute_dtype == jnp.float32)
             for _step in range(num_timesteps):
                 h_c = h.astype(cdt)
                 if use_ell:

@@ -23,15 +23,18 @@ Shapes/limits: node count NP must be a multiple of BN and node states
 must fit VMEM (NP*H*4 bytes <= ~12MB, e.g. 24k nodes at H=128). Gather
 indices live in SMEM blocks; targets in VMEM int32 blocks.
 
-Measured on one v5e chip at N=20k, E=160k, H=100, KE=584 (QM9 packing):
-forward aggregation+transform 1.50ms vs 2.60ms XLA (1.7x) — the
-remaining floor is the KE-row VMEM gather loop (~8ns/row). The full
-training step is a wash (37.8 vs 35.3ms for 8 propagation steps):
-autodiff residual traffic and the ELL margin eat the forward win, so
-the kernel is an OPT-IN (`ell_block` config) — a clear win for
-forward-only inference, neutral for training. For QM9-sized graphs the
-block-diagonal dense path (models/dense_ggnn.py) is the fast training
-route; this kernel is for graphs too large to bucket densely.
+Measured on one v5e chip at N=20k, E=160k, H=100 (QM9 packing):
+1.50ms per aggregation+transform vs 2.60ms for XLA's UNSORTED scatter
+(1.7x), but PARITY with XLA's sorted-scatter path (~1.78 vs ~1.75ms per
+step forward, full-model 8-step inference 14.2 vs 14.0ms) — which the
+packers' target-sorted layout contract now enables by default. The
+remaining floor in both is the per-edge row access (~8ns/row here).
+The kernel therefore stays an OPT-IN (`ell_block` config, f32 only:
+Mosaic cannot prove bf16 dynamic row indexing tile-aligned): it
+documents the scatter-free MXU formulation and is the starting point
+for shapes where it should pull ahead (H >= 128 MXU-aligned rows,
+higher degree, VMEM-resident multi-step fusion). For QM9-sized graphs
+the block-diagonal dense path (models/dense_ggnn.py) is the fast route.
 """
 
 import functools
