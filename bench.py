@@ -62,13 +62,17 @@ def run_bench(jax, smoke: bool = False, overrides=None):
     from ggnn_tpu.data import native_pack
     from ggnn_tpu.native import native_available
     if native_available():
+        adj_dtype = np.float32
+        if cfg.get("compute_dtype", "float32") == "bfloat16":
+            import ml_dtypes
+            adj_dtype = np.dtype(ml_dtypes.bfloat16)
         proc = native_pack.preprocess_dense_native(
             data, cfg["task_ids"], cfg["task_sample_ratios"], True, rng,
             bucket_sizes=np.array([16, 32]))
         batches = list(native_pack.pack_dense_batches_native(
             proc, cfg["batch_size"], cfg["hidden_size"],
             meta.annotation_size, meta.num_edge_types,
-            cfg["tie_fwd_bkwd"], True, rng))
+            cfg["tie_fwd_bkwd"], True, rng, adjacency_dtype=adj_dtype))
     else:
         bucketed, bucket_sizes = packing.preprocess_dense(
             data, meta.num_edge_types, cfg["tie_fwd_bkwd"], cfg["task_ids"],

@@ -164,7 +164,8 @@ def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
                               is_training: bool,
                               rng: Optional[np.random.RandomState] = None,
                               drop_remainder: bool = True,
-                              workers: int = 4
+                              workers: int = 4,
+                              adjacency_dtype=np.float32
                               ) -> Iterator[DenseGraphBatch]:
     lib = get_lib()
     corpus = processed.corpus
@@ -200,6 +201,11 @@ def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
         t_mask = np.zeros_like(targets)
         targets[:, :b_real] = corpus.targets[ids].T
         t_mask[:, :b_real] = corpus.target_mask[ids].T
+        if adjacency_dtype != np.float32:
+            # 0/1 entries are exact in bf16; storing the (dominant)
+            # adjacency tensor narrow halves its HBM traffic and avoids
+            # a per-step cast under compute_dtype="bfloat16".
+            adj = adj.astype(adjacency_dtype)
         return DenseGraphBatch(
             node_features=init, adjacency=adj, node_mask=mask,
             targets=targets, target_mask=t_mask,

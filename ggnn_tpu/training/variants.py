@@ -152,11 +152,16 @@ class DenseAdapter:
     def batches(self, processed, is_training: bool,
                 rng: Optional[np.random.RandomState] = None) -> Iterator:
         if isinstance(processed, native_pack.DenseProcessed):
+            adj_dtype = np.float32
+            if self.config.get("compute_dtype", "float32") == "bfloat16":
+                import ml_dtypes
+                adj_dtype = np.dtype(ml_dtypes.bfloat16)
             return native_pack.pack_dense_batches_native(
                 processed, self.config["batch_size"],
                 self.config["hidden_size"], self.meta.annotation_size,
                 self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
-                is_training, rng, drop_remainder=self.drop_remainder)
+                is_training, rng, drop_remainder=self.drop_remainder,
+                adjacency_dtype=adj_dtype)
         return packing.pack_dense_batches(
             processed, self.bucket_sizes, self.config["batch_size"],
             self.config["hidden_size"], self.meta.annotation_size,
