@@ -71,11 +71,20 @@ class FlatCorpus:
                 else:
                     targets[i, k] = float(v)
         max_vertex = np.zeros(g_count, np.int32)
-        have = edge_counts > 0
         seg = np.repeat(np.arange(g_count), edge_counts)
         if len(seg):
             m = np.maximum(edges[:, 0], edges[:, 2])
             np.maximum.at(max_vertex, seg, m)
+            if np.any(edges[:, [0, 2]] < 0):
+                raise ValueError("negative vertex id in graph data")
+        # The C kernels index raw buffers with these ids — validate once
+        # here so corrupt input raises instead of corrupting memory.
+        bad = np.nonzero(max_vertex >= node_counts)[0]
+        if len(bad):
+            raise ValueError(
+                f"graph {bad[0]}: edge references vertex "
+                f"{int(max_vertex[bad[0]])} but only "
+                f"{int(node_counts[bad[0]])} node_features rows exist")
         return cls(edges=edges, edge_offsets=edge_offsets, feats=feats,
                    node_offsets=node_offsets, targets=targets,
                    target_mask=target_mask, max_vertex=max_vertex,
@@ -137,6 +146,12 @@ def preprocess_dense_native(raw_data, task_ids, task_sample_ratios,
     corpus = FlatCorpus.from_raw(raw_data, task_ids)
     if bucket_sizes is None:
         bucket_sizes = DENSE_BUCKET_SIZES
+    if int(corpus.max_vertex.max(initial=0)) >= int(bucket_sizes[-1]):
+        # argmax over an all-False row would silently land in bucket 0
+        # and the C assembly would write past the [V,V] adjacency.
+        raise ValueError(
+            f"graph with max vertex id {int(corpus.max_vertex.max())} "
+            f"exceeds the largest bucket ({int(bucket_sizes[-1])})")
     chosen = np.argmax(bucket_sizes[None, :] > corpus.max_vertex[:, None],
                        axis=1)
     # Buckets in first-seen order, like the python dict insertion order.

@@ -96,3 +96,22 @@ def test_training_mode_shuffles_and_keeps_label_semantics():
         meta.annotation_size, True, np.random.RandomState(1)))
     total = sum(int(b.num_graphs) for b in batches)
     assert total == 80
+
+
+def test_corrupt_input_raises_not_corrupts():
+    """Edges referencing nonexistent vertices must raise at flatten time
+    (the C kernels index raw buffers with these ids)."""
+    bad = [{"targets": [[0.1]],
+            "graph": [[0, 1, 7]],  # vertex 7 doesn't exist
+            "node_features": [[1, 0], [0, 1]]}]
+    with pytest.raises(ValueError, match="vertex"):
+        native_pack.FlatCorpus.from_raw(bad, [0])
+
+
+def test_graph_too_big_for_buckets_raises():
+    big = [{"targets": [[0.1]],
+            "graph": [[0, 1, 40]],
+            "node_features": [[1, 0]] * 41}]
+    with pytest.raises(ValueError, match="bucket"):
+        native_pack.preprocess_dense_native(
+            big, [0], {}, False, bucket_sizes=np.array([8, 32]))
