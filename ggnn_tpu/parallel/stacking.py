@@ -17,7 +17,7 @@ import numpy as np
 import jax
 from jax.sharding import PartitionSpec as P
 
-from ggnn_tpu.graph import GraphBatch
+from ggnn_tpu.graph import DenseGraphBatch, GraphBatch
 from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
 
 
@@ -86,6 +86,47 @@ def stack_batches(batches: List[GraphBatch], n_data: int,
         batches = batches + [filler] * (n_data - len(batches) % n_data)
     return jax.tree_util.tree_map(
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
+def empty_dense_batch_like(batch: DenseGraphBatch) -> DenseGraphBatch:
+    """All-masked dense batch (loss/gradient no-op filler)."""
+    return DenseGraphBatch(
+        node_features=np.zeros_like(np.asarray(batch.node_features)),
+        adjacency=np.zeros_like(np.asarray(batch.adjacency)),
+        node_mask=np.zeros_like(np.asarray(batch.node_mask)),
+        targets=np.zeros_like(np.asarray(batch.targets)),
+        target_mask=np.zeros_like(np.asarray(batch.target_mask)),
+        num_graphs=np.int32(0),
+    )
+
+
+def stack_dense_batches(batches: List[DenseGraphBatch],
+                        n_data: int) -> DenseGraphBatch:
+    """Stack same-shape dense batches (single-bucket packing — set
+    `dense_bucket_sizes` to one entry for mesh runs) along a leading
+    axis that is a multiple of `n_data`; short stacks get empty
+    fillers."""
+    if not batches:
+        raise ValueError("no batches to stack")
+    shapes = {np.asarray(b.node_features).shape for b in batches}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"mesh dense stacking needs one bucket shape, got {shapes}; "
+            "set dense_bucket_sizes to a single entry")
+    if len(batches) % n_data != 0:
+        filler = empty_dense_batch_like(batches[0])
+        batches = batches + [filler] * (n_data - len(batches) % n_data)
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
+def stacked_dense_batch_specs() -> DenseGraphBatch:
+    """Every leaf splits its leading (step) axis over "data"."""
+    return DenseGraphBatch(
+        node_features=P(DATA_AXIS), adjacency=P(DATA_AXIS),
+        node_mask=P(DATA_AXIS), targets=P(DATA_AXIS),
+        target_mask=P(DATA_AXIS), num_graphs=P(DATA_AXIS),
+    )
 
 
 def stacked_batch_specs(n_edge: int = 1) -> GraphBatch:

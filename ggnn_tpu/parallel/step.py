@@ -33,16 +33,23 @@ from ggnn_tpu.utils.constants import SMALL_NUMBER
 
 def make_parallel_steps(model, optimizer, config: Dict,
                         task_ids: Sequence[int], mesh: Mesh,
-                        return_grads: bool = False) -> Tuple:
+                        return_grads: bool = False,
+                        batch_kind: str = "sparse") -> Tuple:
     """Build (train_step, eval_step), each jitted over `mesh`.
 
-    `model` must target sparse `GraphBatch`es and, when the mesh's edge
-    axis is >1, have been constructed with `edge_axis="edge"` so its
-    aggregation psums over the mesh. Steps take
-    (state, stacked_batch, key) and return (state, metrics) with
-    metrics = {loss, accuracies[K], num_graphs} — global, replicated.
+    `batch_kind="sparse"` targets `GraphBatch`es (edge axis allowed;
+    when the mesh's edge axis is >1 the model must have been built with
+    `edge_axis="edge"` so its aggregation psums over the mesh).
+    `batch_kind="dense"` targets same-shape `DenseGraphBatch`es (data
+    parallelism only — the dense contraction has no edge partition).
+    Steps take (state, stacked_batch, key) and return (state, metrics)
+    with metrics = {loss, accuracies[K], num_graphs} — global,
+    replicated.
     """
     n_edge = mesh.shape[EDGE_AXIS]
+    if batch_kind == "dense" and n_edge > 1:
+        raise ValueError("dense mesh training is data-parallel only "
+                         "(use n_edge=1)")
     if n_edge > 1 and getattr(model, "edge_axis", None) != EDGE_AXIS:
         raise ValueError(
             "mesh has edge-parallelism but the model was not built with "
@@ -117,7 +124,11 @@ def make_parallel_steps(model, optimizer, config: Dict,
                        "num_graphs": num_graphs}
 
     state_specs = P()  # params/opt state replicated on every chip
-    batch_specs = stacked_batch_specs(n_edge)
+    if batch_kind == "dense":
+        from ggnn_tpu.parallel.stacking import stacked_dense_batch_specs
+        batch_specs = stacked_dense_batch_specs()
+    else:
+        batch_specs = stacked_batch_specs(n_edge)
     metric_specs = P()
 
     train = jax.jit(

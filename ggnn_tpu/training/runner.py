@@ -100,15 +100,29 @@ class Runner:
         self.adapter.plan(self.train_processed, self.valid_processed)
 
         # Multi-chip: a jax.sharding.Mesh with ("data", "edge") axes
-        # (parallel/mesh.py). Sparse-family variants only; each step
-        # consumes a stack of n_data packed batches.
+        # (parallel/mesh.py). Sparse-family variants support the edge
+        # axis; dense-family (dense/blocked) are data-parallel only and
+        # need a single bucket shape. Each step consumes a stack of
+        # n_data packed batches.
         self.mesh = mesh
-        if mesh is not None and variant not in ("sparse", "rgcn"):
-            raise ValueError("mesh training currently supports the "
-                             "sparse/rgcn variants")
+        self._mesh_kind = None
+        if mesh is not None:
+            from ggnn_tpu.parallel.mesh import EDGE_AXIS
+            n_edge = mesh.shape[EDGE_AXIS]
+            if variant in ("sparse", "rgcn"):
+                self._mesh_kind = "sparse"
+            elif variant in ("dense", "blocked"):
+                if n_edge > 1:
+                    raise ValueError(
+                        "dense/blocked mesh training is data-parallel "
+                        "only (use n_edge=1)")
+                self._mesh_kind = "dense"
+            else:
+                raise ValueError("mesh training supports the sparse/"
+                                 "rgcn/dense/blocked variants")
 
         # Model + parameters.
-        if mesh is not None:
+        if self._mesh_kind == "sparse":
             from ggnn_tpu.parallel.mesh import EDGE_AXIS
             n_edge = mesh.shape[EDGE_AXIS]
             self.model = self.adapter.build_model(
@@ -148,7 +162,8 @@ class Runner:
         if mesh is not None:
             from ggnn_tpu.parallel.step import make_parallel_steps
             self._train_step, self._eval_step = make_parallel_steps(
-                self.model, self.optimizer, config, self.task_ids, mesh)
+                self.model, self.optimizer, config, self.task_ids, mesh,
+                batch_kind=self._mesh_kind)
         else:
             self._train_step = jax.jit(self._make_step(is_training=True),
                                        donate_argnums=(0,))
@@ -258,7 +273,8 @@ class Runner:
         """Multi-chip epoch: stacks of n_data packed batches per step,
         split over the mesh's data axis (edges over the edge axis)."""
         from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
-        from ggnn_tpu.parallel.stacking import stack_batches
+        from ggnn_tpu.parallel.stacking import (stack_batches,
+                                                stack_dense_batches)
         n_data = self.mesh.shape[DATA_AXIS]
         n_edge = self.mesh.shape[EDGE_AXIS]
         chem_acc = CHEMICAL_ACCURACIES[self.task_ids]
@@ -275,7 +291,10 @@ class Runner:
 
         def run_group(group):
             nonlocal total_loss, processed_graphs, steps
-            stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
+            if self._mesh_kind == "dense":
+                stack = stack_dense_batches(group, n_data=n_data)
+            else:
+                stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
             self.key, rng = jax.random.split(self.key)
             self.state, metrics = step_fn(self.state, jax.device_put(stack),
                                           rng)
