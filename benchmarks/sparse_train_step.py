@@ -26,7 +26,7 @@ b_ell = jax.device_put(next(packing.pack_sparse_batches(proc, meta.num_edge_type
 ng = int(b_ell.num_graphs)
 print(f"KE={ke} graphs={ng}", flush=True)
 
-over = {"xla": {}, "ell": {"ell_block": BN}, "ell16": {"ell_block": BN, "compute_dtype": "bfloat16"}}[mode]
+over = {"xla": {}, "sorted": {"ell_block": BN}, "ell": {"ell_block": BN, "ell_pallas": True}, "ell16": {"ell_block": BN, "ell_pallas": True, "compute_dtype": "bfloat16"}}[mode]
 cfg = {**base, **over}
 model = SparseGGNN(cfg, meta.num_edge_types)
 key = jax.random.PRNGKey(0)

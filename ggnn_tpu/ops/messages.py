@@ -15,6 +15,7 @@ in ops/pallas/typed_spmm.py fuses 1+2+4 to avoid materialising the [T,E,H]
 message tensor in HBM.
 """
 
+import functools
 from typing import Optional
 
 import jax
@@ -117,6 +118,65 @@ def aggregate_then_transform(node_states: jax.Array,
     per_type = per_type[:, :node_capacity]
     return jnp.einsum("tnh,thd->nd", per_type, edge_weights,
                       preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def aggregate_sorted_both_ways(h, edge_sources, edge_targets, bwd_gather,
+                               bwd_scatter, node_capacity, ell_block):
+    """Per-type aggregation [T, N, H] with SORTED scatters in BOTH
+    directions.
+
+    Forward: segment-sum of gathered source rows keyed by the (packer-
+    sorted) targets. Backward: autodiff's transpose of the gather is a
+    scatter keyed by SOURCE — unsorted in the forward layout, and XLA's
+    unsorted scatter is ~1.5x slower than its sorted path. The ELL
+    backward arrays (data/ell.py [T, NB, KE]: `bwd_tgt` = gather
+    indices, `bwd_src` = source-block-major scatter keys) relist the
+    same edges grouped by source block, sorted WITHIN each block with
+    out-of-block padding keys — so the transpose runs as per-(type,
+    block) sorted segment-sums into [BN+1] local slots (pad lands in
+    the local dump), reshaped back to [NP, H] and summed over types.
+    """
+    gathered = h[edge_sources]
+    return jax.vmap(
+        lambda data, seg: segment_sum(data, seg, node_capacity + 1,
+                                      indices_are_sorted=True)
+    )(gathered, edge_targets)[:, :node_capacity]
+
+
+def _agg_sorted_fwd(h, edge_sources, edge_targets, bwd_gather, bwd_scatter,
+                    node_capacity, ell_block):
+    out = aggregate_sorted_both_ways(h, edge_sources, edge_targets,
+                                     bwd_gather, bwd_scatter,
+                                     node_capacity, ell_block)
+    return out, (bwd_gather, bwd_scatter, jnp.zeros((0,), h.dtype))
+
+
+def _agg_sorted_bwd(node_capacity, ell_block, res, g):
+    bwd_gather, bwd_scatter, dtype_witness = res
+    h_dtype = dtype_witness.dtype
+    t_dim, nb_count, ke = bwd_gather.shape
+    np_total = nb_count * ell_block
+    # dh[n] = sum over edges with source n of g[t, target]. Gather the
+    # cotangent rows by target (pad slots gather row 0 — harmless, they
+    # scatter into the local dump), then per-(type, block) SORTED
+    # segment-sum over block-local source keys.
+    rows = jax.vmap(lambda gt, idx: gt[idx.reshape(-1)])(
+        g, bwd_gather.reshape(t_dim, -1))
+    rows = rows.reshape(t_dim * nb_count, ke, -1)
+    base = (jnp.arange(nb_count, dtype=bwd_scatter.dtype)
+            * ell_block)[None, :, None]
+    rel = jnp.minimum(bwd_scatter - base, ell_block)   # pad -> BN (dump)
+    rel = rel.reshape(t_dim * nb_count, ke)
+    per_block = jax.vmap(
+        lambda data, seg: segment_sum(data, seg, ell_block + 1,
+                                      indices_are_sorted=True)
+    )(rows, rel)                                       # [T*NB, BN+1, H]
+    dh = per_block[:, :ell_block].reshape(t_dim, np_total, -1).sum(axis=0)
+    return (dh[:node_capacity].astype(h_dtype), None, None, None, None)
+
+
+aggregate_sorted_both_ways.defvjp(_agg_sorted_fwd, _agg_sorted_bwd)
 
 
 def propagation_attention(messages: jax.Array, node_states: jax.Array,

@@ -147,8 +147,8 @@ def test_sparse_model_ell_path_matches_xla_path():
            "residual_connections": {}, "use_edge_bias": True,
            "edge_weight_dropout_keep_prob": 1.0}
     m_xla = SparseGGNN(cfg, meta.num_edge_types)
-    m_ell = SparseGGNN({**cfg, "ell_block": BN, "ell_interpret": True},
-                       meta.num_edge_types)
+    m_ell = SparseGGNN({**cfg, "ell_block": BN, "ell_pallas": True,
+                        "ell_interpret": True}, meta.num_edge_types)
     params = m_xla.init_params(jax.random.PRNGKey(0))
 
     for b_ell in packing.pack_sparse_batches(
@@ -167,3 +167,46 @@ def test_sparse_model_ell_path_matches_xla_path():
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
             g_ell, g_xla)
+
+
+def test_sorted_vjp_ell_path_matches_xla_path():
+    """The default ELL path (sorted scatters in BOTH directions via
+    custom VJP over the ELL backward arrays) must match the plain XLA
+    path in values AND gradients."""
+    from ggnn_tpu.models.sparse_ggnn import SparseGGNN
+    from ggnn_tpu.training.config import SPARSE_DEFAULTS
+
+    data = synthetic_molecules(40, seed=12)
+    meta = infer_metadata([data], True)
+    proc = packing.preprocess_sparse(data, meta.num_edge_types, True, [0],
+                                     {}, False)
+    caps = packing.plan_capacities(proc, meta.num_edge_types, 250)
+    ke = 8
+    for b in packing.pack_sparse_batches(proc, meta.num_edge_types, 250,
+                                         caps, 16, meta.annotation_size,
+                                         False, None):
+        ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask, caps.nodes, BN))
+        ke = max(ke, plan_ell_k(b.edge_sources, b.edge_mask, caps.nodes, BN))
+    cfg = {**SPARSE_DEFAULTS, "hidden_size": 16, "layer_timesteps": [2, 1],
+           "residual_connections": {}, "use_edge_bias": True,
+           "edge_weight_dropout_keep_prob": 1.0}
+    m_xla = SparseGGNN(cfg, meta.num_edge_types)
+    m_sorted = SparseGGNN({**cfg, "ell_block": BN, "ell_sorted_vjp": True},
+                          meta.num_edge_types)
+    params = m_xla.init_params(jax.random.PRNGKey(1))
+
+    for b_ell in packing.pack_sparse_batches(
+            proc, meta.num_edge_types, 250, caps, 16, meta.annotation_size,
+            False, None, ell_block=BN, ell_k=ke):
+        out_s = np.asarray(m_sorted.forward(params, b_ell))
+        out_x = np.asarray(m_xla.forward(params, b_ell))
+        np.testing.assert_allclose(out_s, out_x, rtol=1e-5, atol=1e-5)
+
+        def loss(p, model, bb):
+            return jnp.sum(model.forward(p, bb) ** 2)
+        g_s = jax.grad(lambda p: loss(p, m_sorted, b_ell))(params)
+        g_x = jax.grad(lambda p: loss(p, m_xla, b_ell))(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            g_s, g_x)
