@@ -129,6 +129,43 @@ def stacked_dense_batch_specs() -> DenseGraphBatch:
     )
 
 
+def data_parallel_specs(template_batch):
+    """P("data") on every leaf of any batch pytree — the generic
+    data-parallel layout for fixed-shape batch types (GCN, async)."""
+    return jax.tree_util.tree_map(lambda _: P(DATA_AXIS), template_batch)
+
+
+def stack_any_batches(batches: List, n_data: int, empty_fn=None):
+    """Stack same-shape batch pytrees along a new leading axis that is a
+    multiple of `n_data`; short stacks get `empty_fn(batches[0])`
+    fillers (required when the count isn't divisible)."""
+    if not batches:
+        raise ValueError("no batches to stack")
+    if len(batches) % n_data != 0:
+        if empty_fn is None:
+            raise ValueError(
+                f"{len(batches)} batches not divisible by n_data={n_data} "
+                "and no empty_fn provided")
+        filler = empty_fn(batches[0])
+        batches = batches + [filler] * (n_data - len(batches) % n_data)
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
+def empty_masked_batch_like(batch):
+    """Generic all-masked filler: zero targets/masks/counters, other
+    leaves copied (their compute contributes nothing through the masked
+    loss). Works for GCN/async batch types whose padding conventions
+    keep arbitrary index leaves valid."""
+    import dataclasses
+    return dataclasses.replace(
+        batch,
+        targets=np.zeros_like(np.asarray(batch.targets)),
+        target_mask=np.zeros_like(np.asarray(batch.target_mask)),
+        num_graphs=np.int32(0),
+    )
+
+
 def stacked_batch_specs(n_edge: int = 1) -> GraphBatch:
     """PartitionSpecs for a stacked GraphBatch: every leaf splits its
     leading (step) axis over "data"; with `n_edge > 1`, edge arrays

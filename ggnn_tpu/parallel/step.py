@@ -34,22 +34,24 @@ from ggnn_tpu.utils.constants import SMALL_NUMBER
 def make_parallel_steps(model, optimizer, config: Dict,
                         task_ids: Sequence[int], mesh: Mesh,
                         return_grads: bool = False,
-                        batch_kind: str = "sparse") -> Tuple:
+                        batch_kind: str = "sparse",
+                        batch_template=None) -> Tuple:
     """Build (train_step, eval_step), each jitted over `mesh`.
 
     `batch_kind="sparse"` targets `GraphBatch`es (edge axis allowed;
     when the mesh's edge axis is >1 the model must have been built with
     `edge_axis="edge"` so its aggregation psums over the mesh).
-    `batch_kind="dense"` targets same-shape `DenseGraphBatch`es (data
-    parallelism only — the dense contraction has no edge partition).
-    Steps take (state, stacked_batch, key) and return (state, metrics)
-    with metrics = {loss, accuracies[K], num_graphs} — global,
-    replicated.
+    `batch_kind="dense"` targets same-shape `DenseGraphBatch`es and
+    `batch_kind="data_only"` any fixed-shape batch pytree (pass an
+    unstacked `batch_template` for spec derivation) — both are data
+    parallelism only. Steps take (state, stacked_batch, key) and
+    return (state, metrics) with metrics = {loss, accuracies[K],
+    num_graphs} — global, replicated.
     """
     n_edge = mesh.shape[EDGE_AXIS]
-    if batch_kind == "dense" and n_edge > 1:
-        raise ValueError("dense mesh training is data-parallel only "
-                         "(use n_edge=1)")
+    if batch_kind in ("dense", "data_only") and n_edge > 1:
+        raise ValueError(f"{batch_kind} mesh training is data-parallel "
+                         "only (use n_edge=1)")
     if n_edge > 1 and getattr(model, "edge_axis", None) != EDGE_AXIS:
         raise ValueError(
             "mesh has edge-parallelism but the model was not built with "
@@ -127,6 +129,11 @@ def make_parallel_steps(model, optimizer, config: Dict,
     if batch_kind == "dense":
         from ggnn_tpu.parallel.stacking import stacked_dense_batch_specs
         batch_specs = stacked_dense_batch_specs()
+    elif batch_kind == "data_only":
+        from ggnn_tpu.parallel.stacking import data_parallel_specs
+        if batch_template is None:
+            raise ValueError("batch_kind='data_only' needs batch_template")
+        batch_specs = data_parallel_specs(batch_template)
     else:
         batch_specs = stacked_batch_specs(n_edge)
     metric_specs = P()

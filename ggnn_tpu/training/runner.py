@@ -117,9 +117,12 @@ class Runner:
                         "dense/blocked mesh training is data-parallel "
                         "only (use n_edge=1)")
                 self._mesh_kind = "dense"
-            else:
-                raise ValueError("mesh training supports the sparse/"
-                                 "rgcn/dense/blocked variants")
+            else:  # gcn / async: generic fixed-shape DP
+                if n_edge > 1:
+                    raise ValueError(
+                        f"{variant} mesh training is data-parallel only "
+                        "(use n_edge=1)")
+                self._mesh_kind = "data_only"
 
         # Model + parameters.
         if self._mesh_kind == "sparse":
@@ -161,9 +164,13 @@ class Runner:
 
         if mesh is not None:
             from ggnn_tpu.parallel.step import make_parallel_steps
+            template = None
+            if self._mesh_kind == "data_only":
+                template = next(iter(self.adapter.batches(
+                    self.valid_processed, False)))
             self._train_step, self._eval_step = make_parallel_steps(
                 self.model, self.optimizer, config, self.task_ids, mesh,
-                batch_kind=self._mesh_kind)
+                batch_kind=self._mesh_kind, batch_template=template)
         else:
             self._train_step = jax.jit(self._make_step(is_training=True),
                                        donate_argnums=(0,))
@@ -273,7 +280,9 @@ class Runner:
         """Multi-chip epoch: stacks of n_data packed batches per step,
         split over the mesh's data axis (edges over the edge axis)."""
         from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
-        from ggnn_tpu.parallel.stacking import (stack_batches,
+        from ggnn_tpu.parallel.stacking import (empty_masked_batch_like,
+                                                stack_any_batches,
+                                                stack_batches,
                                                 stack_dense_batches)
         n_data = self.mesh.shape[DATA_AXIS]
         n_edge = self.mesh.shape[EDGE_AXIS]
@@ -293,6 +302,9 @@ class Runner:
             nonlocal total_loss, processed_graphs, steps
             if self._mesh_kind == "dense":
                 stack = stack_dense_batches(group, n_data=n_data)
+            elif self._mesh_kind == "data_only":
+                stack = stack_any_batches(group, n_data,
+                                          empty_masked_batch_like)
             else:
                 stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
             self.key, rng = jax.random.split(self.key)

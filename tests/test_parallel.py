@@ -236,3 +236,28 @@ def test_dense_mesh_rejects_edge_axis():
                valid_data=synthetic_molecules(4, seed=1),
                quiet=True, tensorboard=False,
                mesh=make_mesh(n_data=2, n_edge=2))
+
+
+@pytest.mark.parametrize("variant,extra", [
+    ("gcn", '{"batch_size": 150}'),
+    ("async", '{"num_nodes": 150, "propagation_substeps": 40}'),
+])
+def test_gcn_and_async_train_on_mesh(variant, extra):
+    """Generic fixed-shape data parallelism: every remaining variant
+    trains over the mesh's data axis."""
+    import json as _json
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    over = {"num_epochs": 1, "hidden_size": 16}
+    over.update(_json.loads(extra))
+    cfg = resolve_config(variant, None, _json.dumps(over))
+    mesh = make_mesh(n_data=4, n_edge=1)
+    runner = Runner(variant, cfg, log_dir=f"/tmp/mesh_{variant}_test",
+                    train_data=synthetic_molecules(48, seed=0),
+                    valid_data=synthetic_molecules(12, seed=1),
+                    quiet=True, tensorboard=False, mesh=mesh)
+    log = runner.train()
+    assert np.isfinite(log[0]["train_results"][0])
+    assert np.isfinite(log[0]["valid_results"][0])
