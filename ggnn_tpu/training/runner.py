@@ -37,6 +37,17 @@ from ggnn_tpu.utils.constants import CHEMICAL_ACCURACIES
 from ggnn_tpu.utils.prefetch import ThreadedIterator
 
 
+def _batch_edge_count(batch) -> float:
+    """Real (unpadded) edge count of one batch, any batch type."""
+    if hasattr(batch, "edge_mask"):
+        return float(np.asarray(batch.edge_mask).sum())
+    if hasattr(batch, "adjacency"):
+        return float(np.count_nonzero(np.asarray(batch.adjacency)))
+    if hasattr(batch, "edge_weights"):
+        return float(np.count_nonzero(np.asarray(batch.edge_weights)))
+    return 0.0
+
+
 class Runner:
     def __init__(self, variant: str, config: Dict, *,
                  data_dir: str = "", log_dir: str = ".",
@@ -176,6 +187,15 @@ class Runner:
                                        donate_argnums=(0,))
             self._eval_step = jax.jit(self._make_step(is_training=False))
 
+        # Propagation steps per forward — the edge-messages/s counter
+        # multiplier (SURVEY §5.5: first-class throughput metrics).
+        if "layer_timesteps" in config:
+            self.prop_steps = int(sum(config["layer_timesteps"]))
+        elif variant == "async":
+            self.prop_steps = int(config["propagation_rounds"])
+        else:
+            self.prop_steps = int(config["num_timesteps"])
+
     # ------------------------------------------------------------- steps
 
     def _loss_fn(self, params, batch, rng, is_training: bool):
@@ -241,9 +261,11 @@ class Runner:
         # mode the progress line forces a fetch per batch (opt-in cost).
         step_metrics = []
         graph_counts = []
+        processed_edges = 0.0
         for step, batch in enumerate(batch_iter):
             num_graphs = int(batch.num_graphs)
             processed_graphs += num_graphs
+            processed_edges += _batch_edge_count(batch)
             self.key, rng = jax.random.split(self.key)
             batch = jax.device_put(batch)
             self.state, loss, accs = step_fn(self.state, batch, rng)
@@ -273,7 +295,13 @@ class Runner:
         accuracies = np.sum(accumulated, axis=0) / processed_graphs
         mean_loss = total_loss / processed_graphs
         error_ratios = accuracies / chem_acc
-        instance_per_sec = processed_graphs / (time.time() - start_time)
+        elapsed = time.time() - start_time
+        instance_per_sec = processed_graphs / elapsed
+        # edges/s/chip counter (SURVEY §5.5): real edge-messages across
+        # all propagation steps per wall-clock second.
+        self.last_edge_msg_per_sec = (
+            processed_edges * self.prop_steps / elapsed
+            if processed_edges else None)
         return mean_loss, accuracies, error_ratios, instance_per_sec, steps
 
     def _run_epoch_mesh(self, epoch_name: str, processed, is_training: bool):
@@ -373,9 +401,13 @@ class Runner:
                                     zip(self.task_ids, train_accs))
                 errs_str = " ".join(f"{i}:{e:.5f}" for i, e in
                                     zip(self.task_ids, train_errs))
+                edge_str = ("" if getattr(self, "last_edge_msg_per_sec",
+                                          None) is None else
+                            f" | edge-msg/s: "
+                            f"{self.last_edge_msg_per_sec:.3g}")
                 print(f"\r\x1b[K Train: loss: {train_loss:.5f} | acc: "
                       f"{accs_str} | error_ratio: {errs_str} | "
-                      f"instances/sec: {train_speed:.2f}")
+                      f"instances/sec: {train_speed:.2f}{edge_str}")
             valid_loss, valid_accs, valid_errs, valid_speed, valid_steps = (
                 self.run_epoch(f"epoch {epoch} (validation)",
                                self.valid_processed, False))
