@@ -1,0 +1,92 @@
+"""Property-based packing invariants (hypothesis).
+
+For arbitrary valid graph corpora, every packer must conserve the edge
+multiset (with node-id offsets), cover every graph exactly once, honor
+the target-sorted layout contract, and keep in-degrees consistent with
+the packed edge lists.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from ggnn_tpu.data import native_pack, packing
+from ggnn_tpu.data.loader import infer_metadata
+
+
+@st.composite
+def corpora(draw):
+    n_graphs = draw(st.integers(1, 8))
+    graphs = []
+    for _ in range(n_graphs):
+        n = draw(st.integers(2, 12))
+        n_edges = draw(st.integers(1, 20))
+        edges = [
+            [draw(st.integers(0, n - 1)), draw(st.integers(1, 3)),
+             draw(st.integers(0, n - 1))]
+            for _ in range(n_edges)
+        ]
+        feats = [[1, 0] for _ in range(n)]
+        graphs.append({"targets": [[draw(st.floats(-2, 2))]],
+                       "graph": edges, "node_features": feats})
+    return graphs
+
+
+@settings(max_examples=30, deadline=None)
+@given(corpora())
+def test_sparse_pack_conserves_edges_and_layout(raw):
+    meta = infer_metadata([raw], True)
+    proc = native_pack.preprocess_sparse_native(
+        raw, meta.num_edge_types, True, [0], {}, False)
+    caps = native_pack.plan_capacities_native(proc, 40)
+    batches = list(native_pack.pack_sparse_batches_native(
+        proc, meta.num_edge_types, True, 40, caps, 8, 2, False, None))
+
+    # every graph appears exactly once
+    assert sum(int(b.num_graphs) for b in batches) == len(raw)
+
+    # total real edge count = 2x raw directed edges (tied reversal),
+    # minus nothing (duplicates kept)
+    total_edges = sum(float(np.asarray(b.edge_mask).sum()) for b in batches)
+    assert total_edges == 2 * sum(len(g["graph"]) for g in raw)
+
+    for b in batches:
+        em = np.asarray(b.edge_mask)
+        tgt = np.asarray(b.edge_targets)
+        src = np.asarray(b.edge_sources)
+        deg = np.asarray(b.in_degrees)
+        for t in range(meta.num_edge_types):
+            # layout contract: targets sorted, padding (dump) at the end
+            assert np.all(np.diff(tgt[t]) >= 0)
+            real = em[t] > 0
+            assert np.all(tgt[t][real] < b.node_capacity)
+            assert np.all(tgt[t][~real] == b.node_capacity)
+            # in-degrees match the packed lists exactly
+            counts = np.bincount(tgt[t][real],
+                                 minlength=b.node_capacity + 1)
+            np.testing.assert_array_equal(counts[:b.node_capacity],
+                                          deg[:, t])
+            # sources in range
+            assert np.all(src[t][real] < int(b.num_nodes))
+
+
+@settings(max_examples=20, deadline=None)
+@given(corpora())
+def test_native_equals_python_on_random_corpora(raw):
+    meta = infer_metadata([raw], True)
+    py_proc = packing.preprocess_sparse(raw, meta.num_edge_types, True,
+                                        [0], {}, False)
+    caps = packing.plan_capacities(py_proc, meta.num_edge_types, 40)
+    py = list(packing.pack_sparse_batches(
+        py_proc, meta.num_edge_types, 40, caps, 8, 2, False, None))
+    nat_proc = native_pack.preprocess_sparse_native(
+        raw, meta.num_edge_types, True, [0], {}, False)
+    nat = list(native_pack.pack_sparse_batches_native(
+        nat_proc, meta.num_edge_types, True, 40,
+        native_pack.plan_capacities_native(nat_proc, 40), 8, 2,
+        False, None))
+    assert len(py) == len(nat)
+    import jax
+    for a, b in zip(py, nat):
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
