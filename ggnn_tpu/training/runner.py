@@ -453,6 +453,49 @@ class Runner:
                 break
         return log_to_save
 
+    def train_on_device(self, num_epochs: int) -> float:
+        """Compiled multi-epoch training: the entire epoch loop runs on
+        device (`lax.scan` over prepacked batch stacks inside a
+        `fori_loop` over epochs) with a single host round-trip at the
+        end — the production fast path when per-epoch logging, patience
+        and reshuffling aren't needed (utils/timing.py harness; this is
+        exactly what bench.py measures). Batch composition is shuffled
+        once and fixed across epochs. Updates `self.state`; returns the
+        final step's loss.
+        """
+        if self.mesh is not None:
+            raise ValueError("train_on_device is single-device; mesh "
+                             "training uses train()")
+        from ggnn_tpu.parallel.stacking import stack_any_batches
+        from ggnn_tpu.utils.timing import make_epochs_fn
+
+        batches = list(self.adapter.batches(self.train_processed, True,
+                                            self.np_rng))
+        groups: Dict = {}
+        for b in batches:
+            shape_key = tuple(np.asarray(l).shape
+                              for l in jax.tree_util.tree_leaves(b))
+            groups.setdefault(shape_key, []).append(b)
+        stacked = [jax.device_put(stack_any_batches(g, 1))
+                   for g in groups.values()]
+        self.key, base = jax.random.split(self.key)
+        key_groups = [jax.device_put(jax.random.split(
+            jax.random.fold_in(base, i), len(g)))
+            for i, g in enumerate(groups.values())]
+
+        inner = self._make_step(is_training=True)
+
+        def step(state, batch, key):
+            state, loss, _ = inner(state, batch, key)
+            return state, loss
+
+        epochs_fn = make_epochs_fn(step)
+        self.state, loss = epochs_fn(self.state, stacked, key_groups,
+                                     num_epochs)
+        loss = float(loss)
+        self.train_step_id += num_epochs * len(batches)
+        return loss
+
     # ------------------------------------------------------------- eval
 
     def predict(self, raw_graphs) -> List[np.ndarray]:

@@ -283,3 +283,18 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     bad = dict(runner.config); bad["hidden_size"] = 99
     with pytest.raises(AssertionError):
         restore_checkpoint(ckpt_dir, bad, runner.state, log=lambda *a: None)
+
+
+def test_train_on_device_fast_path(tmp_path):
+    """Compiled multi-epoch training improves the loss with one host
+    round trip, and the resulting state serves predictions."""
+    runner = make_runner("sparse", tmp_path, n=60, num_epochs=1,
+                         learning_rate=0.003)
+    base_loss = runner.run_epoch("probe", runner.valid_processed, False)[0]
+    final_loss = runner.train_on_device(8)
+    assert np.isfinite(final_loss)
+    after_loss = runner.run_epoch("probe2", runner.valid_processed,
+                                  False)[0]
+    assert after_loss < base_loss
+    outs = runner.predict(synthetic_molecules(3, seed=4))
+    assert sum(o.shape[1] for o in outs) == 3
