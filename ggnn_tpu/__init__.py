@@ -24,3 +24,24 @@ __version__ = "0.1.0"
 
 from ggnn_tpu.graph import GraphBatch, DenseGraphBatch
 from ggnn_tpu.utils.constants import SMALL_NUMBER, CHEMICAL_ACCURACIES
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (keep `import ggnn_tpu` light; Runner
+    # pulls in the full training stack).
+    if name == "Runner":
+        from ggnn_tpu.training.runner import Runner
+        return Runner
+    if name == "Predictor":
+        from ggnn_tpu.serving import Predictor
+        return Predictor
+    if name == "make_mesh":
+        from ggnn_tpu.parallel import make_mesh
+        return make_mesh
+    if name == "resolve_config":
+        from ggnn_tpu.training.config import resolve_config
+        return resolve_config
+    if name == "synthetic_molecules":
+        from ggnn_tpu.data.synthetic import synthetic_molecules
+        return synthetic_molecules
+    raise AttributeError(f"module 'ggnn_tpu' has no attribute '{name}'")
