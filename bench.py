@@ -153,6 +153,19 @@ def run_bench(jax, smoke: bool = False, overrides=None):
     }))
 
 
+def _enable_compile_cache(jax):
+    """Persistent compilation cache: remote TPU compiles cost minutes
+    (occasionally 20+ under server load); repeat bench runs reuse the
+    serialized executable."""
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/ggnn_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without these options
+
+
 if __name__ == "__main__":
     import jax
+    _enable_compile_cache(jax)
     run_bench(jax, smoke="--smoke" in sys.argv)
