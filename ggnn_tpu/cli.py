@@ -31,7 +31,24 @@ def _honor_jax_platforms_env():
         jax.config.update("jax_platforms", want)
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache (set GGNN_TPU_COMPILE_CACHE="" to
+    disable): remote/TPU compiles cost minutes; repeat invocations of
+    the same configuration reuse the serialized executables."""
+    cache_dir = os.environ.get("GGNN_TPU_COMPILE_CACHE",
+                               "/tmp/ggnn_tpu_jax_cache")
+    if not cache_dir:
+        return
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass  # older jax without these options
+
+
 _honor_jax_platforms_env()
+_enable_compile_cache()
 
 from ggnn_tpu.training.config import resolve_config
 from ggnn_tpu.training.runner import Runner
