@@ -74,9 +74,9 @@ class Predictor:
         config = payload["params"]
         # Infer model geometry from the saved weights: edge_weights is
         # [T, H, H] per layer; the head gate MLP input is 2H.
-        key = "graph.layers.0.edge_weights" if payload.get(
-            "sanitized_keys") else "['params']['graph']['layers'][0]" \
-            "['edge_weights']"
+        key = ("params.graph.layers.0.edge_weights"
+               if payload.get("sanitized_keys")
+               else "['params']['graph']['layers'][0]['edge_weights']")
         w = np.asarray(payload["weights"][key])
         num_edge_types, hidden = int(w.shape[0]), int(w.shape[2])
         meta = DatasetMeta(max_num_vertices=max_nodes,

@@ -40,10 +40,10 @@ def _is_orbax_path(path: str) -> bool:
 
 
 def _sanitize(name: str) -> str:
-    """keystr -> storage-safe name: "['a']['b'][0]" -> "a.b.0"."""
-    return (name.replace("']['", ".").replace("['", "")
-            .replace("']", "").replace("][", ".")
-            .replace("[", ".").replace("]", ""))
+    """keystr -> storage-safe name: "['a']['b'][0]['c']" -> "a.b.0.c"."""
+    import re
+    parts = re.findall(r"\['([^']+)'\]|\[(\d+)\]", name)
+    return ".".join(a or b for a, b in parts)
 
 
 def save_checkpoint(path: str, config: Dict, state_tree,

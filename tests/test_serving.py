@@ -42,3 +42,17 @@ def test_predictor_microbatches_large_requests(trained):
     out = predictor(mols)
     assert out.shape == (1, 40)
     assert np.isfinite(out).all()
+
+
+def test_predictor_from_orbax_checkpoint(trained, tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from ggnn_tpu.training.checkpoint import save_checkpoint
+    ckpt_dir = str(tmp_path / "serve_orbax")
+    save_checkpoint(ckpt_dir, trained.config, trained.state,
+                    trained.train_step_id, trained.valid_step_id)
+    mols = synthetic_molecules(4, seed=7)
+    predictor = Predictor.from_checkpoint(ckpt_dir, "sparse",
+                                          max_nodes=256, max_graphs=32)
+    out = predictor(mols)
+    want = np.concatenate([o for o in trained.predict(mols)], axis=1)
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
