@@ -9,9 +9,12 @@ row is all zeros). See ops/pallas/ell_spmm.py.
 """
 
 import dataclasses
+import logging
 
 import jax
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 @jax.tree_util.register_dataclass
@@ -98,3 +101,19 @@ def build_ell_layout(edge_sources, edge_targets, edge_mask,
                                            np_total)
     return ELLLayout(fwd_src=fwd_src, fwd_tgt=fwd_tgt,
                      bwd_tgt=bwd_tgt, bwd_src=bwd_src)
+
+
+def try_build_ell_layout(edge_sources, edge_targets, edge_mask,
+                         node_capacity: int, block_nodes: int, ell_k):
+    """build_ell_layout, but an overflowing batch (a shuffle that
+    concentrates more edges per block than the planned ell_k) returns
+    None instead of raising, so the packer can fall back to the XLA
+    scatter path for that batch rather than killing a training run."""
+    try:
+        return build_ell_layout(edge_sources, edge_targets, edge_mask,
+                                node_capacity, block_nodes, ell_k)
+    except ValueError as e:
+        logger.warning(
+            "ELL layout overflow (%s); falling back to the XLA path for "
+            "this batch", e)
+        return None

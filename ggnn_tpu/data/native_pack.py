@@ -21,7 +21,7 @@ import numpy as np
 
 from ggnn_tpu.data.packing import DENSE_BUCKET_SIZES, PackCapacities
 from ggnn_tpu.graph import DenseGraphBatch, ELLGraphBatch, GraphBatch
-from ggnn_tpu.native import get_lib
+from ggnn_tpu.native import require_lib
 
 
 @dataclasses.dataclass
@@ -146,14 +146,19 @@ def preprocess_dense_native(raw_data, task_ids, task_sample_ratios,
     corpus = FlatCorpus.from_raw(raw_data, task_ids)
     if bucket_sizes is None:
         bucket_sizes = DENSE_BUCKET_SIZES
-    if int(corpus.max_vertex.max(initial=0)) >= int(bucket_sizes[-1]):
+    # Bucket by rows actually written (max edge vertex AND feature-row
+    # count): the C assembly memcpys all num_nodes feature/mask rows into
+    # the [V,H] slot, so a graph with isolated trailing nodes must land
+    # in a bucket that holds them (matches the python path).
+    needed = np.maximum(corpus.max_vertex + 1,
+                        corpus.num_nodes.astype(np.int32))
+    if int(needed.max(initial=0)) > int(bucket_sizes[-1]):
         # argmax over an all-False row would silently land in bucket 0
         # and the C assembly would write past the [V,V] adjacency.
         raise ValueError(
-            f"graph with max vertex id {int(corpus.max_vertex.max())} "
+            f"graph with {int(needed.max())} vertices "
             f"exceeds the largest bucket ({int(bucket_sizes[-1])})")
-    chosen = np.argmax(bucket_sizes[None, :] > corpus.max_vertex[:, None],
-                       axis=1)
+    chosen = np.argmax(bucket_sizes[None, :] >= needed[:, None], axis=1)
     # Buckets in first-seen order, like the python dict insertion order.
     seen: List[int] = []
     for c in chosen:
@@ -182,7 +187,7 @@ def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
                               workers: int = 4,
                               adjacency_dtype=np.float32
                               ) -> Iterator[DenseGraphBatch]:
-    lib = get_lib()
+    lib = require_lib()
     corpus = processed.corpus
     bwd_offset = 0 if tie_fwd_bkwd else num_edge_types // 2
     orders = [ids.copy() for ids in processed.bucket_order]
@@ -302,7 +307,7 @@ def pack_sparse_batches_native(processed: SparseProcessed,
                                ell_k: Optional[int] = None,
                                workers: int = 4
                                ) -> Iterator[GraphBatch]:
-    lib = get_lib()
+    lib = require_lib()
     corpus = processed.corpus
     order = processed.order.copy()
     if is_training and rng is not None:
@@ -373,13 +378,15 @@ def pack_sparse_batches_native(processed: SparseProcessed,
             num_nodes=np.int32(node_count),
         )
         if ell_block:
-            from ggnn_tpu.data.ell import build_ell_layout
-            layout = build_ell_layout(edge_sources, edge_targets, edge_mask,
-                                      caps.nodes, ell_block, ell_k)
-            return ELLGraphBatch(
-                **common,
-                ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
-                ell_bwd_tgt=layout.bwd_tgt, ell_bwd_src=layout.bwd_src)
+            from ggnn_tpu.data.ell import try_build_ell_layout
+            layout = try_build_ell_layout(edge_sources, edge_targets,
+                                          edge_mask, caps.nodes, ell_block,
+                                          ell_k)
+            if layout is not None:
+                return ELLGraphBatch(
+                    **common,
+                    ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
+                    ell_bwd_tgt=layout.bwd_tgt, ell_bwd_src=layout.bwd_src)
         return GraphBatch(**common)
 
     yield from _map_ordered(assemble, compositions, workers)

@@ -269,10 +269,13 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
             num_graphs=np.int32(graphs_in_batch),
             num_nodes=np.int32(node_offset),
         )
+        layout = None
         if ell_block:
-            from ggnn_tpu.data.ell import build_ell_layout
-            layout = build_ell_layout(edge_sources, edge_targets, edge_mask,
-                                      caps.nodes, ell_block, ell_k)
+            from ggnn_tpu.data.ell import try_build_ell_layout
+            layout = try_build_ell_layout(edge_sources, edge_targets,
+                                          edge_mask, caps.nodes, ell_block,
+                                          ell_k)
+        if layout is not None:
             yield ELLGraphBatch(
                 **common,
                 ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
@@ -313,10 +316,19 @@ def preprocess_dense(raw_data: Sequence[Any], num_edge_types: int,
     bucketed: Dict[int, List[dict]] = {}
     x_dim = len(raw_data[0]["node_features"][0])
     for d in raw_data:
-        max_vertex = max(v for e in d["graph"] for v in (e[0], e[2]))
-        chosen_bucket_idx = int(np.argmax(bucket_sizes > max_vertex))
-        chosen_bucket_size = int(bucket_sizes[chosen_bucket_idx])
+        max_vertex = max((v for e in d["graph"] for v in (e[0], e[2])),
+                         default=-1)
         n_active = len(d["node_features"])
+        # Bucket by the number of rows actually written, not just the max
+        # edge-referenced vertex: a graph with isolated trailing nodes
+        # (feature rows beyond the last edge endpoint) must still fit.
+        needed = max(max_vertex + 1, n_active)
+        if needed > int(bucket_sizes[-1]):
+            raise ValueError(
+                f"graph with {needed} vertices exceeds the largest "
+                f"bucket ({int(bucket_sizes[-1])})")
+        chosen_bucket_idx = int(np.argmax(bucket_sizes >= needed))
+        chosen_bucket_size = int(bucket_sizes[chosen_bucket_idx])
         init = np.zeros((chosen_bucket_size, x_dim), dtype=np.float32)
         init[:n_active] = np.asarray(d["node_features"], dtype=np.float32)
         mask = np.zeros(chosen_bucket_size, dtype=np.float32)

@@ -62,10 +62,20 @@ def smiles_to_graph(smiles: str):
     return nodes, edges
 
 
-def preprocess(unzip_path: str, valid_idx_path: str = "valid_idx.json",
-               out_dir: str = ".") -> None:
+VALID_IDX_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "assets", "valid_idx.json")
+
+
+def load_valid_idx(valid_idx_path: str = VALID_IDX_PATH) -> set:
+    """The 13,082 validation molecule ids (vendored copy of the split
+    file the reference ships; loaded at get_data.py:37-39)."""
     with open(valid_idx_path, "r") as f:
-        valid_idx = set(json.load(f)["valid_idxs"])
+        return set(json.load(f)["valid_idxs"])
+
+
+def preprocess(unzip_path: str, valid_idx_path: str = VALID_IDX_PATH,
+               out_dir: str = ".") -> None:
+    valid_idx = load_valid_idx(valid_idx_path)
 
     raw: Dict[str, List[Dict]] = {"train": [], "valid": []}
     for file_path in glob.glob(os.path.join(unzip_path, "*.xyz")):

@@ -8,6 +8,7 @@ ctypes. Set GGNN_TPU_NO_NATIVE=1 to force the pure-python pipeline.
 import ctypes
 import hashlib
 import os
+import platform
 import subprocess
 from typing import Optional
 
@@ -19,10 +20,26 @@ _LIB: Optional[ctypes.CDLL] = None
 _LOAD_ERROR: Optional[str] = None
 
 
+def _host_salt() -> str:
+    """CPU-identity salt for the build cache: the artifact is compiled
+    with -march=native, so a checkout shared between heterogeneous
+    machines (NFS, baked container images) must not reuse it."""
+    cpu = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "Model")):
+                    cpu += line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(cpu.encode()).hexdigest()[:8]
+
+
 def _build_and_load() -> ctypes.CDLL:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    lib_path = os.path.join(_HERE, f"libpacker_{digest}.so")
+    lib_path = os.path.join(_HERE, f"libpacker_{digest}_{_host_salt()}.so")
     if not os.path.exists(lib_path):
         tmp = lib_path + ".tmp"
         subprocess.run(
@@ -67,3 +84,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return get_lib() is not None
+
+
+def require_lib() -> ctypes.CDLL:
+    """Like get_lib(), but raises a descriptive error instead of
+    returning None — for entry points that hard-require the native
+    pipeline (native_pack.*)."""
+    lib = get_lib()
+    if lib is None:
+        reason = ("disabled via GGNN_TPU_NO_NATIVE"
+                  if os.environ.get("GGNN_TPU_NO_NATIVE")
+                  else f"build/load failed: {_LOAD_ERROR}")
+        raise RuntimeError(
+            "native packer library unavailable (%s); use the pure-python "
+            "packers in ggnn_tpu.data.packing instead" % reason)
+    return lib

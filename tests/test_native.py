@@ -115,3 +115,61 @@ def test_graph_too_big_for_buckets_raises():
     with pytest.raises(ValueError, match="bucket"):
         native_pack.preprocess_dense_native(
             big, [0], {}, False, bucket_sizes=np.array([8, 32]))
+
+
+def test_isolated_trailing_nodes_fit_bucket():
+    """A graph with feature rows beyond the max edge-referenced vertex
+    must land in a bucket big enough for all its rows (native path used
+    to write out of bounds here; the python path used to raise)."""
+    data = [{"targets": [[0.5]],
+             "graph": [[0, 1, 1], [1, 2, 2]],  # max vertex 2 -> bucket 4
+             "node_features": [[1, 0]] * 10},  # ...but 10 feature rows
+            {"targets": [[0.2]],
+             "graph": [[0, 1, 1]],
+             "node_features": [[0, 1], [1, 0]]}]
+    sizes = np.array([4, 6, 12])
+    proc = native_pack.preprocess_dense_native(
+        data, [0], {}, False, bucket_sizes=sizes)
+    assert proc.bucket_v[0] == 12  # 10 rows need the 12-bucket
+    batches = list(native_pack.pack_dense_batches_native(
+        proc, 4, 16, 2, 4, True, False, drop_remainder=False))
+    big = [b for b in batches if b.node_features.shape[1] == 12][0]
+    assert float(big.node_mask.sum()) == 10.0
+    # Python path agrees (same bucket choice, no raise).
+    bucketed, bsz = packing.preprocess_dense(
+        data, 4, True, [0], {}, False, bucket_sizes=sizes)
+    py = list(packing.pack_dense_batches(
+        bucketed, bsz, 4, 16, 2, False, drop_remainder=False))
+    for a, b in zip(py, batches):
+        _assert_batches_equal(a, b)
+
+
+def test_trailing_nodes_exceeding_largest_bucket_raise():
+    data = [{"targets": [[0.5]],
+             "graph": [[0, 1, 1]],
+             "node_features": [[1, 0]] * 20}]
+    sizes = np.array([4, 8])
+    with pytest.raises(ValueError, match="bucket"):
+        native_pack.preprocess_dense_native(
+            data, [0], {}, False, bucket_sizes=sizes)
+    with pytest.raises(ValueError, match="bucket"):
+        packing.preprocess_dense(data, 4, True, [0], {}, False,
+                                 bucket_sizes=sizes)
+
+
+def test_ell_overflow_falls_back_to_xla_batch():
+    """A batch whose per-block edge count exceeds the planned ell_k must
+    come out as a plain GraphBatch (XLA path), not raise mid-epoch."""
+    from ggnn_tpu.graph import ELLGraphBatch, GraphBatch
+    data = synthetic_molecules(40, seed=11)
+    meta = infer_metadata([data], True)
+    nat_proc = native_pack.preprocess_sparse_native(
+        data, meta.num_edge_types, True, [0], {}, False)
+    caps = native_pack.plan_capacities_native(nat_proc, 300)
+    batches = list(native_pack.pack_sparse_batches_native(
+        nat_proc, meta.num_edge_types, True, 300, caps, 16,
+        meta.annotation_size, False, None, ell_block=8, ell_k=8))
+    assert batches
+    assert all(not isinstance(b, ELLGraphBatch) or b.ell_fwd_src is not None
+               for b in batches)
+    assert any(type(b) is GraphBatch for b in batches)
