@@ -1,0 +1,188 @@
+"""Import weights from the reference TF1 implementation.
+
+The reference checkpoints (chem_tensorflow.py:309-323) are pickles of
+`{"params": config, "weights": {tf_variable_name: ndarray}, ...}`. This
+module converts such a name->ndarray dict into this framework's params
+pytree, so reference-trained models run (and keep training) here, and so
+the TF1 golden-fixture tests (tests/test_tf1_golden.py) can pin this
+framework's numerics against outputs produced by the actual reference
+code.
+
+Variable naming observed from the reference graphs:
+  sparse (chem_tensorflow_sparse.py:63-115):
+    graph_model/gnn_layer_{i}/gnn_edge_weights_{i}            [T*H, H]
+    graph_model/gnn_layer_{i}/edge_type_attention_weights_{i} [T]
+    graph_model/gnn_layer_{i}/gnn_edge_biases_{i}             [T, H]
+    graph_model/gnn_layer_{i}/timestep_0/gru_cell/gates/kernel      [I+H, 2H]
+    graph_model/gnn_layer_{i}/timestep_0/gru_cell/gates/bias        [2H]
+    graph_model/gnn_layer_{i}/timestep_0/gru_cell/candidate/kernel  [I+H, H]
+    graph_model/gnn_layer_{i}/timestep_0/gru_cell/candidate/bias    [H]
+    (BasicRNNCell: .../timestep_0/basic_rnn_cell/{kernel,bias})
+  dense (chem_tensorflow_dense.py:68-91):
+    graph_model/Variable        [T, H, H]   (edge weights)
+    graph_model/Variable_1      [T, 1, H]   (edge biases)
+    graph_model/gru_scope/gru_cell/{gates,candidate}/{kernel,bias}
+  gcn (chem_tensorflow_gcn.py:42-66):
+    graph_model/gcn_scope/gcn_weights_{i} [H, H], gcn_bias_{i} [H]
+  heads (chem_tensorflow.py:149-157, utils.py:50-53):
+    out_layer_task{k}/regression_gate/MLP_W_layer{j}, MLP_b_layer{j}
+    out_layer_task{k}/regression/MLP_W_layer{j}, MLP_b_layer{j}
+"""
+
+import pickle
+import re
+from typing import Dict, List, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _norm(weights: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Strip the ':0' tensor suffix TF appends to variable names."""
+    return {k.split(":")[0]: np.asarray(v) for k, v in weights.items()}
+
+
+def _a(weights: Dict[str, np.ndarray], name: str) -> jnp.ndarray:
+    if name not in weights:
+        raise KeyError(
+            f"TF1 weight '{name}' not found; available: "
+            f"{sorted(weights)[:8]}...")
+    return jnp.asarray(weights[name], jnp.float32)
+
+
+def _cell_from_tf1(weights, scope: str, cell_type: str) -> Dict:
+    ct = cell_type.lower()
+    if ct in ("gru", "cudnncompatiblegrucell"):
+        prefix = f"{scope}/gru_cell"
+        if ct == "cudnncompatiblegrucell":
+            prefix = f"{scope}/cudnn_compatible_gru_cell"
+            return {
+                "gates_kernel": _a(weights, f"{prefix}/gates/kernel"),
+                "gates_bias": _a(weights, f"{prefix}/gates/bias"),
+                "candidate_input_kernel": _a(
+                    weights, f"{prefix}/candidate/input_projection/kernel"),
+                "candidate_input_bias": _a(
+                    weights, f"{prefix}/candidate/input_projection/bias"),
+                "candidate_hidden_kernel": _a(
+                    weights, f"{prefix}/candidate/hidden_projection/kernel"),
+                "candidate_hidden_bias": _a(
+                    weights, f"{prefix}/candidate/hidden_projection/bias"),
+            }
+        return {
+            "gates_kernel": _a(weights, f"{prefix}/gates/kernel"),
+            "gates_bias": _a(weights, f"{prefix}/gates/bias"),
+            "candidate_kernel": _a(weights, f"{prefix}/candidate/kernel"),
+            "candidate_bias": _a(weights, f"{prefix}/candidate/bias"),
+        }
+    if ct == "rnn":
+        return {
+            "kernel": _a(weights, f"{scope}/basic_rnn_cell/kernel"),
+            "bias": _a(weights, f"{scope}/basic_rnn_cell/bias"),
+        }
+    raise ValueError(f"unknown cell type '{cell_type}'")
+
+
+def _mlp_from_tf1(weights, scope: str) -> List[Dict]:
+    layers = []
+    j = 0
+    while f"{scope}/MLP_W_layer{j}" in weights:
+        layers.append({
+            "W": _a(weights, f"{scope}/MLP_W_layer{j}"),
+            "b": _a(weights, f"{scope}/MLP_b_layer{j}"),
+        })
+        j += 1
+    if not layers:
+        raise KeyError(f"no MLP layers under '{scope}'")
+    return layers
+
+
+def heads_from_tf1(weights: Dict[str, np.ndarray],
+                   task_ids: Sequence[int]) -> Dict:
+    weights = _norm(weights)
+    return {
+        f"task{k}": {
+            "gate": _mlp_from_tf1(weights, f"out_layer_task{k}/regression_gate"),
+            "transform": _mlp_from_tf1(weights, f"out_layer_task{k}/regression"),
+        }
+        for k in task_ids
+    }
+
+
+def sparse_graph_params_from_tf1(weights: Dict[str, np.ndarray],
+                                 config: Dict, num_edge_types: int) -> Dict:
+    weights = _norm(weights)
+    h = config["hidden_size"]
+    t = num_edge_types
+    layers = []
+    for i in range(len(config["layer_timesteps"])):
+        scope = f"graph_model/gnn_layer_{i}"
+        layer = {
+            "edge_weights": _a(
+                weights, f"{scope}/gnn_edge_weights_{i}").reshape(t, h, h),
+            "cell": _cell_from_tf1(weights, f"{scope}/timestep_0",
+                                   config["graph_rnn_cell"]),
+        }
+        if config["use_propagation_attention"]:
+            layer["attention"] = _a(
+                weights, f"{scope}/edge_type_attention_weights_{i}")
+        if config["use_edge_bias"]:
+            layer["edge_biases"] = _a(weights, f"{scope}/gnn_edge_biases_{i}")
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def dense_graph_params_from_tf1(weights: Dict[str, np.ndarray],
+                                config: Dict) -> Dict:
+    weights = _norm(weights)
+    params = {
+        "edge_weights": _a(weights, "graph_model/Variable"),
+        "cell": _cell_from_tf1(weights, "graph_model/gru_scope", "gru"),
+    }
+    if config["use_edge_bias"]:
+        params["edge_biases"] = _a(weights, "graph_model/Variable_1")
+    return params
+
+
+def gcn_graph_params_from_tf1(weights: Dict[str, np.ndarray],
+                              config: Dict) -> Dict:
+    weights = _norm(weights)
+    layers = []
+    for i in range(config["num_timesteps"]):
+        scope = "graph_model/gcn_scope"
+        layer = {"W": _a(weights, f"{scope}/gcn_weights_{i}")}
+        if config.get("gcn_use_bias", False):
+            layer["b"] = _a(weights, f"{scope}/gcn_bias_{i}")
+        layers.append(layer)
+    return {"layers": layers}
+
+
+_GRAPH_CONVERTERS = {
+    "sparse": lambda w, cfg, t: sparse_graph_params_from_tf1(w, cfg, t),
+    "rgcn": lambda w, cfg, t: sparse_graph_params_from_tf1(w, cfg, t),
+    "dense": lambda w, cfg, t: dense_graph_params_from_tf1(w, cfg),
+    "blocked": lambda w, cfg, t: dense_graph_params_from_tf1(w, cfg),
+    "gcn": lambda w, cfg, t: gcn_graph_params_from_tf1(w, cfg),
+}
+
+
+def params_from_tf1_weights(variant: str, weights: Dict[str, np.ndarray],
+                            config: Dict, num_edge_types: int) -> Dict:
+    """Full params pytree {'graph': ..., 'heads': ...} from a TF1
+    name->ndarray dict (e.g. the 'weights' entry of a reference pickle)."""
+    if variant not in _GRAPH_CONVERTERS:
+        raise ValueError(f"no TF1 converter for variant '{variant}'")
+    return {
+        "graph": _GRAPH_CONVERTERS[variant](weights, config, num_edge_types),
+        "heads": heads_from_tf1(weights, config["task_ids"]),
+    }
+
+
+def load_tf1_checkpoint(path: str):
+    """Read a reference pickle checkpoint -> (config, weights dict).
+
+    Format: chem_tensorflow.py:309-323 `{"params", "weights",
+    "train_step", "valid_step"}`.
+    """
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    return data["params"], _norm(data["weights"])

@@ -1,18 +1,21 @@
 """Inference serving: checkpoint -> precompiled batched predictor.
 
 The reference's only inference path is `example_evaluation`
-(chem_tensorflow_sparse.py:364-376): rebuild the whole training graph,
-feed ten molecules, print. For deployment this module provides a
-standalone `Predictor`:
+(chem_tensorflow_sparse.py:364-376, chem_tensorflow_dense.py:230-265):
+rebuild the whole training graph, feed ten molecules, print. For
+deployment this module provides a standalone `Predictor` covering EVERY
+variant (sparse / rgcn / dense / blocked / gcn / async):
 
-  * loads a checkpoint (pickle or Orbax directory) WITHOUT any
-    training data — capacities come from the saved config plus a
-    `max_nodes`/`max_graphs` serving envelope;
-  * compiles ONE forward executable at a fixed packed capacity, so
-    every request after the first reuses it (XLA recompiles on shape
-    change — the envelope pins the shape);
-  * packs incoming graph JSON with the native pipeline and micro-
-    batches requests that exceed the envelope.
+  * loads a checkpoint WITHOUT any training data — this framework's
+    pickles/Orbax dirs AND reference-produced TF1 pickles (converted via
+    ggnn_tpu.compat.tf1) both work; model geometry (edge types, hidden
+    size) is inferred from the saved weights;
+  * compiles ONE forward executable per packed shape: sparse/gcn/async
+    requests share a fixed serving envelope (`max_nodes`/`max_graphs`),
+    dense-family requests compile once per bucket shape (the bucket
+    table is the envelope);
+  * packs incoming graph JSON with the native pipeline where available
+    and micro-batches requests that exceed the envelope.
 
 Example:
     predictor = Predictor.from_checkpoint("run_model_best.pickle",
@@ -26,37 +29,88 @@ import numpy as np
 
 import jax
 
-from ggnn_tpu.data import native_pack, packing
+from ggnn_tpu.data import async_schedule, native_pack, packing
 from ggnn_tpu.data.loader import DatasetMeta
 from ggnn_tpu.models.base import init_output_heads
 from ggnn_tpu.native import native_available
 from ggnn_tpu.training.checkpoint import _load_payload, restore_checkpoint
 from ggnn_tpu.training.variants import make_adapter
 
+_DENSE_FAMILY = ("dense", "blocked")
+
+
+def _infer_geometry(payload: Dict, variant: str, config: Dict):
+    """(num_edge_types, hidden) from saved weights, any checkpoint
+    format. Hidden comes from config; T from the edge-weight tensor."""
+    weights = payload["weights"]
+    hidden = int(config["hidden_size"])
+
+    def probe(*names):
+        for n in names:
+            if n in weights:
+                return np.asarray(weights[n])
+        return None
+
+    if variant in ("sparse", "rgcn"):
+        w = probe("['params']['graph']['layers'][0]['edge_weights']",
+                  "params.graph.layers.0.edge_weights")
+        if w is not None:
+            return int(w.shape[0]), hidden
+        w = probe("graph_model/gnn_layer_0/gnn_edge_weights_0",
+                  "graph_model/gnn_layer_0/gnn_edge_weights_0:0")
+        if w is not None:
+            return int(w.shape[0]) // hidden, hidden
+    elif variant in _DENSE_FAMILY:
+        w = probe("['params']['graph']['edge_weights']",
+                  "params.graph.edge_weights",
+                  "['params']['graph']['layers'][0]['edge_weights']",
+                  "params.graph.layers.0.edge_weights",
+                  "graph_model/Variable", "graph_model/Variable:0")
+        if w is not None:
+            return int(w.shape[0]), hidden
+    elif variant == "gcn":
+        return 1, hidden
+    elif variant == "async":
+        w = probe("['params']['graph']['edge_weights']",
+                  "params.graph.edge_weights")
+        if w is not None:
+            return int(w.shape[0]), hidden
+    raise ValueError(
+        f"cannot infer geometry for variant '{variant}' from checkpoint "
+        f"keys {sorted(weights)[:6]}...")
+
 
 class Predictor:
-    """Precompiled forward pass for the sparse-family variants."""
+    """Precompiled forward pass over a fixed serving envelope."""
 
     def __init__(self, variant: str, config: Dict, meta: DatasetMeta,
                  state: Dict, max_nodes: int = 2048,
                  max_graphs: int = 256):
-        if variant not in ("sparse", "rgcn"):
-            raise ValueError("Predictor currently serves the sparse/rgcn "
-                             "variants (dense-family graphs are served "
-                             "through Runner.predict)")
+        self.variant = variant
         self.config = dict(config)
-        self.config["batch_size"] = max_nodes
         self.meta = meta
         self.task_ids = list(config["task_ids"])
-        self.adapter = make_adapter(variant, self.config, meta)
+        self.max_nodes = max_nodes
+        self.max_graphs = max_graphs
+        kwargs = {"drop_remainder": False} if variant in _DENSE_FAMILY else {}
+        self.adapter = make_adapter(variant, self.config, meta, **kwargs)
         self.model = self.adapter.build_model()
         self.params = state["params"]
-        self.caps = packing.PackCapacities(
-            nodes=max_nodes,
-            edges_per_type=max(8 * max_nodes, 64),
-            graphs=max_graphs,
-        )
-        self.adapter.caps = self.caps
+        if variant in ("sparse", "rgcn", "gcn"):
+            self.caps = packing.PackCapacities(
+                nodes=max_nodes,
+                edges_per_type=max(8 * max_nodes, 64),
+                graphs=max_graphs,
+            )
+            self.adapter.caps = self.caps
+        elif variant == "async":
+            self.caps = async_schedule.AsyncCapacities(
+                nodes=max_nodes, graphs=max_graphs,
+                initial_nodes=max_nodes,
+                sending_edges=max(8 * max_nodes, 64),
+                receiving_nodes=max_nodes,
+            )
+            self.adapter.caps = self.caps
 
         def forward(params, batch):
             final = self.model.forward(params["graph"], batch)
@@ -65,28 +119,31 @@ class Predictor:
 
         self._forward = jax.jit(forward)
 
+    # ------------------------------------------------------------ load
+
     @classmethod
     def from_checkpoint(cls, path: str, variant: str = "sparse",
                         max_nodes: int = 2048, max_graphs: int = 256,
                         annotation_size: Optional[int] = None
                         ) -> "Predictor":
         payload = _load_payload(path)
-        config = payload["params"]
-        # Infer model geometry from the saved weights: edge_weights is
-        # [T, H, H] per layer; the head gate MLP input is 2H.
-        key = ("params.graph.layers.0.edge_weights"
-               if payload.get("sanitized_keys")
-               else "['params']['graph']['layers'][0]['edge_weights']")
-        w = np.asarray(payload["weights"][key])
-        num_edge_types, hidden = int(w.shape[0]), int(w.shape[2])
+        config = dict(payload["params"])
+        if any("/" in str(k) for k in payload.get("weights", {})):
+            # TF1 reference pickle: tolerate a partial saved config by
+            # filling this variant's defaults underneath it.
+            from ggnn_tpu.training.config import default_params_for
+            config = {**default_params_for(variant), **config}
+        num_edge_types, hidden = _infer_geometry(payload, variant, config)
         meta = DatasetMeta(max_num_vertices=max_nodes,
                            num_edge_types=num_edge_types,
                            annotation_size=annotation_size or hidden)
         # Build a fresh state skeleton then restore into it (reuses the
-        # partial-restore machinery + config compat check).
+        # partial-restore machinery, config compat check, and the TF1
+        # reference-pickle conversion).
         import jax.random as jrandom
-        from ggnn_tpu.models.sparse_ggnn import SparseGGNN
-        model = SparseGGNN(config, num_edge_types)
+        kwargs = {"drop_remainder": False} if variant in _DENSE_FAMILY else {}
+        adapter = make_adapter(variant, config, meta, **kwargs)
+        model = adapter.build_model()
         k = jrandom.PRNGKey(0)
         skeleton = {
             "params": {
@@ -97,39 +154,106 @@ class Predictor:
         }
         # Optimizer state in the checkpoint is ignored for serving: the
         # restore warns about the unused opt_state entries.
-        restored, _, _ = restore_checkpoint(path, config, skeleton,
-                                            log=lambda *a: None)
+        restored, _, _ = restore_checkpoint(
+            path, config, skeleton, log=lambda *a: None,
+            variant=variant, num_edge_types=num_edge_types)
         return cls(variant, config, meta, restored,
                    max_nodes=max_nodes, max_graphs=max_graphs)
+
+    # ----------------------------------------------------------- batches
+
+    def _batches(self, raw_graphs: Sequence, annotation_size: int):
+        cfg = self.config
+        if self.variant in ("sparse", "rgcn"):
+            if native_available():
+                processed = native_pack.preprocess_sparse_native(
+                    raw_graphs, self.meta.num_edge_types,
+                    cfg["tie_fwd_bkwd"], self.task_ids, {}, False)
+                return native_pack.pack_sparse_batches_native(
+                    processed, self.meta.num_edge_types, cfg["tie_fwd_bkwd"],
+                    self.caps.nodes, self.caps, cfg["hidden_size"],
+                    annotation_size, False, None)
+            processed = packing.preprocess_sparse(
+                raw_graphs, self.meta.num_edge_types, cfg["tie_fwd_bkwd"],
+                self.task_ids, {}, False)
+            return packing.pack_sparse_batches(
+                processed, self.meta.num_edge_types, self.caps.nodes,
+                self.caps, cfg["hidden_size"], annotation_size, False, None)
+        if self.variant == "gcn":
+            processed = packing.preprocess_gcn(raw_graphs, self.task_ids,
+                                               {}, False)
+            return packing.pack_gcn_batches(
+                processed, self.caps.nodes, self.caps, cfg["hidden_size"],
+                annotation_size, False, None)
+        if self.variant == "async":
+            processed = async_schedule.preprocess_async(
+                raw_graphs, self.meta.num_edge_types, cfg["tie_fwd_bkwd"],
+                cfg["propagation_rounds"], cfg["propagation_substeps"],
+                self.task_ids, {}, False)
+            return async_schedule.pack_async_batches(
+                processed, self.meta.num_edge_types, self.caps.nodes,
+                self.caps, cfg["propagation_rounds"],
+                cfg["propagation_substeps"], cfg["hidden_size"],
+                annotation_size, False, None)
+        # dense family: the adapter already holds the bucket table and
+        # remainder-free packing; annotation width rides through meta.
+        self.adapter.meta = DatasetMeta(
+            max_num_vertices=self.meta.max_num_vertices,
+            num_edge_types=self.meta.num_edge_types,
+            annotation_size=annotation_size)
+        processed = self.adapter.preprocess(list(raw_graphs), False)
+        return self.adapter.batches(processed, False)
+
+    # ------------------------------------------------------------- call
 
     def __call__(self, raw_graphs: Sequence) -> np.ndarray:
         """Predict per-task values for raw graph JSON dicts.
 
         Returns [K, len(raw_graphs)]. Requests larger than the serving
-        envelope are transparently micro-batched.
+        envelope are transparently micro-batched; dense-family requests
+        are re-ordered internally by bucket, and the result is scattered
+        back to request order.
         """
-        # Annotation width comes from the request itself (the C packer
-        # copies exactly this many feature columns per node).
         annotation_size = len(raw_graphs[0]["node_features"][0])
-        if native_available():
-            processed = native_pack.preprocess_sparse_native(
-                raw_graphs, self.meta.num_edge_types,
-                self.config["tie_fwd_bkwd"], self.task_ids, {}, False)
-            batches = native_pack.pack_sparse_batches_native(
-                processed, self.meta.num_edge_types,
-                self.config["tie_fwd_bkwd"], self.caps.nodes, self.caps,
-                self.config["hidden_size"], annotation_size,
-                False, None)
-        else:
-            processed = packing.preprocess_sparse(
-                raw_graphs, self.meta.num_edge_types,
-                self.config["tie_fwd_bkwd"], self.task_ids, {}, False)
-            batches = packing.pack_sparse_batches(
-                processed, self.meta.num_edge_types, self.caps.nodes,
-                self.caps, self.config["hidden_size"],
-                annotation_size, False, None)
+        if self.variant in _DENSE_FAMILY:
+            return self._call_dense(raw_graphs, annotation_size)
         outs: List[np.ndarray] = []
-        for batch in batches:
+        for batch in self._batches(raw_graphs, annotation_size):
             computed = self._forward(self.params, jax.device_put(batch))
             outs.append(np.asarray(computed)[:, :int(batch.num_graphs)])
         return np.concatenate(outs, axis=1)
+
+    def _call_dense(self, raw_graphs: Sequence, annotation_size: int):
+        # Dense bucketing re-orders graphs; tag each with its request
+        # index via a sentinel extra target so outputs scatter back.
+        order: List[int] = []
+        processed = self.adapter.preprocess(list(raw_graphs), False)
+        if isinstance(processed, native_pack.DenseProcessed):
+            for ids in processed.bucket_order:
+                order.extend(int(i) for i in ids)
+        else:
+            # python path: buckets keep first-seen order; reconstruct by
+            # walking raw graphs the same way preprocess_dense does.
+            sizes = (np.asarray(self.config["dense_bucket_sizes"])
+                     if self.config.get("dense_bucket_sizes") is not None
+                     else packing.DENSE_BUCKET_SIZES)
+            chosen = []
+            for d in raw_graphs:
+                mv = max((v for e in d["graph"] for v in (e[0], e[2])),
+                         default=-1)
+                needed = max(mv + 1, len(d["node_features"]))
+                chosen.append(int(np.argmax(sizes >= needed)))
+            for b in dict.fromkeys(chosen):
+                order.extend(i for i, c in enumerate(chosen) if c == b)
+        self.adapter.meta = DatasetMeta(
+            max_num_vertices=self.meta.max_num_vertices,
+            num_edge_types=self.meta.num_edge_types,
+            annotation_size=annotation_size)
+        outs: List[np.ndarray] = []
+        for batch in self.adapter.batches(processed, False):
+            computed = self._forward(self.params, jax.device_put(batch))
+            outs.append(np.asarray(computed)[:, :int(batch.num_graphs)])
+        packed = np.concatenate(outs, axis=1)
+        result = np.empty_like(packed)
+        result[:, np.asarray(order)] = packed
+        return result

@@ -91,10 +91,46 @@ def _load_payload(path: str) -> Dict:
         return pickle.load(f)
 
 
+def _looks_tf1(payload: Dict) -> bool:
+    """Reference-produced pickles key weights by TF variable name
+    (scope/paths with '/'); this framework's use keystr/sanitized names."""
+    weights = payload.get("weights", {})
+    return any("/" in str(k) for k in weights)
+
+
 def restore_checkpoint(path: str, config: Dict, state_tree,
-                       log=print) -> Tuple[object, int, int]:
-    """Returns (restored_state_tree, train_step, valid_step)."""
+                       log=print, *, variant: str = None,
+                       num_edge_types: int = None) -> Tuple[object, int, int]:
+    """Returns (restored_state_tree, train_step, valid_step).
+
+    Accepts this framework's checkpoints (pickle or Orbax dir) AND
+    reference-produced TF1 pickles (chem_tensorflow.py:309-323) when
+    `variant`/`num_edge_types` are given — the TF variable names are
+    converted through ggnn_tpu.compat.tf1 and the optimizer state stays
+    freshly initialized (the reference stores TF-Adam slots that have no
+    place in the optax tree).
+    """
     payload = _load_payload(path)
+
+    if _looks_tf1(payload):
+        if variant is None or num_edge_types is None:
+            raise ValueError(
+                "TF1 reference checkpoint detected; restore it through "
+                "Runner/Predictor (variant + metadata required)")
+        from ggnn_tpu.compat.tf1 import params_from_tf1_weights
+        saved_config = payload["params"]
+        for par, par_value in config.items():
+            if par in ("task_ids", "num_epochs") or par not in saved_config:
+                continue
+            assert par_value == saved_config[par], (
+                f"config mismatch on '{par}': {par_value!r} != "
+                f"{saved_config[par]!r}")
+        new_state = dict(state_tree)
+        new_state["params"] = params_from_tf1_weights(
+            variant, payload["weights"], config, num_edge_types)
+        log(f"Imported TF1 reference checkpoint {path}")
+        return (new_state, payload.get("train_step", 0),
+                payload.get("valid_step", 0))
 
     saved_config = payload["params"]
     assert len(config) == len(saved_config), (

@@ -170,7 +170,9 @@ class Runner:
         self.valid_step_id = 0
         if restore is not None:
             self.state, self.train_step_id, self.valid_step_id = (
-                restore_checkpoint(restore, config, self.state))
+                restore_checkpoint(restore, config, self.state,
+                                   variant=variant,
+                                   num_edge_types=self.meta.num_edge_types))
         self.restored = restore is not None
 
         if mesh is not None:
@@ -500,22 +502,40 @@ class Runner:
 
     def predict(self, raw_graphs) -> List[np.ndarray]:
         """Model outputs for raw graphs — the reference's
-        `evaluate_one_batch` path with all keep-probs at 1.0."""
+        `evaluate_one_batch` path with all keep-probs at 1.0.
+
+        The forward+readout is jitted once per Runner (per packed batch
+        shape); repeated predict calls reuse the compiled executable.
+        """
         # Mesh-trained models contain edge-axis collectives that only
         # exist inside shard_map; inference runs single-device on a
         # collective-free copy of the model (params are replicated).
         model = self.model
         if self.mesh is not None and getattr(model, "edge_axis", None):
             model = self.adapter.build_model()
-        processed = self.adapter.preprocess(raw_graphs, False)
-        outputs = []
-        for batch in self.adapter.batches(processed, False):
-            batch = jax.device_put(batch)
-            final = model.forward(self.state["params"]["graph"], batch)
-            computed = model.readout(
-                self.state["params"]["heads"], self.task_ids, final, batch)
-            n = int(batch.num_graphs)
-            outputs.append(np.asarray(computed)[:, :n])
+        if getattr(self, "_predict_fn", None) is None:
+            def _predict(params, batch):
+                final = model.forward(params["graph"], batch)
+                return model.readout(params["heads"], self.task_ids,
+                                     final, batch)
+            self._predict_fn = jax.jit(_predict)
+        # The dense parity variant drops bucket remainders during
+        # training epochs (reference quirk); inference must predict
+        # every requested graph, so remainder dropping is suspended.
+        saved_drop = getattr(self.adapter, "drop_remainder", None)
+        if saved_drop is not None:
+            self.adapter.drop_remainder = False
+        try:
+            processed = self.adapter.preprocess(raw_graphs, False)
+            outputs = []
+            for batch in self.adapter.batches(processed, False):
+                batch = jax.device_put(batch)
+                computed = self._predict_fn(self.state["params"], batch)
+                n = int(batch.num_graphs)
+                outputs.append(np.asarray(computed)[:, :n])
+        finally:
+            if saved_drop is not None:
+                self.adapter.drop_remainder = saved_drop
         return outputs
 
     def example_evaluation(self, valid_file: Optional[str] = None,
