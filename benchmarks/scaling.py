@@ -24,6 +24,11 @@ import numpy as np
 
 def main():
     import jax
+    # The axon sitecustomize forces the tunneled TPU platform at
+    # interpreter start; honor an explicit JAX_PLATFORMS=cpu request
+    # (required for the virtual-device mesh runs documented above).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
     from ggnn_tpu.data import native_pack
@@ -64,7 +69,24 @@ def main():
         opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
         state = {"params": params, "opt_state": opt.init(params)}
         train, _ = make_parallel_steps(model, opt, cfg, [0], mesh)
-        stack = jax.device_put(stack_batches(batches, n_data=nd, n_edge=ne))
+        if ne > 1:
+            from ggnn_tpu.parallel.node_shard import (plan_node_shard_caps,
+                                                      shard_and_stack)
+            ns_caps = plan_node_shard_caps(batches, ne)
+            stack = jax.device_put(shard_and_stack(batches, ns_caps,
+                                                   n_data=nd))
+            # Per-step ICI traffic of the node-sharded boundary
+            # exchange vs round 1's replicate+psum design.
+            h = cfg["hidden_size"]
+            new_vol = ne * ns_caps.boundary * h * 4
+            old_vol = batches[0].node_capacity * h * 4
+            print(f"  per-shard per-prop-step comm: boundary all_to_all "
+                  f"{new_vol/1024:.1f} KiB vs full-[N,H] psum "
+                  f"{old_vol/1024:.1f} KiB "
+                  f"({old_vol/max(new_vol,1):.1f}x less traffic)")
+        else:
+            stack = jax.device_put(stack_batches(batches, n_data=nd,
+                                                 n_edge=ne))
 
         def run(state, n):
             m = None

@@ -141,7 +141,11 @@ class SparseGGNN:
 
     def forward(self, params: Dict, batch: GraphBatch, *, rng=None,
                 is_training: bool = False) -> jax.Array:
-        """Final node representations [N, H]."""
+        """Final node representations [N, H] (or [Nl, H] per shard for a
+        node-sharded batch)."""
+        if getattr(batch, "send_idx", None) is not None:
+            return self._forward_node_sharded(params, batch, rng=rng,
+                                              is_training=is_training)
         n_cap = batch.node_capacity
         node_states_per_layer = [batch.node_features]
 
@@ -238,11 +242,88 @@ class SparseGGNN:
 
         return node_states_per_layer[-1]
 
+    def _forward_node_sharded(self, params: Dict, batch, *, rng=None,
+                              is_training: bool = False) -> jax.Array:
+        """Node-sharded propagation (parallel/node_shard.py layout).
+
+        Per step: gather this shard's boundary rows for every peer
+        (`send_idx`), exchange them with ONE `all_to_all` over the edge
+        mesh axis, and run the whole step — typed transform, attention's
+        segment softmax, aggregation, bias/avg, cell update — on local
+        arrays against the combined [local ‖ boundary ‖ zero] gather
+        table. Per-step ICI traffic is O(cut-edges·H) instead of round
+        1's O(N·H) full-tensor psum; all segment reductions are local
+        because every edge lives on its target's owner shard.
+        """
+        nl = batch.local_node_capacity
+        h_dim = batch.node_features.shape[-1]
+        node_states_per_layer = [batch.node_features]
+
+        for layer_idx, num_timesteps in enumerate(self.layer_timesteps):
+            layer = params["layers"][layer_idx]
+            if rng is not None:
+                rng, rng_w = jax.random.split(rng)
+            else:
+                rng_w = None
+            edge_weights = layer["edge_weights"]
+            if is_training and self.edge_weight_dropout_keep_prob < 1.0:
+                edge_weights = dropout(
+                    rng_w, edge_weights, self.edge_weight_dropout_keep_prob)
+            residual_states = [
+                node_states_per_layer[i]
+                for i in self.residual_connections.get(layer_idx, [])
+            ]
+            h = node_states_per_layer[-1]
+            cdt = self.compute_dtype
+            w_c = edge_weights.astype(cdt)
+            for _step in range(num_timesteps):
+                h_c = h.astype(cdt)
+                send = h_c[batch.send_idx]              # [S, B, H]
+                if self.edge_axis is not None:
+                    recv = jax.lax.all_to_all(
+                        send, self.edge_axis, split_axis=0, concat_axis=0,
+                        tiled=True)
+                else:
+                    recv = send  # single-shard degenerate case
+                combined = jnp.concatenate(
+                    [h_c, recv.reshape(-1, h_dim),
+                     jnp.zeros((1, h_dim), h_c.dtype)], axis=0)
+                attn = None
+                if self.use_propagation_attention:
+                    # All incoming edges of a target are local — the
+                    # segment softmax needs no cross-shard collective.
+                    attn = propagation_attention_weights(
+                        combined, batch.edge_sources, batch.edge_targets,
+                        batch.edge_mask, layer["attention"], nl).astype(cdt)
+                incoming = aggregate_then_transform(
+                    combined, batch.edge_sources, batch.edge_targets, w_c,
+                    nl, attn, targets_sorted=self.edges_sorted)
+                incoming = incoming.astype(jnp.float32)
+                if self.use_edge_bias:
+                    incoming = incoming + edge_bias_term(
+                        batch.in_degrees, layer["edge_biases"])
+                if self.use_edge_msg_avg_aggregation:
+                    incoming = average_by_in_degree(incoming,
+                                                    batch.in_degrees)
+                incoming_info = jnp.concatenate(
+                    residual_states + [incoming], axis=-1)
+                if rng is not None:
+                    rng, rng_cell = jax.random.split(rng)
+                else:
+                    rng_cell = None
+                h = self.cell_apply(layer["cell"], incoming_info, h,
+                                    rng=rng_cell, is_training=is_training)
+            node_states_per_layer.append(h)
+        return node_states_per_layer[-1]
+
     def readout(self, heads: Dict, task_ids, last_h: jax.Array,
                 batch: GraphBatch, *, keep_prob: float = 1.0,
                 rng=None) -> jax.Array:
         """Per-task graph predictions [K, G] via gated segment-sum pooling
-        (chem_tensorflow_sparse.py:220-231)."""
+        (chem_tensorflow_sparse.py:220-231). For node-sharded batches the
+        per-shard pooled sums are partial (a graph may span shards) and
+        are combined with one [G]-sized psum over the edge axis."""
+        node_sharded = getattr(batch, "send_idx", None) is not None
         outs = []
         for task_id in task_ids:
             if rng is not None:
@@ -254,4 +335,7 @@ class SparseGGNN:
                 keep_prob=keep_prob, rng=sub)
             outs.append(base.pool_nodes_to_graphs(
                 gated, batch.node_graph_ids, batch.graph_capacity))
-        return jnp.stack(outs, axis=0)
+        out = jnp.stack(outs, axis=0)
+        if node_sharded and self.edge_axis is not None:
+            out = jax.lax.psum(out, self.edge_axis)
+        return out

@@ -65,6 +65,8 @@ def make_parallel_steps(model, optimizer, config: Dict,
 
     def batch_sums(params, batch, rng, is_training):
         """Per-task (abs, sq, mask) sums for ONE local batch."""
+        if hasattr(batch, "local_view"):
+            batch = batch.local_view()
         rng_fwd, rng_head = ((None, None) if rng is None
                              else tuple(jax.random.split(rng)))
         if use_graph:
@@ -134,6 +136,11 @@ def make_parallel_steps(model, optimizer, config: Dict,
         if batch_template is None:
             raise ValueError("batch_kind='data_only' needs batch_template")
         batch_specs = data_parallel_specs(batch_template)
+    elif n_edge > 1:
+        # Node-sharded edge partitioning (parallel/node_shard.py): the
+        # step consumes stacked NodeShardedGraphBatch pytrees.
+        from ggnn_tpu.parallel.node_shard import sharded_batch_specs
+        batch_specs = sharded_batch_specs(n_edge)
     else:
         batch_specs = stacked_batch_specs(n_edge)
     metric_specs = P()

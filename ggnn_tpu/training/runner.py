@@ -175,12 +175,25 @@ class Runner:
                                    num_edge_types=self.meta.num_edge_types))
         self.restored = restore is not None
 
+        self._nodeshard_caps = None
         if mesh is not None:
+            from ggnn_tpu.parallel.mesh import EDGE_AXIS
             from ggnn_tpu.parallel.step import make_parallel_steps
             template = None
             if self._mesh_kind == "data_only":
                 template = next(iter(self.adapter.batches(
                     self.valid_processed, False)))
+            if self._mesh_kind == "sparse" and mesh.shape[EDGE_AXIS] > 1:
+                # Node-sharded edge partitioning: size the per-shard
+                # edge lanes and boundary-exchange buffers from a dry
+                # pack of both splits (shuffle margin included).
+                from ggnn_tpu.parallel.node_shard import plan_node_shard_caps
+                import itertools
+                self._nodeshard_caps = plan_node_shard_caps(
+                    itertools.chain(
+                        self.adapter.batches(self.train_processed, False),
+                        self.adapter.batches(self.valid_processed, False)),
+                    mesh.shape[EDGE_AXIS])
             self._train_step, self._eval_step = make_parallel_steps(
                 self.model, self.optimizer, config, self.task_ids, mesh,
                 batch_kind=self._mesh_kind, batch_template=template)
@@ -321,6 +334,7 @@ class Runner:
         step_base = self.train_step_id if is_training else self.valid_step_id
         step_fn = self._train_step if is_training else self._eval_step
         total_loss, accumulated, processed_graphs, steps = 0.0, [], 0, 0
+        step_metrics: List = []
         start_time = time.time()
         batch_iter = ThreadedIterator(
             self.adapter.batches(processed, is_training,
@@ -335,21 +349,26 @@ class Runner:
             elif self._mesh_kind == "data_only":
                 stack = stack_any_batches(group, n_data,
                                           empty_masked_batch_like)
+            elif self._nodeshard_caps is not None:
+                from ggnn_tpu.parallel.node_shard import shard_and_stack
+                stack = shard_and_stack(group, self._nodeshard_caps,
+                                        n_data=n_data)
             else:
                 stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
             self.key, rng = jax.random.split(self.key)
             self.state, metrics = step_fn(self.state, jax.device_put(stack),
                                           rng)
-            loss = float(metrics["loss"])
-            accs = np.asarray(metrics["accuracies"])
-            num_graphs = int(metrics["num_graphs"])
-            self.summaries.add_batch(split, step_base + steps, loss, accs,
-                                     self.task_ids)
-            total_loss += loss * num_graphs
-            accumulated.append(accs * num_graphs)
-            processed_graphs += num_graphs
+            # Metrics stay ON DEVICE until the epoch ends (same policy
+            # as the single-chip path, runner.py:262): a per-step
+            # float(loss) fetch would serialize a host round-trip into
+            # the step pipeline. Verbose mode opts into the cost.
+            step_metrics.append(metrics)
             steps += 1
             if not self.quiet:
+                loss = float(metrics["loss"])
+                num_graphs = int(metrics["num_graphs"])
+                total_loss += loss * num_graphs
+                processed_graphs += num_graphs
                 print(f"Running {epoch_name}, step {steps} (has "
                       f"{num_graphs} graphs). Loss so far: "
                       f"{total_loss / max(processed_graphs, 1):.4f}",
@@ -362,6 +381,21 @@ class Runner:
                 group = []
         if group:
             run_group(group)  # stacker pads with empty batches
+        # ONE host fetch for the whole epoch (losses/accs were devices
+        # arrays until now; jnp.stack batches the transfer).
+        if step_metrics:
+            losses = np.asarray(jnp.stack([m["loss"] for m in step_metrics]))
+            accs_all = np.asarray(
+                jnp.stack([m["accuracies"] for m in step_metrics]))
+            counts = np.asarray(
+                jnp.stack([m["num_graphs"] for m in step_metrics]),
+                dtype=np.float64)
+            total_loss = float(np.sum(losses * counts))
+            processed_graphs = int(np.sum(counts))
+            accumulated = list(accs_all * counts[:, None])
+            for i, (l, a) in enumerate(zip(losses, accs_all)):
+                self.summaries.add_batch(split, step_base + i, float(l), a,
+                                         self.task_ids)
         if processed_graphs == 0:
             raise RuntimeError(f"{epoch_name}: no batches produced")
         accuracies = np.sum(accumulated, axis=0) / processed_graphs

@@ -24,6 +24,20 @@ from ggnn_tpu.parallel import (
     repad_edges,
     stack_batches,
 )
+from ggnn_tpu.parallel.node_shard import (
+    plan_node_shard_caps,
+    shard_and_stack,
+    shard_batch,
+)
+
+
+def _stack_for(batches, n_data, n_edge):
+    """Node-sharded stacking when the edge axis is active, plain
+    data-parallel stacking otherwise (the production Runner path)."""
+    if n_edge > 1:
+        caps = plan_node_shard_caps(batches, n_edge)
+        return shard_and_stack(batches, caps, n_data)
+    return stack_batches(batches, n_data=n_data, n_edge=n_edge)
 from ggnn_tpu.training.config import default_params_for
 from ggnn_tpu.training.optimizer import make_optimizer
 from ggnn_tpu.utils.constants import SMALL_NUMBER
@@ -89,7 +103,7 @@ def test_parallel_loss_matches_single_device(n_data, n_edge):
     state = {"params": params, "opt_state": opt.init(params)}
     _, eval_step = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
                                        mesh)
-    stack = stack_batches(batches, n_data=n_data, n_edge=n_edge)
+    stack = _stack_for(batches, n_data, n_edge)
     _, metrics = eval_step(state, stack, None)
 
     exp_loss, exp_acc = _oracle_loss(model_s, params, batches,
@@ -113,7 +127,7 @@ def test_parallel_train_step_matches_single_device(n_data, n_edge):
              "opt_state": opt.init(params)}
     train_step, _ = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
                                         mesh, return_grads=True)
-    stack = stack_batches(batches, n_data=n_data, n_edge=n_edge)
+    stack = _stack_for(batches, n_data, n_edge)
     new_state, metrics = train_step(state, stack, jax.random.PRNGKey(0))
 
     # Oracle: the global-batch gradient on one device. (Post-Adam params
@@ -261,3 +275,47 @@ def test_gcn_and_async_train_on_mesh(variant, extra):
     log = runner.train()
     assert np.isfinite(log[0]["train_results"][0])
     assert np.isfinite(log[0]["valid_results"][0])
+
+
+def test_node_sharded_forward_matches_single_device():
+    """Re-laying a batch into S node shards is a pure re-layout: running
+    the sharded forward per shard (serially, no mesh) and concatenating
+    the local states must reproduce the single-device forward."""
+    cfg, meta, batches = _setup(attention=True, edge_bias=True)
+    model, params = _params(cfg, meta)
+    b = batches[0]
+    caps = plan_node_shard_caps([b], 4)
+    sb = shard_batch(b, caps)
+    want = np.asarray(model.forward(params["graph"], b))
+
+    # S=1 layout: the all_to_all degenerates to a local copy, so the
+    # sharded code path runs end-to-end on one device and must be
+    # numerically identical to the plain forward.
+    caps1 = plan_node_shard_caps([b], 1)
+    sb1 = shard_batch(b, caps1)
+    got = np.asarray(model.forward(params["graph"], sb1.local_view()))
+    np.testing.assert_allclose(got[:b.node_capacity],
+                               want[:b.node_capacity], rtol=1e-5,
+                               atol=1e-6)
+    # 4-shard layout invariants: every real edge kept, every real node
+    # row placed exactly once.
+    assert float(np.asarray(sb.edge_mask).sum()) == float(
+        np.asarray(b.edge_mask).sum())
+    nf = np.asarray(sb.node_features).reshape(-1, b.node_features.shape[1])
+    np.testing.assert_array_equal(
+        nf[:b.node_capacity], np.asarray(b.node_features))
+
+
+def test_node_shard_boundary_capacity_overflow_raises():
+    cfg, meta, batches = _setup()
+    from ggnn_tpu.parallel.node_shard import NodeShardCaps
+    b = batches[0]
+    good = plan_node_shard_caps([b], 4)
+    src = np.asarray(b.edge_sources)[np.asarray(b.edge_mask) > 0]
+    tgt = np.asarray(b.edge_targets)[np.asarray(b.edge_mask) > 0]
+    if not np.any(src // good.nodes_local != tgt // good.nodes_local):
+        pytest.skip("no cut edges in this batch")
+    bad = NodeShardCaps(n_shards=4, nodes_local=good.nodes_local,
+                        edges_per_type=good.edges_per_type, boundary=0)
+    with pytest.raises(ValueError):
+        shard_batch(b, bad)
