@@ -5,6 +5,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import numpy as np
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/ggnn_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 import jax.numpy as jnp
 
 from ggnn_tpu.data.async_schedule import (plan_async_capacities,
@@ -18,6 +20,7 @@ from ggnn_tpu.training.config import default_params_for
 from ggnn_tpu.training.optimizer import make_optimizer
 
 cfg = default_params_for("async")
+cfg["async_compact"] = os.environ.get("GGNN_ASYNC_COMPACT", "1") == "1"
 cfg["num_nodes"] = 20000
 cfg["propagation_substeps"] = 40
 data = synthetic_molecules(2000, seed=0)
@@ -67,5 +70,6 @@ print(f"compile {time.time()-t0:.0f}s", flush=True)
 t0 = time.time(); _, l = g(state0, 3); float(l); t1 = time.time()
 t2 = time.time(); _, l = g(state0, 19); float(l); t3 = time.time()
 per = ((t3 - t2) - (t1 - t0)) / 16
-print(f"async {per*1e3:7.2f} ms/train-step ({ng/per:,.0f} graphs/s)",
+path = "compact" if cfg["async_compact"] else "plain"
+print(f"async[{path}] {per*1e3:7.2f} ms/train-step ({ng/per:,.0f} graphs/s)",
       flush=True)

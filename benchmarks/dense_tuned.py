@@ -8,6 +8,8 @@ import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/ggnn_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from bench import run_bench
 
 run_bench(jax, overrides={"batch_size": 1024,

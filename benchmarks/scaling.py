@@ -24,6 +24,8 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ggnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     # The axon sitecustomize forces the tunneled TPU platform at
     # interpreter start; honor an explicit JAX_PLATFORMS=cpu request
     # (required for the virtual-device mesh runs documented above).

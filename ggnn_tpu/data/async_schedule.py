@@ -319,6 +319,43 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                         tgt = np.concatenate(target_lists[r][s][t])
                         msg_targets[r, s, t, :len(tgt)] = tgt
 
+        # ---- compact per-round state layout (models/async_ggnn.py fast
+        # path): slot space [0, I_cap) = initial nodes, [I_cap, I_cap +
+        # cum-receivers) = receivers packed by CUMULATIVE real counts
+        # (recv_base), dump slot M. The model's substep then writes one
+        # contiguous RC_cap-row slice per step instead of scattering
+        # into the full [N+1, H] node buffer.
+        i_cap, rc_cap = caps.initial_nodes, caps.receiving_nodes
+        m_dump = i_cap + caps.nodes + rc_cap
+        node_to_compact = np.full((R, caps.nodes + 1), m_dump, np.int32)
+        recv_base = np.zeros((R, S), np.int32)
+        for r in range(R):
+            real = initial_nodes[r] != caps.nodes
+            node_to_compact[r][initial_nodes[r][real]] = (
+                np.nonzero(real)[0].astype(np.int32))
+            base = 0
+            for s in range(S):
+                cnt = int(recv_offsets[r, s])
+                recv_base[r, s] = base
+                rn = receiving_nodes[r, s, :cnt]
+                node_to_compact[r][rn] = i_cap + base + np.arange(
+                    cnt, dtype=np.int32)
+                base += cnt
+        send_compact = np.empty_like(sending_nodes)
+        old_compact = np.empty_like(receiving_nodes)
+        init_prev = np.empty_like(initial_nodes)
+        for r in range(R):
+            send_compact[r] = node_to_compact[r][sending_nodes[r]]
+            if r == 0:
+                # Round 0 reads previous states straight from the
+                # [N+1, H] feature buffer: keep global ids.
+                old_compact[r] = receiving_nodes[r]
+                init_prev[r] = initial_nodes[r]
+            else:
+                old_compact[r] = node_to_compact[r - 1][receiving_nodes[r]]
+                init_prev[r] = node_to_compact[r - 1][initial_nodes[r]]
+        final_compact = node_to_compact[R - 1][:caps.nodes]
+
         yield AsyncGraphBatch(
             node_features=pad_to(
                 np.concatenate(feats, axis=0).astype(np.float32), caps.nodes),
@@ -328,6 +365,11 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
             sending_nodes=sending_nodes,
             msg_targets=msg_targets,
             receiving_nodes=receiving_nodes,
+            send_compact=send_compact,
+            old_compact=old_compact,
+            init_prev=init_prev,
+            recv_base=recv_base,
+            final_compact=final_compact,
             targets=pad_to(np.asarray(values, np.float32).T.reshape(
                 num_tasks, graphs_in_batch), caps.graphs, axis=1),
             target_mask=pad_to(np.asarray(masks, np.float32).T.reshape(

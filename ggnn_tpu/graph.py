@@ -147,6 +147,18 @@ class AsyncGraphBatch:
     target_mask: jax.Array     # [K, G]
     num_graphs: jax.Array
     num_nodes: jax.Array
+    # Compact per-round state layout (data/async_schedule.py): slots
+    # [0, I) initial, [I, I + cum-receivers) receivers at cumulative
+    # offsets `recv_base`, dump at M = I + N + RC. Lets the model write
+    # one contiguous slice per substep instead of scattering into the
+    # full node buffer (models/async_ggnn.py fast path).
+    send_compact: jax.Array = None     # [R, S, T, SE] compact slots
+    old_compact: jax.Array = None      # [R, S, RC] prev-round slots
+                                       #   (round 0: global node ids)
+    init_prev: jax.Array = None        # [R, I] prev-round slots
+                                       #   (round 0: global node ids)
+    recv_base: jax.Array = None        # [R, S] cumulative receiver base
+    final_compact: jax.Array = None    # [N] last round's slot per node
 
     @property
     def node_capacity(self) -> int:

@@ -59,6 +59,10 @@ class AsyncGGNN:
 
     def forward(self, params: Dict, batch: AsyncGraphBatch, *, rng=None,
                 is_training: bool = False) -> jax.Array:
+        if (getattr(batch, "send_compact", None) is not None
+                and self.config.get("async_compact", True)):
+            return self._forward_compact(params, batch, rng=rng,
+                                         is_training=is_training)
         n_cap = batch.node_capacity
         h_dim = self.hidden_size
         rc_cap = batch.receiving_nodes.shape[-1]
@@ -107,6 +111,71 @@ class AsyncGGNN:
             cur_ext = new_ext.at[n_cap].set(0.0)
 
         return cur_ext[:n_cap]
+
+    def _forward_compact(self, params: Dict, batch: AsyncGraphBatch, *,
+                         rng=None, is_training: bool = False) -> jax.Array:
+        """Compact-buffer propagation (the fast path).
+
+        The plain path scatters each substep's receiver updates into the
+        full [N+1, H] node buffer — 40MB of read-modify-write traffic
+        per substep at the 100k-node budget, for RC-row payloads. Here
+        every round's states live in a compact slot space (initial nodes
+        first, then receivers at cumulative per-step offsets, see
+        data/async_schedule.py), so a substep writes ONE contiguous
+        [RC, H] `dynamic_update_slice` and all gathers index subsets.
+        Padding lanes overwrite slots that a later step rewrites before
+        anyone reads them; nothing ever reads a stale slot (senders only
+        reference receivers of strictly earlier steps or initial nodes).
+        """
+        n_cap = batch.node_capacity
+        h_dim = self.hidden_size
+        i_cap = batch.initial_nodes.shape[-1]
+        rc_cap = batch.receiving_nodes.shape[-1]
+        m_dump = i_cap + n_cap + rc_cap
+        feats_ext = jnp.concatenate(
+            [batch.node_features, jnp.zeros((1, h_dim))], axis=0)
+
+        prev_buf = feats_ext  # round 0 reads prev states by global id
+        for prop_round in range(self.propagation_rounds):
+            if rng is not None:
+                rng, round_rng = jax.random.split(rng)
+            else:
+                round_rng = jax.random.PRNGKey(0)  # unused when not training
+            step_rngs = jax.random.split(round_rng, self.propagation_substeps)
+
+            buf = jnp.zeros((m_dump + 1, h_dim))
+            buf = buf.at[:i_cap].set(prev_buf[batch.init_prev[prop_round]])
+
+            def substep(buf, inputs, prev_buf=prev_buf):
+                send_c, msg_tgt, old_idx, base, step_rng = inputs
+                send_states = buf[send_c]                       # [T, SE, H]
+                msgs = jnp.einsum(
+                    "teh,thd->ted", send_states, params["edge_weights"],
+                    preferred_element_type=jnp.float32)
+                if self.use_edge_bias:
+                    msgs = msgs + params["edge_biases"][:, None, :]
+                t, se, _ = msgs.shape
+                agg = segment_sum(
+                    msgs.reshape(t * se, h_dim), msg_tgt.reshape(t * se),
+                    rc_cap + 1)[:rc_cap]                        # [RC, H]
+                old = prev_buf[old_idx]                         # [RC, H]
+                new_h = self.cell_apply(
+                    params["cell"], agg, old,
+                    rng=step_rng, is_training=is_training)
+                buf = jax.lax.dynamic_update_slice(
+                    buf, new_h, (i_cap + base, 0))
+                return buf, None
+
+            buf, _ = jax.lax.scan(
+                substep, buf,
+                (batch.send_compact[prop_round],
+                 batch.msg_targets[prop_round],
+                 batch.old_compact[prop_round],
+                 batch.recv_base[prop_round],
+                 step_rngs))
+            prev_buf = buf.at[m_dump].set(0.0)
+
+        return prev_buf[batch.final_compact]
 
     def readout(self, heads: Dict, task_ids, last_h: jax.Array,
                 batch: AsyncGraphBatch, *, keep_prob: float = 1.0,

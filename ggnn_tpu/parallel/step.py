@@ -35,7 +35,8 @@ def make_parallel_steps(model, optimizer, config: Dict,
                         task_ids: Sequence[int], mesh: Mesh,
                         return_grads: bool = False,
                         batch_kind: str = "sparse",
-                        batch_template=None) -> Tuple:
+                        batch_template=None,
+                        state_template=None) -> Tuple:
     """Build (train_step, eval_step), each jitted over `mesh`.
 
     `batch_kind="sparse"` targets `GraphBatch`es (edge axis allowed;
@@ -56,6 +57,9 @@ def make_parallel_steps(model, optimizer, config: Dict,
         raise ValueError(
             "mesh has edge-parallelism but the model was not built with "
             "edge_axis='edge'")
+    if batch_kind == "sparse_tp" and state_template is None:
+        raise ValueError("batch_kind='sparse_tp' needs state_template "
+                         "(param/opt-state sharding is path-derived)")
 
     use_graph = config["use_graph"]
     keep_prob = config["out_layer_dropout_keep_prob"]
@@ -128,7 +132,16 @@ def make_parallel_steps(model, optimizer, config: Dict,
                        "num_graphs": num_graphs}
 
     state_specs = P()  # params/opt state replicated on every chip
-    if batch_kind == "dense":
+    metric_extra_specs = {}
+    if batch_kind == "sparse_tp":
+        from ggnn_tpu.parallel.tp import tp_batch_specs, tp_state_specs
+        state_specs = tp_state_specs(state_template)
+        batch_specs = tp_batch_specs()
+        if return_grads:
+            # Sharded weight leaves' gradients stay sharded.
+            metric_extra_specs["grads"] = tp_state_specs(
+                state_template["params"])
+    elif batch_kind == "dense":
         from ggnn_tpu.parallel.stacking import stacked_dense_batch_specs
         batch_specs = stacked_dense_batch_specs()
     elif batch_kind == "data_only":
@@ -143,13 +156,16 @@ def make_parallel_steps(model, optimizer, config: Dict,
         batch_specs = sharded_batch_specs(n_edge)
     else:
         batch_specs = stacked_batch_specs(n_edge)
-    metric_specs = P()
+    train_metric_specs = P()
+    if metric_extra_specs:  # train metrics carry sharded grad leaves
+        train_metric_specs = {"loss": P(), "accuracies": P(),
+                              "num_graphs": P(), **metric_extra_specs}
 
     train = jax.jit(
         jax.shard_map(
             train_step, mesh=mesh,
             in_specs=(state_specs, batch_specs, P()),
-            out_specs=(state_specs, metric_specs),
+            out_specs=(state_specs, train_metric_specs),
             check_vma=True,
         ),
         donate_argnums=(0,),
@@ -158,7 +174,7 @@ def make_parallel_steps(model, optimizer, config: Dict,
         jax.shard_map(
             eval_step, mesh=mesh,
             in_specs=(state_specs, batch_specs, P()),
-            out_specs=(state_specs, metric_specs),
+            out_specs=(state_specs, P()),
             check_vma=True,
         ),
     )

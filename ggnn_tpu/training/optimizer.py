@@ -21,17 +21,33 @@ import jax.numpy as jnp
 import optax
 
 
-def clip_by_norm_per_leaf(clip_norm: float) -> optax.GradientTransformation:
-    """tf.clip_by_norm per gradient leaf: g * clip / max(||g||, clip)."""
+def clip_by_norm_per_leaf(clip_norm: float, tp_axis: Optional[str] = None,
+                          tp_is_sharded: Optional[Callable] = None
+                          ) -> optax.GradientTransformation:
+    """tf.clip_by_norm per gradient leaf: g * clip / max(||g||, clip).
+
+    Under tensor parallelism (parallel/tp.py) some leaves are sharded
+    over mesh axis `tp_axis`; their clip must use the GLOBAL leaf norm
+    (the reference clips each full variable, chem_tensorflow.py:185-190),
+    so sharded leaves' squared norms are psummed across the axis.
+    `tp_is_sharded(path) -> bool` selects them.
+    """
 
     def update_fn(updates, state, params=None):
         del params
 
-        def clip(g):
-            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+        def clip(g, sharded=False):
+            sq = jnp.sum(jnp.square(g))
+            if sharded and tp_axis is not None:
+                sq = jax.lax.psum(sq, tp_axis)
+            norm = jnp.sqrt(sq)
             return g * (clip_norm / jnp.maximum(norm, clip_norm))
 
-        return jax.tree_util.tree_map(clip, updates), state
+        if tp_axis is None or tp_is_sharded is None:
+            return jax.tree_util.tree_map(clip, updates), state
+        clipped = jax.tree_util.tree_map_with_path(
+            lambda path, g: clip(g, tp_is_sharded(path)), updates)
+        return clipped, state
 
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
 
@@ -63,15 +79,19 @@ def tf_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
 
 def make_optimizer(learning_rate: float, clamp_gradient_norm: float,
                    freeze_graph_model: bool = False,
-                   label_fn: Optional[Callable] = None
+                   label_fn: Optional[Callable] = None,
+                   tp_axis: Optional[str] = None,
+                   tp_is_sharded: Optional[Callable] = None
                    ) -> optax.GradientTransformation:
     """clip-per-leaf -> TF-Adam, optionally freezing the 'graph' subtree.
 
     `label_fn` maps the param pytree to {'graph','heads'} labels; the
     default assumes the Runner's {'graph': ..., 'heads': ...} layout.
+    `tp_axis`/`tp_is_sharded`: see clip_by_norm_per_leaf (tensor-parallel
+    global-norm clipping).
     """
     opt = optax.chain(
-        clip_by_norm_per_leaf(clamp_gradient_norm),
+        clip_by_norm_per_leaf(clamp_gradient_norm, tp_axis, tp_is_sharded),
         tf_adam(learning_rate),
     )
     if not freeze_graph_model:

@@ -121,7 +121,18 @@ class Runner:
             from ggnn_tpu.parallel.mesh import EDGE_AXIS
             n_edge = mesh.shape[EDGE_AXIS]
             if variant in ("sparse", "rgcn"):
-                self._mesh_kind = "sparse"
+                # Two edge-axis strategies (config "edge_parallelism"):
+                #   "node_shard" (default) — node-sharded boundary
+                #     exchange (parallel/node_shard.py);
+                #   "type_tp" — tensor parallelism over the [T, H, H]
+                #     edge weights' type axis (parallel/tp.py).
+                if (n_edge > 1 and config.get("edge_parallelism",
+                                              "node_shard") == "type_tp"):
+                    from ggnn_tpu.parallel.tp import validate_tp
+                    validate_tp(self.meta.num_edge_types, n_edge)
+                    self._mesh_kind = "sparse_tp"
+                else:
+                    self._mesh_kind = "sparse"
             elif variant in ("dense", "blocked"):
                 if n_edge > 1:
                     raise ValueError(
@@ -136,7 +147,7 @@ class Runner:
                 self._mesh_kind = "data_only"
 
         # Model + parameters.
-        if self._mesh_kind == "sparse":
+        if self._mesh_kind in ("sparse", "sparse_tp"):
             from ggnn_tpu.parallel.mesh import EDGE_AXIS
             n_edge = mesh.shape[EDGE_AXIS]
             self.model = self.adapter.build_model(
@@ -149,9 +160,19 @@ class Runner:
             "heads": init_output_heads(k_heads, config["hidden_size"],
                                        self.task_ids),
         }
-        self.optimizer = make_optimizer(
-            config["learning_rate"], config["clamp_gradient_norm"],
-            freeze_graph_model)
+        if self._mesh_kind == "sparse_tp":
+            # Clip-by-norm must see the GLOBAL norm of the type-sharded
+            # weight leaves (parallel/tp.py).
+            from ggnn_tpu.parallel.mesh import EDGE_AXIS
+            from ggnn_tpu.parallel.tp import is_tp_sharded_path
+            self.optimizer = make_optimizer(
+                config["learning_rate"], config["clamp_gradient_norm"],
+                freeze_graph_model, tp_axis=EDGE_AXIS,
+                tp_is_sharded=is_tp_sharded_path)
+        else:
+            self.optimizer = make_optimizer(
+                config["learning_rate"], config["clamp_gradient_norm"],
+                freeze_graph_model)
         opt_state = self.optimizer.init(params)
         self.state = {"params": params, "opt_state": opt_state}
 
@@ -196,7 +217,8 @@ class Runner:
                     mesh.shape[EDGE_AXIS])
             self._train_step, self._eval_step = make_parallel_steps(
                 self.model, self.optimizer, config, self.task_ids, mesh,
-                batch_kind=self._mesh_kind, batch_template=template)
+                batch_kind=self._mesh_kind, batch_template=template,
+                state_template=self.state)
         else:
             self._train_step = jax.jit(self._make_step(is_training=True),
                                        donate_argnums=(0,))

@@ -279,3 +279,39 @@ def test_extended_dense_gradients_finite():
     grads = jax.grad(loss)(params)
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_async_compact_matches_plain_path():
+    """The compact-buffer fast path (contiguous slice writes per
+    substep) must be numerically identical to the plain scatter path on
+    every round/step — same schedules, same weights."""
+    H = 16
+    raw = synthetic_molecules(25, seed=9)
+    processed = preprocess_async(raw, 4, True, 4, 40, [0], {}, False)
+    caps = plan_async_capacities(processed, 4, 220, 4)
+    batches = list(pack_async_batches(processed, 4, 220, caps, 4, 40, H, 5,
+                                      False, None))
+    cfg = {"hidden_size": H, "propagation_rounds": 4,
+           "propagation_substeps": 40, "use_edge_bias": True,
+           "graph_rnn_cell": "GRU", "graph_rnn_activation": "tanh",
+           "graph_state_dropout_keep_prob": 1.0}
+    model_fast = AsyncGGNN(dict(cfg, async_compact=True), 4)
+    model_plain = AsyncGGNN(dict(cfg, async_compact=False), 4)
+    params = model_fast.init_params(jax.random.PRNGKey(3))
+    for b in batches:
+        fast = np.asarray(model_fast.forward(params, b))
+        plain = np.asarray(model_plain.forward(params, b))
+        np.testing.assert_allclose(fast, plain, rtol=1e-5, atol=1e-6)
+    # Gradients agree too (the slice-write overwrite scheme must not
+    # leak cotangents through overwritten pad rows).
+    b = batches[0]
+
+    def loss(p, m):
+        return jnp.sum(m.forward(p, b) ** 2)
+
+    g_fast = jax.grad(lambda p: loss(p, model_fast))(params)
+    g_plain = jax.grad(lambda p: loss(p, model_plain))(params)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6),
+        g_fast, g_plain)

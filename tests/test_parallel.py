@@ -319,3 +319,64 @@ def test_node_shard_boundary_capacity_overflow_raises():
                         edges_per_type=good.edges_per_type, boundary=0)
     with pytest.raises(ValueError):
         shard_batch(b, bad)
+
+
+@pytest.mark.parametrize("n_data,n_edge", [(4, 2), (2, 4)])
+def test_type_tp_matches_single_device(n_data, n_edge):
+    """Tensor parallelism over the [T, H, H] edge weights: sharding the
+    type axis (weights + edge lanes) is a pure re-layout — loss and
+    every gradient leaf match the single-device oracle, including the
+    global-norm clip on sharded leaves."""
+    cfg, meta, batches = _setup()
+    assert meta.num_edge_types % n_edge == 0
+    mesh = make_mesh(n_data=n_data, n_edge=n_edge)
+    model_p, params = _params(cfg, meta, edge_axis="edge")
+    model_s, _ = _params(cfg, meta)
+    from ggnn_tpu.parallel.mesh import EDGE_AXIS
+    from ggnn_tpu.parallel.tp import is_tp_sharded_path
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"],
+                         tp_axis=EDGE_AXIS,
+                         tp_is_sharded=is_tp_sharded_path)
+    state = {"params": jax.tree_util.tree_map(jnp.copy, params),
+             "opt_state": opt.init(params)}
+    train_step, eval_step = make_parallel_steps(
+        model_p, opt, cfg, cfg["task_ids"], mesh, return_grads=True,
+        batch_kind="sparse_tp", state_template=state)
+    stack = stack_batches(batches, n_data=n_data, n_edge=1)
+    new_state, metrics = train_step(state, stack, jax.random.PRNGKey(0))
+
+    def loss_fn(p):
+        return _oracle_loss(model_s, p, batches, cfg["task_ids"])
+
+    (exp_loss, _), grads = jax.value_and_grad(
+        lambda p: loss_fn(p), has_aux=True)(params)
+    np.testing.assert_allclose(float(metrics["loss"]), float(exp_loss),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        metrics["grads"], grads)
+    # Post-step sharded weights assemble to a full [T, H, H] per layer.
+    w0 = np.asarray(new_state["params"]["graph"]["layers"][0]["edge_weights"])
+    assert w0.shape == (meta.num_edge_types, cfg["hidden_size"],
+                        cfg["hidden_size"])
+
+
+def test_type_tp_runner_end_to_end():
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 2, "hidden_size": 16, "batch_size": 120,'
+        ' "edge_parallelism": "type_tp",'
+        ' "use_propagation_attention": true, "use_edge_bias": true}')
+    mesh = make_mesh(n_data=2, n_edge=2)
+    runner = Runner("sparse", cfg, log_dir="/tmp/mesh_tp_test",
+                    train_data=synthetic_molecules(60, seed=0),
+                    valid_data=synthetic_molecules(16, seed=1),
+                    quiet=True, tensorboard=False, mesh=mesh)
+    log = runner.train()
+    assert len(log) == 2
+    assert np.isfinite(log[1]["valid_results"][0])
