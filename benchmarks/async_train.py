@@ -21,9 +21,9 @@ from ggnn_tpu.training.optimizer import make_optimizer
 
 cfg = default_params_for("async")
 cfg["async_compact"] = os.environ.get("GGNN_ASYNC_COMPACT", "1") == "1"
-cfg["num_nodes"] = 20000
+cfg["num_nodes"] = int(os.environ.get("GGNN_ASYNC_NODES", "20000"))
 cfg["propagation_substeps"] = 40
-data = synthetic_molecules(2000, seed=0)
+data = synthetic_molecules(int(os.environ.get("GGNN_ASYNC_MOLS", "2000")), seed=0)
 meta = infer_metadata([data], True)
 proc = preprocess_async(data, meta.num_edge_types, True,
                         cfg["propagation_rounds"],

@@ -1,0 +1,80 @@
+"""Batch-of-one inference latency (serving path).
+
+Reports, for a single molecule through a trained sparse Predictor:
+  * device forward latency (compiled executable, chained on-device via
+    fori_loop and differenced — the tunnel's ~27ms RTT and dispatch
+    overhead cancel out);
+  * host packing cost (native C assembly of the 1-graph batch);
+  * end-to-end wall time per `Predictor.__call__` (includes one
+    host->device transfer + one device->host fetch; on the tunneled
+    chip this is transport-dominated — deploy-side numbers exclude the
+    tunnel).
+"""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/ggnn_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+import jax.numpy as jnp
+
+from ggnn_tpu.data.synthetic import synthetic_molecules
+from ggnn_tpu.serving import Predictor
+from ggnn_tpu.training.config import default_params_for
+from ggnn_tpu.training.runner import Runner
+
+
+def main():
+    cfg = default_params_for("sparse")
+    cfg.update({"num_epochs": 1, "batch_size": 2000})
+    runner = Runner("sparse", cfg, log_dir="/tmp/latency_bench", quiet=True,
+                    tensorboard=False,
+                    train_data=synthetic_molecules(100, seed=0),
+                    valid_data=synthetic_molecules(20, seed=1))
+    runner.train()
+    # Tight envelope: one molecule <= 32 nodes.
+    p = Predictor.from_checkpoint(runner.best_model_file, "sparse",
+                                  max_nodes=32, max_graphs=8)
+    mol = synthetic_molecules(1, seed=5)
+
+    # Warm/compile + correctness.
+    out = p(mol)
+    assert np.isfinite(out).all()
+
+    # Host packing cost.
+    t0 = time.time()
+    reps = 50
+    for _ in range(reps):
+        batches = list(p._batches(mol, len(mol[0]["node_features"][0])))
+    pack_ms = (time.time() - t0) / reps * 1e3
+    batch = jax.device_put(batches[0])
+
+    # Device forward latency: chain on device, difference run lengths.
+    def many(params, n):
+        def body(i, acc):
+            out = p._forward(params, batch)
+            return acc + jnp.sum(out) * 1e-9
+        return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+
+    g = jax.jit(many, static_argnums=1)
+    float(g(p.params, 3))
+    t0 = time.time(); float(g(p.params, 10)); t1 = time.time()
+    t2 = time.time(); float(g(p.params, 210)); t3 = time.time()
+    device_us = ((t3 - t2) - (t1 - t0)) / 200 * 1e6
+
+    # End-to-end wall (transport included).
+    t0 = time.time()
+    for _ in range(10):
+        p(mol)
+    wall_ms = (time.time() - t0) / 10 * 1e3
+
+    print(f"batch-of-1 sparse inference: device forward {device_us:.0f} us"
+          f" | host packing {pack_ms:.2f} ms"
+          f" | end-to-end (tunneled transport) {wall_ms:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,7 +10,11 @@ from ggnn_tpu.models.sparse_ggnn import SparseGGNN
 from ggnn_tpu.training.config import default_params_for
 from ggnn_tpu.training.optimizer import make_optimizer
 
-mode = sys.argv[1]
+# Round 2: the `ell`/`ell16`/`sorted` modes were retired along with the
+# ELL config surface — the packer's target-sorted layout (always on) IS
+# the sorted path, and the Pallas kernel measured at parity with it
+# (archived: ops/pallas/ell_spmm.py, benchmarks/README.md).
+mode = sys.argv[1] if len(sys.argv) > 1 else "xla"
 data = synthetic_molecules(2000, seed=0)
 base = default_params_for("sparse"); base["batch_size"] = 20000
 meta = infer_metadata([data], True)
@@ -26,7 +30,7 @@ b_ell = jax.device_put(next(packing.pack_sparse_batches(proc, meta.num_edge_type
 ng = int(b_ell.num_graphs)
 print(f"KE={ke} graphs={ng}", flush=True)
 
-over = {"xla": {}, "sorted": {"ell_block": BN}, "ell": {"ell_block": BN, "ell_pallas": True}, "ell16": {"ell_block": BN, "ell_pallas": True, "compute_dtype": "bfloat16"}}[mode]
+over = {"xla": {}, "bf16": {"compute_dtype": "bfloat16"}}[mode]
 cfg = {**base, **over}
 model = SparseGGNN(cfg, meta.num_edge_types)
 key = jax.random.PRNGKey(0)

@@ -84,6 +84,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-every-epoch", action="store_true",
                    help="Also write a rolling <run_id>_model_last.pickle "
                         "after every epoch (preemption recovery).")
+    p.add_argument("--checkpoint-every-steps", type=int, default=0,
+                   metavar="K",
+                   help="Mid-epoch preemption recovery: every K training "
+                        "steps, write the rolling checkpoint WITH the "
+                        "data-iterator state (epoch, stream position, "
+                        "RNG), so --restore resumes the same epoch at "
+                        "the same batch.")
     p.add_argument("--pdb", action="store_true",
                    help="Drop into pdb.post_mortem on any exception (the "
                         "reference CLIs' behavior, e.g. "
@@ -112,7 +119,8 @@ def main(argv=None) -> int:
             train_data=train_data, valid_data=valid_data,
             restrict_data=args.restrict_data, quiet=args.quiet,
             profile_dir=args.profile,
-            save_every_epoch=args.save_every_epoch)
+            save_every_epoch=args.save_every_epoch,
+            checkpoint_every_steps=args.checkpoint_every_steps)
         if args.evaluate:
             if valid_data is not None:
                 runner.example_evaluation(example_molecules=valid_data[:10])

@@ -52,6 +52,60 @@ class AsyncCapacities:
     initial_nodes: int      # per round
     sending_edges: int      # per (round, step, type)
     receiving_nodes: int    # per (round, step)
+    # Segmented-scan plan (models/async_ggnn.py fast path): per round, a
+    # tuple of (step_lo, step_hi, sea_cap, rc_cap) segments with
+    # type-COMBINED send lanes sized to the steps they cover. Measured
+    # on QM9-shaped packing: the uniform per-(round,step,type) lanes run
+    # at 3.1% occupancy; depth-profiled segments with combined lanes cut
+    # the padded work ~13x. None = plain (uniform) layout only.
+    plan: tuple = None
+
+
+def plan_segments(send_profile: np.ndarray, recv_profile: np.ndarray,
+                  margin: float = 1.3, max_segments: int = 4) -> tuple:
+    """DP-optimal contiguous segmentation of one round's step range.
+
+    `send_profile[s]` / `recv_profile[s]` are the max (over planned
+    batch compositions) type-combined send / receiver counts of step s.
+    Minimizes sum over segments of n_steps * (sea_cap + rc_cap); steps
+    with zero work are dropped entirely (their segments vanish).
+    """
+    sa = [round_up(int(np.ceil(x * margin)), 8) if x else 0
+          for x in send_profile]
+    ra = [round_up(int(np.ceil(x * margin)), 8) if x else 0
+          for x in recv_profile]
+    s_count = len(sa)
+    inf = float("inf")
+    # dp[i][k] = min cost covering steps [0, i) with k segments.
+    dp = [[inf] * (max_segments + 1) for _ in range(s_count + 1)]
+    choice = [[None] * (max_segments + 1) for _ in range(s_count + 1)]
+    dp[0][0] = 0.0
+    for i in range(s_count):
+        for k in range(max_segments):
+            if dp[i][k] == inf:
+                continue
+            ma = mb = 0
+            for j in range(i, s_count):
+                ma, mb = max(ma, sa[j]), max(mb, ra[j])
+                cost = dp[i][k] + (j - i + 1) * (ma + mb)
+                if cost < dp[j + 1][k + 1]:
+                    dp[j + 1][k + 1] = cost
+                    choice[j + 1][k + 1] = i
+    best_k = min(range(1, max_segments + 1), key=lambda k: dp[s_count][k])
+    bounds = []
+    i, k = s_count, best_k
+    while i > 0:
+        lo = choice[i][k]
+        bounds.append((lo, i))
+        i, k = lo, k - 1
+    segments = []
+    for lo, hi in reversed(bounds):
+        sea = max(sa[lo:hi])
+        rc = max(ra[lo:hi])
+        if sea == 0 and rc == 0:
+            continue  # empty tail/head steps: no compiled work at all
+        segments.append((lo, hi, max(sea, 8), max(rc, 8)))
+    return tuple(segments)
 
 
 def dfs_depths(outgoing: Dict[int, List[Tuple[int, int, int]]],
@@ -186,32 +240,49 @@ def preprocess_async(raw_data: Sequence, num_edge_types: int,
 def plan_async_capacities(processed: Sequence[dict], num_edge_types: int,
                           node_budget: int, propagation_rounds: int,
                           margin: float = 1.3) -> AsyncCapacities:
+    return plan_async_capacities_multi([processed], num_edge_types,
+                                       node_budget, propagation_rounds,
+                                       margin)
+
+
+def plan_async_capacities_multi(processed_lists, num_edge_types: int,
+                                node_budget: int, propagation_rounds: int,
+                                margin: float = 1.3) -> AsyncCapacities:
+    """Shared capacities + segmented-scan plan over several splits
+    (train + valid must compile to the same shapes)."""
     max_graphs = 1
     max_init, max_send, max_recv = 1, 1, 1
-    cur = None
 
     def fresh():
         return {"graphs": 0, "nodes": 0,
                 "init": [0] * propagation_rounds,
                 "send": {}, "recv": {}}
 
-    cur = fresh()
     stats = []
-    for g in processed:
-        n = len(g["init"])
-        if cur["nodes"] + n >= node_budget and cur["graphs"] > 0:
-            stats.append(cur)
-            cur = fresh()
-        cur["graphs"] += 1
-        cur["nodes"] += n
-        for r, (initial, sending, _mt, receiving) in enumerate(g["prop_schedules"]):
-            cur["init"][r] += len(initial)
-            for s in range(len(receiving)):
-                cur["recv"][(r, s)] = cur["recv"].get((r, s), 0) + len(receiving[s])
-                for t in range(num_edge_types):
-                    cur["send"][(r, s, t)] = (
-                        cur["send"].get((r, s, t), 0) + len(sending[s][t]))
-    stats.append(cur)
+    for processed in processed_lists:
+        cur = fresh()
+        for g in processed:
+            n = len(g["init"])
+            if cur["nodes"] + n >= node_budget and cur["graphs"] > 0:
+                stats.append(cur)
+                cur = fresh()
+            cur["graphs"] += 1
+            cur["nodes"] += n
+            for r, (initial, sending, _mt, receiving) in enumerate(
+                    g["prop_schedules"]):
+                cur["init"][r] += len(initial)
+                for s in range(len(receiving)):
+                    cur["recv"][(r, s)] = (cur["recv"].get((r, s), 0)
+                                           + len(receiving[s]))
+                    for t in range(num_edge_types):
+                        cur["send"][(r, s, t)] = (
+                            cur["send"].get((r, s, t), 0)
+                            + len(sending[s][t]))
+        stats.append(cur)
+    s_dim = 1 + max((s for st in stats for (_r, s) in st["recv"]),
+                    default=0)
+    send_prof = np.zeros((propagation_rounds, s_dim), np.int64)
+    recv_prof = np.zeros((propagation_rounds, s_dim), np.int64)
     for st in stats:
         max_graphs = max(max_graphs, st["graphs"])
         max_init = max(max_init, max(st["init"]))
@@ -219,13 +290,79 @@ def plan_async_capacities(processed: Sequence[dict], num_edge_types: int,
             max_send = max(max_send, max(st["send"].values()))
         if st["recv"]:
             max_recv = max(max_recv, max(st["recv"].values()))
+        for (r, s), v in st["recv"].items():
+            recv_prof[r, s] = max(recv_prof[r, s], v)
+        combined: Dict = {}
+        for (r, s, _t), v in st["send"].items():
+            combined[(r, s)] = combined.get((r, s), 0) + v
+        for (r, s), v in combined.items():
+            send_prof[r, s] = max(send_prof[r, s], v)
+    plan = tuple(plan_segments(send_prof[r], recv_prof[r], margin)
+                 for r in range(propagation_rounds))
     return AsyncCapacities(
         nodes=round_up(node_budget, 8),
         graphs=round_up(int(np.ceil(max_graphs * margin)), 8),
         initial_nodes=round_up(int(np.ceil(max_init * margin)), 8),
         sending_edges=round_up(int(np.ceil(max_send * margin)), 8),
         receiving_nodes=round_up(int(np.ceil(max_recv * margin)), 8),
+        plan=plan,
     )
+
+
+class _SegmentOverflow(Exception):
+    pass
+
+
+def _build_segments(plan, R, T, caps, i_cap, m_dump, node_to_compact,
+                    recv_base, recv_offsets, sending_nodes, msg_targets,
+                    receiving_nodes):
+    """Per-round AsyncSegment tuples from the uniform packed arrays."""
+    from ggnn_tpu.graph import AsyncSegment
+    rc_pad = caps.receiving_nodes  # pad marker in uniform msg_targets
+    rounds = []
+    for r in range(R):
+        segs = []
+        for (lo, hi, sea_cap, rc_cap) in plan[r]:
+            n = hi - lo
+            sc = np.full((n, sea_cap), m_dump, np.int32)
+            mtyp = np.zeros((n, sea_cap), np.int32)
+            tg = np.full((n, sea_cap), rc_cap, np.int32)
+            oc = np.full((n, rc_cap),
+                         m_dump if r > 0 else caps.nodes, np.int32)
+            rb = np.zeros((n,), np.int32)
+            for k, s in enumerate(range(lo, hi)):
+                rb[k] = recv_base[r, s]
+                cnt = int(recv_offsets[r, s])
+                if cnt > rc_cap:
+                    raise _SegmentOverflow(
+                        f"round {r} step {s}: {cnt} receivers > {rc_cap}")
+                rn = receiving_nodes[r, s, :cnt]
+                oc[k, :cnt] = rn if r == 0 else node_to_compact[r - 1][rn]
+                sends, tgts, typs = [], [], []
+                for t in range(T):
+                    real = msg_targets[r, s, t] < rc_pad
+                    sends.append(sending_nodes[r, s, t][real])
+                    tgts.append(msg_targets[r, s, t][real])
+                    typs.append(np.full(int(real.sum()), t, np.int32))
+                sends = np.concatenate(sends)
+                tgts = np.concatenate(tgts)
+                typs = np.concatenate(typs)
+                if len(sends) > sea_cap:
+                    raise _SegmentOverflow(
+                        f"round {r} step {s}: {len(sends)} sends > "
+                        f"{sea_cap}")
+                # (target, type)-sorted so the composite segment id
+                # target*T + type is monotone (sorted scatter).
+                order = np.lexsort((typs, tgts))
+                m = len(order)
+                sc[k, :m] = node_to_compact[r][sends[order]]
+                tg[k, :m] = tgts[order]
+                mtyp[k, :m] = typs[order]
+            segs.append(AsyncSegment(send_compact=sc, msg_type=mtyp,
+                                     msg_target=tg, old_compact=oc,
+                                     recv_base=rb))
+        rounds.append(tuple(segs))
+    return tuple(rounds)
 
 
 def pack_async_batches(processed: List[dict], num_edge_types: int,
@@ -319,14 +456,17 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                         tgt = np.concatenate(target_lists[r][s][t])
                         msg_targets[r, s, t, :len(tgt)] = tgt
 
-        # ---- compact per-round state layout (models/async_ggnn.py fast
+        # ---- segmented compact-state layout (models/async_ggnn.py fast
         # path): slot space [0, I_cap) = initial nodes, [I_cap, I_cap +
-        # cum-receivers) = receivers packed by CUMULATIVE real counts
-        # (recv_base), dump slot M. The model's substep then writes one
-        # contiguous RC_cap-row slice per step instead of scattering
-        # into the full [N+1, H] node buffer.
-        i_cap, rc_cap = caps.initial_nodes, caps.receiving_nodes
-        m_dump = i_cap + caps.nodes + rc_cap
+        # cum-receivers) = receivers packed by CUMULATIVE real counts,
+        # dump slot M. Steps are grouped into the plan's depth-profiled
+        # segments with type-combined (target, type)-sorted send lanes.
+        from ggnn_tpu.graph import AsyncSegment
+        i_cap = caps.initial_nodes
+        plan = getattr(caps, "plan", None)
+        max_rc_seg = max((seg[3] for segs in (plan or ()) for seg in segs),
+                         default=caps.receiving_nodes)
+        m_dump = i_cap + caps.nodes + max_rc_seg
         node_to_compact = np.full((R, caps.nodes + 1), m_dump, np.int32)
         recv_base = np.zeros((R, S), np.int32)
         for r in range(R):
@@ -341,20 +481,29 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                 node_to_compact[r][rn] = i_cap + base + np.arange(
                     cnt, dtype=np.int32)
                 base += cnt
-        send_compact = np.empty_like(sending_nodes)
-        old_compact = np.empty_like(receiving_nodes)
         init_prev = np.empty_like(initial_nodes)
         for r in range(R):
-            send_compact[r] = node_to_compact[r][sending_nodes[r]]
             if r == 0:
                 # Round 0 reads previous states straight from the
                 # [N+1, H] feature buffer: keep global ids.
-                old_compact[r] = receiving_nodes[r]
                 init_prev[r] = initial_nodes[r]
             else:
-                old_compact[r] = node_to_compact[r - 1][receiving_nodes[r]]
                 init_prev[r] = node_to_compact[r - 1][initial_nodes[r]]
         final_compact = node_to_compact[R - 1][:caps.nodes]
+
+        seg_rounds = None
+        if plan is not None:
+            try:
+                seg_rounds = _build_segments(
+                    plan, R, T, caps, i_cap, m_dump, node_to_compact,
+                    recv_base, recv_offsets, sending_nodes, msg_targets,
+                    receiving_nodes)
+            except _SegmentOverflow as e:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "async segment capacity overflow (%s); batch falls "
+                    "back to the plain path", e)
+                seg_rounds = None
 
         yield AsyncGraphBatch(
             node_features=pad_to(
@@ -365,10 +514,8 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
             sending_nodes=sending_nodes,
             msg_targets=msg_targets,
             receiving_nodes=receiving_nodes,
-            send_compact=send_compact,
-            old_compact=old_compact,
+            seg_rounds=seg_rounds,
             init_prev=init_prev,
-            recv_base=recv_base,
             final_compact=final_compact,
             targets=pad_to(np.asarray(values, np.float32).T.reshape(
                 num_tasks, graphs_in_batch), caps.graphs, axis=1),

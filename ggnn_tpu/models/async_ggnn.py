@@ -59,10 +59,10 @@ class AsyncGGNN:
 
     def forward(self, params: Dict, batch: AsyncGraphBatch, *, rng=None,
                 is_training: bool = False) -> jax.Array:
-        if (getattr(batch, "send_compact", None) is not None
+        if (getattr(batch, "seg_rounds", None) is not None
                 and self.config.get("async_compact", True)):
-            return self._forward_compact(params, batch, rng=rng,
-                                         is_training=is_training)
+            return self._forward_segmented(params, batch, rng=rng,
+                                           is_training=is_training)
         n_cap = batch.node_capacity
         h_dim = self.hidden_size
         rc_cap = batch.receiving_nodes.shape[-1]
@@ -80,7 +80,8 @@ class AsyncGGNN:
                 rng, round_rng = jax.random.split(rng)
             else:
                 round_rng = jax.random.PRNGKey(0)  # unused when not training
-            step_rngs = jax.random.split(round_rng, self.propagation_substeps)
+            step_rngs = jax.random.split(round_rng,
+                                         batch.msg_targets.shape[1])
 
             def substep(new_ext, inputs):
                 sending, msg_tgt, receiving, step_rng = inputs
@@ -112,26 +113,37 @@ class AsyncGGNN:
 
         return cur_ext[:n_cap]
 
-    def _forward_compact(self, params: Dict, batch: AsyncGraphBatch, *,
-                         rng=None, is_training: bool = False) -> jax.Array:
-        """Compact-buffer propagation (the fast path).
+    def _forward_segmented(self, params: Dict, batch: AsyncGraphBatch, *,
+                           rng=None, is_training: bool = False) -> jax.Array:
+        """Segmented compact-buffer propagation (the fast path).
 
-        The plain path scatters each substep's receiver updates into the
-        full [N+1, H] node buffer — 40MB of read-modify-write traffic
-        per substep at the 100k-node budget, for RC-row payloads. Here
-        every round's states live in a compact slot space (initial nodes
-        first, then receivers at cumulative per-step offsets, see
-        data/async_schedule.py), so a substep writes ONE contiguous
-        [RC, H] `dynamic_update_slice` and all gathers index subsets.
-        Padding lanes overwrite slots that a later step rewrites before
-        anyone reads them; nothing ever reads a stale slot (senders only
-        reference receivers of strictly earlier steps or initial nodes).
+        Two measured problems with the uniform layout drive this design
+        (QM9-shaped packing, one v5e):
+          * per-(round,step,type) lanes run at 3.1% occupancy — the
+            per-step-type capacity is the max over a very skewed depth
+            profile, so ~97% of the gather/matmul/scatter work was
+            padding;
+          * each substep scattered its receiver updates into the full
+            [N+1, H] node buffer.
+        Here every round's states live in a compact slot space (initial
+        nodes first, then receivers at cumulative per-step offsets; see
+        data/async_schedule.py), the steps are grouped into DP-chosen
+        segments whose type-COMBINED send lanes are sized to the steps
+        they cover (~13x less padded work), and a substep writes ONE
+        contiguous [RC, H] dynamic_update_slice. Aggregation runs as a
+        single sorted segment-sum over the composite id target*T + type
+        (the lanes are (target, type)-sorted), with a ones-column ride-
+        along that yields the per-(receiver, type) counts for the edge
+        bias at no extra scatter.
         """
         n_cap = batch.node_capacity
         h_dim = self.hidden_size
+        t_dim = self.num_edge_types
         i_cap = batch.initial_nodes.shape[-1]
-        rc_cap = batch.receiving_nodes.shape[-1]
-        m_dump = i_cap + n_cap + rc_cap
+        max_rc = max((seg.old_compact.shape[1]
+                      for segs in batch.seg_rounds for seg in segs),
+                     default=8)
+        m_dump = i_cap + n_cap + max_rc
         feats_ext = jnp.concatenate(
             [batch.node_features, jnp.zeros((1, h_dim))], axis=0)
 
@@ -141,38 +153,57 @@ class AsyncGGNN:
                 rng, round_rng = jax.random.split(rng)
             else:
                 round_rng = jax.random.PRNGKey(0)  # unused when not training
-            step_rngs = jax.random.split(round_rng, self.propagation_substeps)
 
             buf = jnp.zeros((m_dump + 1, h_dim))
             buf = buf.at[:i_cap].set(prev_buf[batch.init_prev[prop_round]])
 
-            def substep(buf, inputs, prev_buf=prev_buf):
-                send_c, msg_tgt, old_idx, base, step_rng = inputs
-                send_states = buf[send_c]                       # [T, SE, H]
-                msgs = jnp.einsum(
-                    "teh,thd->ted", send_states, params["edge_weights"],
-                    preferred_element_type=jnp.float32)
-                if self.use_edge_bias:
-                    msgs = msgs + params["edge_biases"][:, None, :]
-                t, se, _ = msgs.shape
-                agg = segment_sum(
-                    msgs.reshape(t * se, h_dim), msg_tgt.reshape(t * se),
-                    rc_cap + 1)[:rc_cap]                        # [RC, H]
-                old = prev_buf[old_idx]                         # [RC, H]
-                new_h = self.cell_apply(
-                    params["cell"], agg, old,
-                    rng=step_rng, is_training=is_training)
-                buf = jax.lax.dynamic_update_slice(
-                    buf, new_h, (i_cap + base, 0))
-                return buf, None
+            for seg_idx, seg in enumerate(batch.seg_rounds[prop_round]):
+                n_steps, rc_cap = seg.old_compact.shape
+                step_rngs = jax.random.split(
+                    jax.random.fold_in(round_rng, seg_idx), n_steps)
 
-            buf, _ = jax.lax.scan(
-                substep, buf,
-                (batch.send_compact[prop_round],
-                 batch.msg_targets[prop_round],
-                 batch.old_compact[prop_round],
-                 batch.recv_base[prop_round],
-                 step_rngs))
+                def substep_inner(buf, inputs, prev_buf=prev_buf,
+                                  rc_cap=rc_cap):
+                    send_c, mtyp, mtgt, old_idx, base, step_rng = inputs
+                    gathered = buf[send_c]                  # [SEA, H]
+                    ones = jnp.ones((gathered.shape[0], 1),
+                                    gathered.dtype)
+                    # composite sorted key: target*T + type; the ones
+                    # column rides along to produce per-(rc, t) counts.
+                    comp = mtgt * t_dim + mtyp
+                    agg = segment_sum(
+                        jnp.concatenate([gathered, ones], axis=1),
+                        comp, (rc_cap + 1) * t_dim,
+                        indices_are_sorted=True)
+                    agg = agg.reshape(rc_cap + 1, t_dim,
+                                      h_dim + 1)[:rc_cap]
+                    incoming = jnp.einsum(
+                        "rth,thd->rd", agg[:, :, :h_dim],
+                        params["edge_weights"],
+                        preferred_element_type=jnp.float32)
+                    if self.use_edge_bias:
+                        incoming = incoming + jnp.einsum(
+                            "rt,th->rh", agg[:, :, h_dim],
+                            params["edge_biases"],
+                            preferred_element_type=jnp.float32)
+                    old = prev_buf[old_idx]                 # [RC, H]
+                    new_h = self.cell_apply(
+                        params["cell"], incoming, old,
+                        rng=step_rng, is_training=is_training)
+                    buf = jax.lax.dynamic_update_slice(
+                        buf, new_h, (i_cap + base, 0))
+                    return buf, None
+
+                # Remat: without it each step saves its [SEA, H]
+                # gathered rows; at the 100k-node budget that exceeded
+                # HBM (17.8G > 15.75G). Recompute-in-backward instead.
+                substep = (jax.checkpoint(substep_inner)
+                           if self.config.get("async_remat", True)
+                           else substep_inner)
+                buf, _ = jax.lax.scan(
+                    substep, buf,
+                    (seg.send_compact, seg.msg_type, seg.msg_target,
+                     seg.old_compact, seg.recv_base, step_rngs))
             prev_buf = buf.at[m_dump].set(0.0)
 
         return prev_buf[batch.final_compact]

@@ -39,7 +39,6 @@ from ggnn_tpu.ops.cells import make_cell
 from ggnn_tpu.ops.dropout import dropout
 from ggnn_tpu.ops.messages import (
     aggregate_messages,
-    aggregate_sorted_both_ways,
     aggregate_then_transform,
     average_by_in_degree,
     edge_bias_term,
@@ -82,21 +81,19 @@ class SparseGGNN:
         self.edge_axis = edge_axis
         self.aggregate_first = bool(config.get("aggregate_first", True))
         self.compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
-        # Blocked-ELL layouts (packer ell_block > 0) enable two fast
-        # aggregation paths when neither attention nor edge partitioning
-        # is active:
-        #  * ell_sorted_vjp=True: XLA with SORTED scatters in both
-        #    directions via the ELL backward arrays
-        #    (ops/messages.py:aggregate_sorted_both_ways). Measured
-        #    SLOWER than the plain path on v5e (41.3 vs 30.4 ms/step:
-        #    the per-block vmapped segment-sums lose more than the
-        #    sorted transpose gains) — kept opt-in for other hardware.
-        #  * ell_pallas=True: the Pallas MXU kernel
-        #    (ops/pallas/ell_spmm.py; f32 only, forward-parity).
-        self.ell_block = int(config.get("ell_block", 0))
-        self.ell_pallas = bool(config.get("ell_pallas", False))
-        self.ell_sorted_vjp = bool(config.get("ell_sorted_vjp", False))
-        self.ell_interpret = bool(config.get("ell_interpret", False))
+        # NOTE on removed config keys: round 1 shipped opt-in blocked-ELL
+        # aggregation paths (`ell_pallas` Pallas MXU kernel,
+        # `ell_sorted_vjp` sorted-transpose scatters). Round-2
+        # measurements closed the question: the per-edge row access is
+        # issue-bound on v5e (~18-21 ns/row even with the gather loop
+        # unrolled 8x), so every gather-based formulation — Pallas ELL
+        # and XLA sorted scatter alike — sits on the same floor, and the
+        # sorted-XLA path (enabled by the packers' target-sorted layout
+        # contract, default here) is optimal for edge lists on this
+        # hardware. Workloads that can afford block-dense batches should
+        # use the `blocked` variant (~5x). The kernel survives as an
+        # archived experiment (ops/pallas/ell_spmm.py + tests) but is no
+        # longer reachable from the config surface.
         # The packers guarantee per-type target-sorted edge lanes (part
         # of the GraphBatch layout contract); XLA's sorted scatter is
         # ~1.5x faster. Set false for hand-built unsorted batches.
@@ -168,37 +165,9 @@ class SparseGGNN:
             h = node_states_per_layer[-1]
             cdt = self.compute_dtype
             w_c = edge_weights.astype(cdt)
-            have_ell = (self.ell_block > 0
-                        and getattr(batch, "ell_fwd_src", None) is not None
-                        and not self.use_propagation_attention
-                        and self.edge_axis is None)
-            use_pallas = (have_ell and self.ell_pallas
-                          # Mosaic cannot prove bf16 dynamic row indexing
-                          # aligned (16-sublane tiles); kernel is f32-only.
-                          and self.compute_dtype == jnp.float32)
             for _step in range(num_timesteps):
                 h_c = h.astype(cdt)
-                if use_pallas:
-                    from ggnn_tpu.ops.pallas import ell_aggregate_by_type
-                    np_total = batch.ell_fwd_src.shape[1] * self.ell_block
-                    h_p = jnp.pad(h_c, ((0, np_total - n_cap), (0, 0)))
-                    per_type = ell_aggregate_by_type(
-                        h_p,
-                        (batch.ell_fwd_src, batch.ell_fwd_tgt),
-                        (batch.ell_bwd_tgt, batch.ell_bwd_src),
-                        self.ell_block, self.ell_interpret)
-                    incoming = jnp.einsum(
-                        "tnh,thd->nd", per_type[:, :n_cap].astype(cdt), w_c,
-                        preferred_element_type=jnp.float32)
-                elif have_ell and self.ell_sorted_vjp:
-                    per_type = aggregate_sorted_both_ways(
-                        h_c, batch.edge_sources, batch.edge_targets,
-                        batch.ell_bwd_tgt, batch.ell_bwd_src, n_cap,
-                        self.ell_block)
-                    incoming = jnp.einsum(
-                        "tnh,thd->nd", per_type.astype(cdt), w_c,
-                        preferred_element_type=jnp.float32)
-                elif self.aggregate_first:
+                if self.aggregate_first:
                     attn = None
                     if self.use_propagation_attention:
                         attn = propagation_attention_weights(

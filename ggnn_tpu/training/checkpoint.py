@@ -47,13 +47,22 @@ def _sanitize(name: str) -> str:
 
 
 def save_checkpoint(path: str, config: Dict, state_tree,
-                    train_step: int, valid_step: int) -> None:
+                    train_step: int, valid_step: int,
+                    iterator_state: Dict = None) -> None:
+    """`iterator_state` (optional) captures mid-epoch data-iterator
+    position (SURVEY §5.3 resumable-iterator plan): epoch number, steps
+    already consumed, the numpy RNG state as of the epoch start (the
+    shuffle seed of the epoch's batch stream) and the jax key at the
+    save point — enough to resume training mid-epoch deterministically.
+    """
     weights = _flatten_named(state_tree)
     if _is_orbax_path(path):
         import orbax.checkpoint as ocp
         path = os.path.abspath(path)
         meta = {"params": config, "train_step": train_step,
                 "valid_step": valid_step, "sanitized_keys": True}
+        if iterator_state is not None:
+            meta["iterator_state"] = _encode_iterator_state(iterator_state)
         weights = {_sanitize(k): v for k, v in weights.items()}
         with ocp.StandardCheckpointer() as ckptr:
             # Orbax refuses to overwrite; stage then atomically replace.
@@ -72,8 +81,41 @@ def save_checkpoint(path: str, config: Dict, state_tree,
         "train_step": train_step,
         "valid_step": valid_step,
     }
+    if iterator_state is not None:
+        payload["iterator_state"] = iterator_state
     with open(path, "wb") as f:
         pickle.dump(payload, f, pickle.HIGHEST_PROTOCOL)
+
+
+def _encode_iterator_state(it: Dict) -> Dict:
+    """JSON-safe encoding (Orbax meta sidecar): the numpy RNG state's
+    array becomes a list."""
+    out = dict(it)
+    if "np_rng_state" in out:
+        name, keys, pos, has_gauss, gauss = out["np_rng_state"]
+        out["np_rng_state"] = [name, [int(k) for k in keys], int(pos),
+                               int(has_gauss), float(gauss)]
+    if "key" in out:
+        out["key"] = [int(x) for x in np.asarray(out["key"]).ravel()]
+    return out
+
+
+def _decode_iterator_state(it: Dict) -> Dict:
+    out = dict(it)
+    if "np_rng_state" in out and isinstance(out["np_rng_state"], list):
+        name, keys, pos, has_gauss, gauss = out["np_rng_state"]
+        out["np_rng_state"] = (name, np.asarray(keys, np.uint32), pos,
+                               has_gauss, gauss)
+    if "key" in out and isinstance(out["key"], list):
+        out["key"] = np.asarray(out["key"], np.uint32)
+    return out
+
+
+def load_iterator_state(path: str):
+    """The saved mid-epoch iterator state, or None."""
+    payload = _load_payload(path)
+    it = payload.get("iterator_state")
+    return _decode_iterator_state(it) if it else None
 
 
 def _load_payload(path: str) -> Dict:
@@ -86,6 +128,7 @@ def _load_payload(path: str) -> Dict:
         return {"params": meta["params"], "weights": weights,
                 "train_step": meta["train_step"],
                 "valid_step": meta["valid_step"],
+                "iterator_state": meta.get("iterator_state"),
                 "sanitized_keys": meta.get("sanitized_keys", False)}
     with open(path, "rb") as f:
         return pickle.load(f)

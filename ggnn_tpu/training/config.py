@@ -49,10 +49,11 @@ SPARSE_DEFAULTS: Dict = {
     # the message path on the MXU in bf16 with f32 accumulation.
     "aggregate_first": True,
     "compute_dtype": "float32",
-    # Pallas blocked-ELL SpMM kernel: node-block size (0 = off, use the
-    # XLA path). 256 is the tuned value for TPU; requires attention off.
-    "ell_block": 0,
-    "ell_interpret": False,  # interpret-mode kernels (CPU tests only)
+    # (The round-1 `ell_block`/`ell_pallas`/`ell_sorted_vjp` keys were
+    # removed: measurement showed every gather-based formulation shares
+    # the same per-edge-row-access floor on v5e, so the default sorted-
+    # XLA path is optimal for edge lists — see benchmarks/README.md and
+    # ops/pallas/ell_spmm.py for the archived experiment.)
 }
 
 # chem_tensorflow_dense.py:56-66

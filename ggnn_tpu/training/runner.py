@@ -29,7 +29,9 @@ import numpy as np
 from ggnn_tpu.data.loader import infer_metadata, load_graphs_json
 from ggnn_tpu.models.base import masked_regression_loss
 from ggnn_tpu.models.base import init_output_heads
-from ggnn_tpu.training.checkpoint import restore_checkpoint, save_checkpoint
+from ggnn_tpu.training.checkpoint import (load_iterator_state,
+                                           restore_checkpoint,
+                                           save_checkpoint)
 from ggnn_tpu.training.optimizer import make_optimizer
 from ggnn_tpu.training.summaries import SummarySink
 from ggnn_tpu.training.variants import make_adapter
@@ -61,7 +63,8 @@ class Runner:
                  tensorboard: bool = True,
                  mesh=None,
                  profile_dir: Optional[str] = None,
-                 save_every_epoch: bool = False):
+                 save_every_epoch: bool = False,
+                 checkpoint_every_steps: int = 0):
         self.variant = variant
         self.config = config
         self.quiet = quiet
@@ -100,11 +103,6 @@ class Runner:
 
         self.adapter = make_adapter(variant, config, self.meta,
                                     **(adapter_kwargs or {}))
-        if mesh is not None and getattr(self.adapter, "ell_block", 0):
-            # The ELL kernel path is single-chip; on a mesh the edge
-            # axis + XLA path handles aggregation. Disable before
-            # capacity planning so no ELL planning pass runs.
-            self.adapter.ell_block = 0
         self.train_processed = self.adapter.preprocess(
             train_data, True, self.np_rng)
         self.valid_processed = self.adapter.preprocess(valid_data, False)
@@ -185,15 +183,26 @@ class Runner:
         # interrupted run resumes from the latest epoch, not the last
         # validation improvement.
         self.save_every_epoch = save_every_epoch
+        # Mid-epoch preemption recovery (SURVEY §5.3 resumable iterator
+        # state): every K training steps the rolling checkpoint also
+        # records the epoch, steps consumed, the numpy RNG state as of
+        # the epoch start (the epoch's shuffle seed) and the jax key, so
+        # a restore continues the SAME epoch at the SAME batch stream
+        # position. Single-chip epochs only (mesh epochs checkpoint at
+        # epoch granularity).
+        self.checkpoint_every_steps = int(checkpoint_every_steps)
         self.last_model_file = os.path.join(
             log_dir, f"{self.run_id}_model_last.pickle")
         self.train_step_id = 0
         self.valid_step_id = 0
+        self._resume_iter = None
+        self._epoch_iter_ctx = None
         if restore is not None:
             self.state, self.train_step_id, self.valid_step_id = (
                 restore_checkpoint(restore, config, self.state,
                                    variant=variant,
                                    num_edge_types=self.meta.num_edge_types))
+            self._resume_iter = load_iterator_state(restore)
         self.restored = restore is not None
 
         self._nodeshard_caps = None
@@ -299,7 +308,16 @@ class Runner:
         step_metrics = []
         graph_counts = []
         processed_edges = 0.0
+        # Mid-epoch resume: reproduce the epoch's batch stream (np_rng
+        # was reset to the epoch-start state by train()) and drop the
+        # batches the interrupted run already consumed.
+        skip_steps = 0
+        if is_training and getattr(self, "_skip_steps", 0):
+            skip_steps = self._skip_steps
+            self._skip_steps = 0
         for step, batch in enumerate(batch_iter):
+            if step < skip_steps:
+                continue
             num_graphs = int(batch.num_graphs)
             processed_graphs += num_graphs
             processed_edges += _batch_edge_count(batch)
@@ -314,6 +332,19 @@ class Runner:
                       f"graphs). Loss so far: "
                       f"{total_loss / processed_graphs:.4f}", end="\r")
             steps += 1
+            if (is_training and self.checkpoint_every_steps
+                    and self._epoch_iter_ctx is not None
+                    and steps % self.checkpoint_every_steps == 0):
+                save_checkpoint(
+                    self.last_model_file, self.config, self.state,
+                    self.train_step_id + steps, self.valid_step_id,
+                    iterator_state={
+                        "epoch": self._epoch_iter_ctx["epoch"],
+                        "steps_done": skip_steps + steps,
+                        "np_rng_state":
+                            self._epoch_iter_ctx["np_rng_state"],
+                        "key": np.asarray(self.key),
+                    })
         if step_metrics:
             losses = np.asarray(jnp.stack([m[0] for m in step_metrics]))
             accs_all = np.asarray(jnp.stack([m[1] for m in step_metrics]))
@@ -442,9 +473,29 @@ class Runner:
         else:
             best_val_acc, best_val_acc_epoch = float("+inf"), 0
 
-        for epoch in range(1, self.config["num_epochs"] + 1):
+        start_epoch = 1
+        if self.restored and self._resume_iter is not None:
+            start_epoch = int(self._resume_iter["epoch"])
+            self.np_rng.set_state(self._resume_iter["np_rng_state"])
+            self._skip_steps = int(self._resume_iter["steps_done"])
+            if self._resume_iter.get("key") is not None:
+                self.key = jnp.asarray(self._resume_iter["key"],
+                                       dtype=jnp.uint32)
+            if not self.quiet:
+                print(f"Resuming mid-epoch: epoch {start_epoch}, "
+                      f"skipping {self._skip_steps} consumed batches")
+        for epoch in range(start_epoch, self.config["num_epochs"] + 1):
             if not self.quiet:
                 print(f"== Epoch {epoch}")
+            if not (epoch == start_epoch
+                    and self._resume_iter is not None):
+                self._epoch_iter_ctx = {
+                    "epoch": epoch,
+                    "np_rng_state": self.np_rng.get_state()}
+            else:
+                self._epoch_iter_ctx = {
+                    "epoch": epoch,
+                    "np_rng_state": self._resume_iter["np_rng_state"]}
             profiling = self.profile_dir is not None and epoch == 1
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)

@@ -41,9 +41,6 @@ class SparseAdapter:
         self.config = config
         self.meta = meta
         self.caps = None
-        # Pallas blocked-ELL kernel layout (0 = off, XLA path).
-        self.ell_block = int(config.get("ell_block", 0))
-        self.ell_k = None
 
     def build_model(self, edge_axis=None):
         return SparseGGNN(self.config, self.meta.num_edge_types,
@@ -73,22 +70,6 @@ class SparseAdapter:
             edges_per_type=max(c.edges_per_type for c in caps),
             graphs=max(c.graphs for c in caps),
         )
-        if self.ell_block:
-            # Exact KE over a deterministic dry pack (+30% shuffle
-            # margin): oversized KE slows the kernel's gather loop
-            # linearly, so no generous analytic bound here.
-            from ggnn_tpu.data.ell import plan_ell_k
-            from ggnn_tpu.utils.padding import round_up
-            ke = 8
-            for p in processed_lists:
-                if not _nonempty(p):
-                    continue
-                for b in self._pack(p, False, None):
-                    ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask,
-                                            self.caps.nodes, self.ell_block))
-                    ke = max(ke, plan_ell_k(b.edge_sources, b.edge_mask,
-                                            self.caps.nodes, self.ell_block))
-            self.ell_k = round_up(int(ke * 1.3), 8)
         return self.caps
 
     def _pack(self, processed, is_training, rng, ell_block=0, ell_k=None):
@@ -106,8 +87,7 @@ class SparseAdapter:
 
     def batches(self, processed, is_training: bool,
                 rng: Optional[np.random.RandomState] = None) -> Iterator:
-        return self._pack(processed, is_training, rng,
-                          ell_block=self.ell_block, ell_k=self.ell_k)
+        return self._pack(processed, is_training, rng)
 
 
 class DenseAdapter:

@@ -298,3 +298,68 @@ def test_train_on_device_fast_path(tmp_path):
     assert after_loss < base_loss
     outs = runner.predict(synthetic_molecules(3, seed=4))
     assert sum(o.shape[1] for o in outs) == 3
+
+
+def test_mid_epoch_resume_continues_batch_stream(tmp_path):
+    """SURVEY §5.3 resumable iterator state: a run killed mid-epoch
+    resumes the SAME epoch at the SAME batch-stream position and ends
+    with the same final state as an uninterrupted run."""
+    import jax
+    from ggnn_tpu.training.checkpoint import load_iterator_state
+
+    data = synthetic_molecules(60, seed=0)
+    valid = synthetic_molecules(12, seed=1)
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 2, "hidden_size": 16, "batch_size": 120,'
+        ' "edge_weight_dropout_keep_prob": 1.0,'
+        ' "graph_state_dropout_keep_prob": 1.0}')
+
+    # Reference run: 2 uninterrupted epochs.
+    ref = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "ref"),
+                 train_data=data, valid_data=valid, quiet=True,
+                 tensorboard=False)
+    ref.train()
+
+    # Interrupted run: checkpoint the iterator state every step, stop
+    # after epoch 1 + 2 steps of epoch 2 (simulated preemption).
+    runner = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "a"),
+                    train_data=data, valid_data=valid, quiet=True,
+                    tensorboard=False, checkpoint_every_steps=1)
+
+    # Interruption is simulated by capturing the rolling checkpoint
+    # written after step 1 of epoch 2 (what a preempted run would leave
+    # behind), while the donor run itself completes.
+    import shutil
+    saved = {}
+    from ggnn_tpu.training import runner as runner_mod
+    orig_save = runner_mod.save_checkpoint
+
+    def capture_save(path, config, state, ts, vs, iterator_state=None):
+        orig_save(path, config, state, ts, vs, iterator_state=iterator_state)
+        if iterator_state and iterator_state["epoch"] == 2 \
+                and iterator_state["steps_done"] == 1:
+            shutil.copy(path, str(tmp_path / "preempt.pickle"))
+
+    runner_mod.save_checkpoint = capture_save
+    try:
+        runner.train()
+    finally:
+        runner_mod.save_checkpoint = orig_save
+
+    ckpt = tmp_path / "preempt.pickle"
+    assert ckpt.exists()
+    it = load_iterator_state(str(ckpt))
+    assert it["epoch"] == 2 and it["steps_done"] == 1
+
+    # Resume from the mid-epoch checkpoint; it must finish epoch 2 and
+    # land on the same final params as the uninterrupted reference.
+    resumed = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "b"),
+                     train_data=data, valid_data=valid, quiet=True,
+                     tensorboard=False, restore=str(ckpt))
+    resumed.train()
+    ref_leaves = jax.tree_util.tree_leaves(ref.state["params"])
+    res_leaves = jax.tree_util.tree_leaves(resumed.state["params"])
+    for a, b in zip(ref_leaves, res_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
