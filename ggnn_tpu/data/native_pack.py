@@ -276,6 +276,7 @@ def plan_capacities_native(processed: SparseProcessed, node_budget: int,
     from ggnn_tpu.utils.padding import round_up
     t_dim = processed.edge_type_counts.shape[1]
     max_graphs, max_edges = 1, np.zeros(t_dim, np.int64)
+    max_all = 0
     cur_nodes, cur_graphs = 0, 0
     cur_edges = np.zeros(t_dim, np.int64)
     for g in processed.order:
@@ -283,6 +284,7 @@ def plan_capacities_native(processed: SparseProcessed, node_budget: int,
         if cur_nodes + n >= node_budget and cur_graphs > 0:
             max_graphs = max(max_graphs, cur_graphs)
             max_edges = np.maximum(max_edges, cur_edges)
+            max_all = max(max_all, int(cur_edges.sum()))
             cur_nodes, cur_graphs = 0, 0
             cur_edges = np.zeros(t_dim, np.int64)
         cur_nodes += n
@@ -290,10 +292,12 @@ def plan_capacities_native(processed: SparseProcessed, node_budget: int,
         cur_edges += processed.edge_type_counts[g]
     max_graphs = max(max_graphs, cur_graphs)
     max_edges = np.maximum(max_edges, cur_edges)
+    max_all = max(max_all, int(cur_edges.sum()))
     return PackCapacities(
         nodes=round_up(node_budget, 8),
         edges_per_type=round_up(int(np.ceil(max_edges.max() * margin)), 8),
         graphs=round_up(int(np.ceil(max_graphs * margin)), 8),
+        edges_all=round_up(int(np.ceil(max_all * margin)), 8),
     )
 
 
@@ -377,6 +381,10 @@ def pack_sparse_batches_native(processed: SparseProcessed,
             num_graphs=np.int32(len(batch_ids)),
             num_nodes=np.int32(node_count),
         )
+        from ggnn_tpu.data.packing import build_combined_lane
+        common.update(build_combined_lane(
+            edge_sources, edge_targets, edge_mask, caps.edges_all,
+            caps.nodes))
         if ell_block:
             from ggnn_tpu.data.ell import try_build_ell_layout
             layout = try_build_ell_layout(edge_sources, edge_targets,

@@ -43,6 +43,12 @@ class PackCapacities:
     nodes: int
     edges_per_type: int
     graphs: int
+    # Type-COMBINED edge-lane capacity (sum across types; bond types
+    # are sharply skewed — ~75% single bonds — so per-type lanes sized
+    # to the worst type run at ~22% occupancy while one combined lane
+    # runs at ~68%: 3.1x less gather/scatter work in the sparse model's
+    # aggregation). 0 = combined layout not planned.
+    edges_all: int = 0
 
 
 # --------------------------------------------------------------------
@@ -151,6 +157,7 @@ def plan_capacities(processed: Sequence[dict], num_edge_types: int,
     bounds, not assumptions.
     """
     max_graphs = 1
+    max_all = 0
     max_edges = np.zeros(num_edge_types, dtype=np.int64)
     cur_nodes, cur_graphs = 0, 0
     cur_edges = np.zeros(num_edge_types, dtype=np.int64)
@@ -159,6 +166,7 @@ def plan_capacities(processed: Sequence[dict], num_edge_types: int,
         if cur_nodes + n >= node_budget and cur_graphs > 0:
             max_graphs = max(max_graphs, cur_graphs)
             max_edges = np.maximum(max_edges, cur_edges)
+            max_all = max(max_all, cur_edges.sum())
             cur_nodes, cur_graphs = 0, 0
             cur_edges = np.zeros(num_edge_types, dtype=np.int64)
         cur_nodes += n
@@ -166,11 +174,51 @@ def plan_capacities(processed: Sequence[dict], num_edge_types: int,
         cur_edges += _graph_edge_counts(g, num_edge_types)
     max_graphs = max(max_graphs, cur_graphs)
     max_edges = np.maximum(max_edges, cur_edges)
+    max_all = max(max_all, cur_edges.sum())
     return PackCapacities(
         nodes=round_up(node_budget, 8),
         edges_per_type=round_up(int(np.ceil(max_edges.max() * margin)), 8),
         graphs=round_up(int(np.ceil(max_graphs * margin)), 8),
+        edges_all=round_up(int(np.ceil(max_all * margin)), 8),
     )
+
+
+def build_combined_lane(edge_sources, edge_targets, edge_mask,
+                        edges_all_cap: int, node_capacity: int) -> Dict:
+    """Type-combined (target, type)-sorted edge lane from per-type
+    lanes. Returns {} when not planned; falls back to {} (typed-path
+    batch) with a warning when a shuffled batch overflows the cap."""
+    if not edges_all_cap:
+        return {}
+    t_dim = edge_sources.shape[0]
+    srcs, tgts, typs = [], [], []
+    for t in range(t_dim):
+        real = edge_mask[t] > 0
+        srcs.append(edge_sources[t][real])
+        tgts.append(edge_targets[t][real])
+        typs.append(np.full(int(real.sum()), t, np.int32))
+    src = np.concatenate(srcs)
+    tgt = np.concatenate(tgts)
+    typ = np.concatenate(typs)
+    if len(src) > edges_all_cap:
+        import logging
+        logging.getLogger(__name__).warning(
+            "combined edge lane overflow (%d > %d); batch uses the "
+            "typed-lane path", len(src), edges_all_cap)
+        return {}
+    order = np.lexsort((typ, tgt))
+    ea = edges_all_cap
+    out_src = np.zeros(ea, np.int32)
+    out_tgt = np.full(ea, node_capacity, np.int32)
+    out_typ = np.zeros(ea, np.int32)
+    out_mask = np.zeros(ea, np.float32)
+    m = len(order)
+    out_src[:m] = src[order]
+    out_tgt[:m] = tgt[order]
+    out_typ[:m] = typ[order]
+    out_mask[:m] = 1.0
+    return {"edge_sources_all": out_src, "edge_types_all": out_typ,
+            "edge_targets_all": out_tgt, "edge_mask_all": out_mask}
 
 
 def pack_sparse_batches(processed: List[dict], num_edge_types: int,
@@ -269,6 +317,9 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
             num_graphs=np.int32(graphs_in_batch),
             num_nodes=np.int32(node_offset),
         )
+        common.update(build_combined_lane(
+            edge_sources, edge_targets, edge_mask, caps.edges_all,
+            caps.nodes))
         layout = None
         if ell_block:
             from ggnn_tpu.data.ell import try_build_ell_layout

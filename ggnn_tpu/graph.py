@@ -58,6 +58,17 @@ class GraphBatch:
     target_mask: jax.Array
     num_graphs: jax.Array
     num_nodes: jax.Array
+    # Type-COMBINED edge lane (packers emit it when caps.edges_all > 0):
+    # all types' real edges in ONE [EA] lane sorted by (target, type),
+    # so the composite segment id target*T + type is monotone and the
+    # aggregation scatter runs sorted with ~3x less padding than the
+    # per-type lanes (bond-type skew). Pads: tgt -> N, src 0, type 0,
+    # mask 0. The per-type lanes above remain the layout for the
+    # node-sharded / type-TP mesh paths and the fallback.
+    edge_sources_all: jax.Array = None   # [EA] int32
+    edge_types_all: jax.Array = None     # [EA] int32
+    edge_targets_all: jax.Array = None   # [EA] int32
+    edge_mask_all: jax.Array = None      # [EA] float32
 
     @property
     def num_edge_types(self) -> int:

@@ -40,10 +40,12 @@ from ggnn_tpu.ops.dropout import dropout
 from ggnn_tpu.ops.messages import (
     aggregate_messages,
     aggregate_then_transform,
+    aggregate_then_transform_combined,
     average_by_in_degree,
     edge_bias_term,
     propagation_attention,
     propagation_attention_weights,
+    propagation_attention_weights_combined,
     typed_edge_messages,
 )
 from ggnn_tpu.utils.init import glorot_init
@@ -98,6 +100,11 @@ class SparseGGNN:
         # of the GraphBatch layout contract); XLA's sorted scatter is
         # ~1.5x faster. Set false for hand-built unsorted batches.
         self.edges_sorted = bool(config.get("edges_sorted_by_target", True))
+        # Type-combined edge lane (GraphBatch.edge_*_all): one sorted
+        # lane for all types — ~3x less padded gather/scatter work under
+        # bond-type skew. Single-chip path only; mesh layouts keep the
+        # typed lanes.
+        self.combined_lanes = bool(config.get("combined_edge_lanes", True))
         self.hidden_size = config["hidden_size"]
         self.layer_timesteps = list(config["layer_timesteps"])
         self.residual_connections = {
@@ -165,9 +172,25 @@ class SparseGGNN:
             h = node_states_per_layer[-1]
             cdt = self.compute_dtype
             w_c = edge_weights.astype(cdt)
+            use_combined = (self.combined_lanes
+                            and getattr(batch, "edge_sources_all", None)
+                            is not None
+                            and self.edge_axis is None
+                            and self.aggregate_first)
             for _step in range(num_timesteps):
                 h_c = h.astype(cdt)
-                if self.aggregate_first:
+                if use_combined:
+                    attn = None
+                    if self.use_propagation_attention:
+                        attn = propagation_attention_weights_combined(
+                            h_c, batch.edge_sources_all,
+                            batch.edge_targets_all, batch.edge_mask_all,
+                            batch.edge_types_all, layer["attention"],
+                            n_cap).astype(cdt)
+                    incoming = aggregate_then_transform_combined(
+                        h_c, batch.edge_sources_all, batch.edge_types_all,
+                        batch.edge_targets_all, w_c, n_cap, attn)
+                elif self.aggregate_first:
                     attn = None
                     if self.use_propagation_attention:
                         attn = propagation_attention_weights(

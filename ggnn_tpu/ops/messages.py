@@ -179,6 +179,57 @@ def _agg_sorted_bwd(node_capacity, ell_block, res, g):
 aggregate_sorted_both_ways.defvjp(_agg_sorted_fwd, _agg_sorted_bwd)
 
 
+def propagation_attention_weights_combined(node_states: jax.Array,
+                                           src_all: jax.Array,
+                                           tgt_all: jax.Array,
+                                           mask_all: jax.Array,
+                                           type_all: jax.Array,
+                                           type_factors: jax.Array,
+                                           node_capacity: int) -> jax.Array:
+    """Per-edge attention weights [EA] on the type-combined lane — same
+    math as propagation_attention_weights (the softmax groups by TARGET
+    only, so combining types changes nothing)."""
+    src_states = node_states[src_all]
+    safe_targets = jnp.minimum(tgt_all, node_capacity - 1)
+    tgt_states = node_states[safe_targets]
+    scores = jnp.sum((src_states * tgt_states).astype(jnp.float32), axis=-1)
+    scores = scores * type_factors[type_all]
+    return segment_softmax(scores, tgt_all, node_capacity + 1, mask_all,
+                           SMALL_NUMBER)
+
+
+def aggregate_then_transform_combined(node_states: jax.Array,
+                                      src_all: jax.Array,
+                                      type_all: jax.Array,
+                                      tgt_all: jax.Array,
+                                      edge_weights: jax.Array,
+                                      node_capacity: int,
+                                      attention: jax.Array = None
+                                      ) -> jax.Array:
+    """One propagation step's incoming activations [N, H] over the
+    type-COMBINED edge lane (GraphBatch.edge_*_all).
+
+    Identical math to `aggregate_then_transform`; the per-(type, target)
+    partial sums come from ONE sorted segment-sum over the composite id
+    target*T + type (the lane is (target, type)-sorted by the packer
+    contract). Bond-type skew makes per-type lanes ~22% occupied while
+    the combined lane is ~68% — 3.1x less gather/scatter work, which is
+    the dominant cost of the step (see benchmarks/README.md round-2
+    conclusion: the per-edge row access is the floor, so touch 3x fewer
+    padded rows).
+    """
+    t_dim = edge_weights.shape[0]
+    gathered = node_states[src_all]                     # [EA, H]
+    if attention is not None:
+        gathered = gathered * attention[:, None]
+    comp = tgt_all * t_dim + type_all
+    per = segment_sum(gathered, comp, (node_capacity + 1) * t_dim,
+                      indices_are_sorted=True)
+    per = per.reshape(node_capacity + 1, t_dim, -1)[:node_capacity]
+    return jnp.einsum("nth,thd->nd", per, edge_weights,
+                      preferred_element_type=jnp.float32)
+
+
 def propagation_attention(messages: jax.Array, node_states: jax.Array,
                           edge_sources: jax.Array, edge_targets: jax.Array,
                           edge_mask: jax.Array, type_factors: jax.Array,

@@ -71,6 +71,17 @@ def empty_batch_like(batch: GraphBatch) -> GraphBatch:
     )
 
 
+def _strip_combined(b: GraphBatch) -> GraphBatch:
+    """Drop the type-combined edge lane (single-chip fast path only —
+    the mesh layouts shard/partition the typed lanes)."""
+    import dataclasses
+    if getattr(b, "edge_sources_all", None) is None:
+        return b
+    return dataclasses.replace(b, edge_sources_all=None,
+                               edge_types_all=None, edge_targets_all=None,
+                               edge_mask_all=None)
+
+
 def stack_batches(batches: List[GraphBatch], n_data: int,
                   n_edge: int = 1) -> GraphBatch:
     """Stack per-step batches into one leading-axis pytree whose leading
@@ -78,6 +89,7 @@ def stack_batches(batches: List[GraphBatch], n_data: int,
     `n_edge`. Short stacks are topped up with empty batches."""
     if not batches:
         raise ValueError("no batches to stack")
+    batches = [_strip_combined(b) for b in batches]
     e_cap = max(b.edge_sources.shape[1] for b in batches)
     e_cap = ((e_cap + n_edge - 1) // n_edge) * n_edge
     batches = [repad_edges(b, e_cap) for b in batches]

@@ -101,6 +101,9 @@ class Predictor:
                 nodes=max_nodes,
                 edges_per_type=max(8 * max_nodes, 64),
                 graphs=max_graphs,
+                # type-combined lane envelope (~4 bonds/node x 2
+                # directions covers molecular graphs with headroom)
+                edges_all=max(8 * max_nodes, 64),
             )
             self.adapter.caps = self.caps
         elif variant == "async":

@@ -315,3 +315,44 @@ def test_async_compact_matches_plain_path():
         lambda a, c: np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6),
         g_fast, g_plain)
+
+
+def test_combined_lane_matches_typed_lanes():
+    """The type-combined edge lane is a pure re-layout: forward and
+    gradients match the per-type-lane path (attention on and off)."""
+    from ggnn_tpu.data import packing
+    from ggnn_tpu.data.loader import infer_metadata
+    from ggnn_tpu.models.sparse_ggnn import SparseGGNN
+    from ggnn_tpu.training.config import default_params_for
+
+    data = synthetic_molecules(40, seed=13)
+    meta = infer_metadata([data], True)
+    for attention in (False, True):
+        cfg = default_params_for("sparse")
+        cfg.update({"hidden_size": 16, "batch_size": 300,
+                    "use_propagation_attention": attention,
+                    "use_edge_bias": True})
+        proc = packing.preprocess_sparse(data, meta.num_edge_types, True,
+                                         [0], {}, False)
+        caps = packing.plan_capacities(proc, meta.num_edge_types, 300)
+        assert caps.edges_all > 0
+        batches = list(packing.pack_sparse_batches(
+            proc, meta.num_edge_types, 300, caps, 16,
+            meta.annotation_size, False, None))
+        assert batches[0].edge_sources_all is not None
+        m_comb = SparseGGNN(dict(cfg, combined_edge_lanes=True),
+                            meta.num_edge_types)
+        m_typed = SparseGGNN(dict(cfg, combined_edge_lanes=False),
+                             meta.num_edge_types)
+        params = m_comb.init_params(jax.random.PRNGKey(5))
+        for b in batches:
+            a = np.asarray(m_comb.forward(params, b))
+            c = np.asarray(m_typed.forward(params, b))
+            np.testing.assert_allclose(a, c, rtol=1e-5, atol=1e-6)
+        b = batches[0]
+        g_a = jax.grad(lambda p: jnp.sum(m_comb.forward(p, b) ** 2))(params)
+        g_c = jax.grad(lambda p: jnp.sum(m_typed.forward(p, b) ** 2))(params)
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6),
+            g_a, g_c)
