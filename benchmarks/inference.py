@@ -29,27 +29,16 @@ from ggnn_tpu.utils.padding import round_up
 def main():
     base = default_params_for("sparse")
     base.update({"batch_size": 20000, "edge_weight_dropout_keep_prob": 1.0})
-    BN = 256
     data = synthetic_molecules(2000, seed=0)
     meta = infer_metadata([data], True)
     proc = native_pack.preprocess_sparse_native(
         data, meta.num_edge_types, True, [0], {}, False)
     caps = native_pack.plan_capacities_native(proc, base["batch_size"])
-    from ggnn_tpu.data.ell import plan_ell_k
-    ke = 8
-    for b in native_pack.pack_sparse_batches_native(
-            proc, meta.num_edge_types, True, base["batch_size"], caps,
-            base["hidden_size"], meta.annotation_size, False, None):
-        ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask, caps.nodes, BN))
-        ke = max(ke, plan_ell_k(b.edge_sources, b.edge_mask, caps.nodes, BN))
-    ke = round_up(ke, 8)  # exact (eval packing is deterministic)
     batch = jax.device_put(next(native_pack.pack_sparse_batches_native(
         proc, meta.num_edge_types, True, base["batch_size"], caps,
-        base["hidden_size"], meta.annotation_size, False, None,
-        ell_block=BN, ell_k=ke)))
+        base["hidden_size"], meta.annotation_size, False, None)))
     ng = int(batch.num_graphs)
-    print(f"batch: {int(batch.num_nodes)} nodes, {ng} graphs, KE={ke}",
-          flush=True)
+    print(f"batch: {int(batch.num_nodes)} nodes, {ng} graphs", flush=True)
 
     def bench(name, over):
         cfg = {**base, **over}
@@ -81,10 +70,9 @@ def main():
         print(f"{name:24s} {per*1e3:7.2f} ms/forward  "
               f"({ng/per:,.0f} graphs/s)", flush=True)
 
-    bench("XLA sorted scatter", {})
-    bench("Pallas blocked-ELL", {"ell_block": BN})
-    bench("Pallas ELL + bf16", {"ell_block": BN,
-                                "compute_dtype": "bfloat16"})
+    bench("combined lane", {})
+    bench("per-type lanes", {"combined_edge_lanes": False})
+    bench("combined + bf16", {"compute_dtype": "bfloat16"})
 
 
 if __name__ == "__main__":
