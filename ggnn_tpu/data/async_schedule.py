@@ -109,10 +109,14 @@ def plan_segments(send_profile: np.ndarray, recv_profile: np.ndarray,
 
 
 def dfs_depths(outgoing: Dict[int, List[Tuple[int, int, int]]],
-               seed: int) -> Dict[int, int]:
+               seed: int,
+               depths: Optional[Dict[int, int]] = None) -> Dict[int, int]:
     """Iterative pre-order DFS depth assignment (async.py:28-34 semantics,
-    without Python recursion limits)."""
-    depths: Dict[int, int] = {}
+    without Python recursion limits). An existing `depths` dict is
+    extended in place (already-assigned nodes are never revisited —
+    used for disconnected components)."""
+    if depths is None:
+        depths = {}
     stack = [(seed, 0)]
     while stack:
         v, depth = stack.pop()
@@ -153,6 +157,14 @@ def graph_to_propagation_schedules(edges, num_edge_types: int,
     for pair in range(propagation_rounds // 2):
         seed = seeds[pair % len(seeds)]
         depths = dfs_depths(outgoing, seed)
+        # Disconnected graphs (never produced by molecular data, but
+        # valid input): traverse every remaining component from its own
+        # min-degree seed. The reference would KeyError here
+        # (chem_tensorflow_async.py:316 indexes depths of unvisited
+        # nodes); components are independent so depth 0 restarts.
+        for extra_seed in seeds:
+            if extra_seed not in depths:
+                dfs_depths(outgoing, extra_seed, depths)
         max_depth = max(depths.values())
         assert max_depth <= propagation_substeps, (
             f"schedule depth {max_depth} exceeds propagation_substeps "

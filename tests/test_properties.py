@@ -90,3 +90,63 @@ def test_native_equals_python_on_random_corpora(raw):
         for la, lb in zip(jax.tree_util.tree_leaves(a),
                           jax.tree_util.tree_leaves(b)):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@settings(max_examples=25, deadline=None)
+@given(corpora())
+def test_combined_lane_is_exact_relayout(raw):
+    """The type-combined lane holds exactly the typed lanes' real edge
+    multiset, (target, type)-sorted, for arbitrary corpora."""
+    meta = infer_metadata([raw], True)
+    proc = packing.preprocess_sparse(raw, meta.num_edge_types, True,
+                                     [0], {}, False)
+    caps = packing.plan_capacities(proc, meta.num_edge_types, 40)
+    assert caps.edges_all > 0
+    for b in packing.pack_sparse_batches(
+            proc, meta.num_edge_types, 40, caps, 8, meta.annotation_size,
+            False, None):
+        assert b.edge_sources_all is not None
+        real = np.asarray(b.edge_mask_all) > 0
+        src = np.asarray(b.edge_sources_all)[real]
+        tgt = np.asarray(b.edge_targets_all)[real]
+        typ = np.asarray(b.edge_types_all)[real]
+        typed = []
+        m = np.asarray(b.edge_mask) > 0
+        for t in range(meta.num_edge_types):
+            for s_, d_ in zip(np.asarray(b.edge_sources)[t][m[t]],
+                              np.asarray(b.edge_targets)[t][m[t]]):
+                typed.append((int(d_), t, int(s_)))
+        combined = sorted(zip(tgt.tolist(), typ.tolist(), src.tolist()))
+        assert combined == sorted(typed)
+        # sortedness of the composite key
+        comp = tgt * meta.num_edge_types + typ
+        assert np.all(np.diff(comp) >= 0)
+
+
+@settings(max_examples=15, deadline=None)
+@given(corpora())
+def test_async_segments_cover_schedule_exactly(raw):
+    """Segmented lanes hold exactly the uniform schedule's messages and
+    receivers, per (round, step), for arbitrary corpora."""
+    from ggnn_tpu.data.async_schedule import (pack_async_batches,
+                                              plan_async_capacities,
+                                              preprocess_async)
+    meta = infer_metadata([raw], True)
+    proc = preprocess_async(raw, meta.num_edge_types, True, 2, 30,
+                            [0], {}, False)
+    caps = plan_async_capacities(proc, meta.num_edge_types, 40, 2)
+    for b in pack_async_batches(proc, meta.num_edge_types, 40, caps, 2,
+                                30, 8, meta.annotation_size, False):
+        if b.seg_rounds is None:
+            continue
+        for r in range(2):
+            # real message count per round matches
+            uniform_real = int((np.asarray(b.msg_targets[r])
+                                < caps.receiving_nodes).sum())
+            seg_real = 0
+            covered_steps = []
+            for seg in b.seg_rounds[r]:
+                n, rc_cap = seg.old_compact.shape
+                seg_real += int((np.asarray(seg.msg_target) < rc_cap).sum())
+                covered_steps.append(n)
+            assert seg_real == uniform_real
