@@ -90,6 +90,16 @@ CASES = {
                    "graph_rnn_cell": "RNN",
                    "graph_rnn_activation": "ReLU"},
     },
+    # --freeze-graph-model: Adam step must leave the graph subtree
+    # untouched and update only the output heads
+    # (chem_tensorflow.py:174-182).
+    "sparse_freeze": {
+        "variant": "sparse",
+        "corpus": dict(n_train=12, n_valid=8, seed=39, num_targets=1),
+        "config": {"hidden_size": 16, "layer_timesteps": [2],
+                   "residual_connections": {}},
+        "args": {"--freeze-graph-model": True},
+    },
     # Multitask masking (two targets).
     "sparse_multitask": {
         "variant": "sparse",
@@ -153,6 +163,7 @@ def generate_case(name: str, spec: dict) -> None:
     args = {"--config": json.dumps(config),
             "--data_dir": workdir,
             "--log_dir": os.path.join(workdir, "logs")}
+    args.update(spec.get("args", {}))
     quiet = io.StringIO()
     with contextlib.redirect_stdout(quiet):
         model = cls(args)
@@ -192,6 +203,8 @@ def generate_case(name: str, spec: dict) -> None:
         "meta": np.array(json.dumps({
             "case": name,
             "variant": spec["variant"],
+            "freeze_graph_model": bool(
+                spec.get("args", {}).get("--freeze-graph-model")),
             "corpus": corpus,
             "config": config,
             "num_edge_types": model.num_edge_types,
