@@ -1,0 +1,163 @@
+"""Persistent inference server: a Predictor behind a long-lived HTTP
+endpoint.
+
+The reference's only serving story is a one-shot `--evaluate` run that
+rebuilds the whole training graph to print ten molecules
+(chem_tensorflow_sparse.py:364-376). For deployment this module keeps a
+`ggnn_tpu.serving.Predictor` — with its precompiled fixed-envelope
+forward executables — resident, and answers requests over plain HTTP
+(stdlib only, no extra dependencies):
+
+    GET  /healthz            -> {"status": "ok", variant, envelope, ...}
+    POST /predict            body {"graphs": [<reference graph JSON>, ...]}
+                             -> {"outputs": [[...per task...]], "num_graphs": N}
+
+Requests are full batches, packed by the native packer where available
+and micro-batched past the envelope by the Predictor itself; a lock
+serializes device dispatch so concurrent HTTP clients cannot interleave
+half-compiled executions. The first request per envelope shape pays the
+compile; `warmup()` (called on startup) moves that cost to server start.
+
+CLI:  python -m ggnn_tpu.server --checkpoint run_model_best.pickle \
+          --variant sparse --port 8099
+"""
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ggnn_tpu.serving import Predictor
+
+
+class PredictionServer:
+    """ThreadingHTTPServer wrapper owning one Predictor."""
+
+    def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.predictor = predictor
+        self._lock = threading.Lock()
+        self._requests_served = 0
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # Quiet by default; the CLI entry point re-enables logging.
+            def log_message(self, fmt, *args):
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path != "/healthz":
+                    return self._reply(404, {"error": "unknown path"})
+                p = server.predictor
+                self._reply(200, {
+                    "status": "ok",
+                    "variant": p.variant,
+                    "tasks": p.task_ids,
+                    "max_nodes": p.max_nodes,
+                    "max_graphs": p.max_graphs,
+                    "requests_served": server._requests_served,
+                })
+
+            def do_POST(self):
+                if self.path != "/predict":
+                    return self._reply(404, {"error": "unknown path"})
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    request = json.loads(self.rfile.read(length))
+                    graphs = request["graphs"]
+                    if not graphs:
+                        raise ValueError("empty graph list")
+                    outputs = server.predict(graphs)
+                except Exception as exc:  # surface as a 400, keep serving
+                    return self._reply(400, {"error": str(exc)})
+                self._reply(200, {"outputs": outputs.tolist(),
+                                  "num_graphs": outputs.shape[1]})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------ predict
+
+    def predict(self, graphs) -> np.ndarray:
+        with self._lock:
+            out = self.predictor(graphs)
+            self._requests_served += 1
+            return out
+
+    def warmup(self):
+        """Compile the serving executable before accepting traffic (one
+        tiny self-loop graph through the full pack->forward path)."""
+        annotation = self.predictor.meta.annotation_size
+        g = {"targets": [[0.0] for _ in self.predictor.task_ids],
+             "graph": [[0, 1, 1]],
+             "node_features": [[1.0] + [0.0] * (annotation - 1)] * 2}
+        self.predict([g])
+        self._requests_served = 0
+
+    # ------------------------------------------------------------- serve
+
+    @property
+    def address(self):
+        host, port = self._httpd.server_address[:2]
+        return host, port
+
+    def start(self):
+        """Serve in a background thread (returns immediately)."""
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def serve_forever(self):
+        self._httpd.serve_forever()
+
+    def shutdown(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Serve a ggnn_tpu checkpoint over HTTP")
+    parser.add_argument("--checkpoint", required=True,
+                        help="framework pickle/Orbax dir or a reference "
+                             "TF1 pickle")
+    parser.add_argument("--variant", default="sparse")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8099)
+    parser.add_argument("--max-nodes", type=int, default=2048)
+    parser.add_argument("--max-graphs", type=int, default=256)
+    parser.add_argument("--annotation-size", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    predictor = Predictor.from_checkpoint(
+        args.checkpoint, args.variant, max_nodes=args.max_nodes,
+        max_graphs=args.max_graphs, annotation_size=args.annotation_size)
+    server = PredictionServer(predictor, host=args.host, port=args.port)
+    print(f"warming up ({args.variant}, envelope {args.max_nodes} nodes / "
+          f"{args.max_graphs} graphs)...", flush=True)
+    server.warmup()
+    host, port = server.address
+    print(f"serving on http://{host}:{port} "
+          f"(POST /predict, GET /healthz)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,66 @@ def test_predictor_all_variants(variant, extra, tmp_path):
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_prediction_server_http_roundtrip(trained):
+    """The persistent server answers /healthz and /predict over real
+    HTTP, agrees with the in-process Predictor, and keeps serving after
+    a malformed request."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from ggnn_tpu.server import PredictionServer
+
+    predictor = Predictor.from_checkpoint(
+        trained.best_model_file, "sparse", max_nodes=256, max_graphs=32)
+    server = PredictionServer(predictor, port=0)
+    server.warmup()
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            health = _json.load(r)
+        assert health["status"] == "ok"
+        assert health["variant"] == "sparse"
+        assert health["max_nodes"] == 256
+
+        mols = synthetic_molecules(5, seed=9)
+        req = urllib.request.Request(
+            f"{base}/predict",
+            data=_json.dumps({"graphs": mols}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            reply = _json.load(r)
+        assert reply["num_graphs"] == 5
+        want = predictor(mols)
+        np.testing.assert_allclose(np.asarray(reply["outputs"]), want,
+                                   rtol=1e-6, atol=1e-7)
+
+        # Malformed request -> 400 with an error message, server stays up.
+        bad = urllib.request.Request(f"{base}/predict", data=b"{}")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad, timeout=30)
+        assert err.value.code == 400
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+        assert err.value.code == 404
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert _json.load(r)["requests_served"] == 1
+    finally:
+        server.shutdown()
+
+
+def test_prediction_server_cli_entry(trained):
+    """--help parses (argparse wiring) without loading a checkpoint."""
+    from ggnn_tpu.server import main
+    with pytest.raises(SystemExit) as exc:
+        main(["--help"])
+    assert exc.value.code == 0
+
+
 def test_predictor_from_tf1_reference_pickle(tmp_path):
     """A reference-written pickle serves directly (compat.tf1 path)."""
     import json as _json
