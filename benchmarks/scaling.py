@@ -77,10 +77,12 @@ def main():
             ns_caps = plan_node_shard_caps(batches, ne)
             stack = jax.device_put(shard_and_stack(batches, ns_caps,
                                                    n_data=nd))
-            # Per-step ICI traffic of the node-sharded boundary
-            # exchange vs round 1's replicate+psum design.
+            # Per-step cross-chip ICI traffic of the node-sharded
+            # boundary exchange vs round 1's replicate+psum design. A
+            # shard's all_to_all chunk to itself stays local, so only
+            # (ne-1) of the ne chunks cross the interconnect.
             h = cfg["hidden_size"]
-            new_vol = ne * ns_caps.boundary * h * 4
+            new_vol = (ne - 1) * ns_caps.boundary * h * 4
             old_vol = batches[0].node_capacity * h * 4
             print(f"  per-shard per-prop-step comm: boundary all_to_all "
                   f"{new_vol/1024:.1f} KiB vs full-[N,H] psum "

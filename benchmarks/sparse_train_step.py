@@ -1,8 +1,7 @@
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import sys, time, numpy as np, jax, jax.numpy as jnp
+import time, numpy as np, jax, jax.numpy as jnp
 from ggnn_tpu.data import packing
-from ggnn_tpu.data.ell import plan_ell_k
 from ggnn_tpu.data.loader import infer_metadata
 from ggnn_tpu.data.synthetic import synthetic_molecules
 from ggnn_tpu.models.base import init_output_heads, masked_regression_loss
@@ -20,15 +19,9 @@ base = default_params_for("sparse"); base["batch_size"] = 20000
 meta = infer_metadata([data], True)
 proc = packing.preprocess_sparse(data, meta.num_edge_types, True, [0], {}, True, np.random.RandomState(0))
 caps = packing.plan_capacities(proc, meta.num_edge_types, base["batch_size"])
-BN = 256
-ke = 8
-for b in packing.pack_sparse_batches(proc, meta.num_edge_types, base["batch_size"], caps, 100, meta.annotation_size, False, None):
-    ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask, caps.nodes, BN))
-    ke = max(ke, plan_ell_k(b.edge_sources, b.edge_mask, caps.nodes, BN))
-ke = -(-int(ke*1.3)//8)*8
-b_ell = jax.device_put(next(packing.pack_sparse_batches(proc, meta.num_edge_types, base["batch_size"], caps, 100, meta.annotation_size, False, None, ell_block=BN, ell_k=ke)))
-ng = int(b_ell.num_graphs)
-print(f"KE={ke} graphs={ng}", flush=True)
+b = jax.device_put(next(packing.pack_sparse_batches(proc, meta.num_edge_types, base["batch_size"], caps, 100, meta.annotation_size, False, None)))
+ng = int(b.num_graphs)
+print(f"graphs={ng}", flush=True)
 
 over = {"xla": {}, "bf16": {"compute_dtype": "bfloat16"}}[mode]
 cfg = {**base, **over}
@@ -48,7 +41,7 @@ def step(s, bb, k):
 def run(s, n):
     def body(i, carry):
         s, _ = carry
-        return step(s, b_ell, jax.random.fold_in(jax.random.PRNGKey(9), i))
+        return step(s, b, jax.random.fold_in(jax.random.PRNGKey(9), i))
     return jax.lax.fori_loop(0, n, body, (s, jnp.zeros(())))
 g = jax.jit(run)
 t0=time.time(); _, l = g(state0, 1); float(l); print(f"compile {time.time()-t0:.0f}s", flush=True)

@@ -134,10 +134,17 @@ def dfs_depths(outgoing: Dict[int, List[Tuple[int, int, int]]],
 def graph_to_propagation_schedules(edges, num_edge_types: int,
                                    tie_fwd_bkwd: bool,
                                    propagation_rounds: int,
-                                   propagation_substeps: int):
+                                   propagation_substeps: int,
+                                   num_nodes: int = 0):
     """Per-graph schedules: list over rounds of
     (initial_nodes, sending_nodes[step][type], msg_targets[step][type],
-     receiving_nodes[step])."""
+     receiving_nodes[step]).
+
+    `num_nodes` (the node_features row count) makes nodes with no
+    incident edges part of every round's `initial` set; without it they
+    would be invisible to the edge-derived schedule, and the compact
+    segmented layout would map them to the dump slot (state 0) while
+    the plain path preserves their features."""
     assert propagation_rounds % 2 == 0, "propagation_rounds must be even"
     num_fwd = num_edge_types if tie_fwd_bkwd else num_edge_types // 2
 
@@ -183,12 +190,12 @@ def graph_to_propagation_schedules(edges, num_edge_types: int,
                 bwd[-dw - 1].append((v, t, w))
             else:
                 assert v == w, "equal-depth non-self-loop edge (broken DFS)"
-        schedules.append(_tensorise(fwd, num_edge_types))
-        schedules.append(_tensorise(bwd, num_edge_types))
+        schedules.append(_tensorise(fwd, num_edge_types, num_nodes))
+        schedules.append(_tensorise(bwd, num_edge_types, num_nodes))
     return schedules
 
 
-def _tensorise(step_edges_list, num_edge_types: int):
+def _tensorise(step_edges_list, num_edge_types: int, num_nodes: int = 0):
     """Reference async.py:251-291: per step, unique sorted receivers with
     dense local numbering shared across edge types."""
     sending, msg_targets, receiving = [], [], []
@@ -208,6 +215,9 @@ def _tensorise(step_edges_list, num_edge_types: int):
         receiving.append(np.array(recv_nodes, dtype=np.int32))
         all_nodes.update(v for (v, _, __) in step_edges)
         all_nodes.update(w for (_, __, w) in step_edges)
+    # Isolated nodes (feature rows with no incident edges) must carry
+    # their state through as initial nodes.
+    all_nodes.update(range(num_nodes))
     updated = {v for step in receiving for v in step}
     initial = np.array(sorted(all_nodes - updated), dtype=np.int32)
     return initial, sending, msg_targets, receiving
@@ -239,7 +249,8 @@ def preprocess_async(raw_data: Sequence, num_edge_types: int,
             "init": np.asarray(d["node_features"], dtype=np.float32),
             "prop_schedules": graph_to_propagation_schedules(
                 d["graph"], num_edge_types, tie_fwd_bkwd,
-                propagation_rounds, propagation_substeps),
+                propagation_rounds, propagation_substeps,
+                num_nodes=len(d["node_features"])),
             "labels": _extract_labels(d, task_ids),
         })
     if is_training:
@@ -388,6 +399,18 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
         rng.shuffle(processed)
     num_tasks = len(processed[0]["labels"])
     R, S, T = propagation_rounds, propagation_substeps, num_edge_types
+    # Per-step segment caps from the plan become part of the fits()
+    # check below, so a shuffled batch can never overflow a planned
+    # segment mid-epoch (the _SegmentOverflow fallback would change the
+    # batch pytree structure, which the stacked mesh paths cannot absorb).
+    _plan = getattr(caps, "plan", None)
+    seg_sea_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
+    seg_rc_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
+    if _plan is not None:
+        for r in range(R):
+            for (lo, hi, sea, rc) in _plan[r]:
+                seg_sea_cap[r, lo:hi] = sea
+                seg_rc_cap[r, lo:hi] = rc
     idx = 0
     while idx < len(processed):
         feats, graph_ids, values, masks = [], [], [], []
@@ -396,6 +419,7 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
         target_lists = [[[[] for _ in range(T)] for _ in range(S)] for _ in range(R)]
         recv_lists = [[[] for _ in range(S)] for _ in range(R)]
         recv_offsets = np.zeros((R, S), dtype=np.int64)
+        send_totals = np.zeros((R, S), dtype=np.int64)
         node_offset, graphs_in_batch = 0, 0
 
         def fits(g) -> bool:
@@ -407,13 +431,17 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                 if cur_init + len(initial) > caps.initial_nodes:
                     return False
                 for s in range(len(receiving)):
-                    if (recv_offsets[r, s] + len(receiving[s])
-                            > caps.receiving_nodes):
+                    new_recv = recv_offsets[r, s] + len(receiving[s])
+                    if new_recv > caps.receiving_nodes or new_recv > seg_rc_cap[r, s]:
                         return False
+                    g_send = 0
                     for t in range(T):
                         cur_send = sum(len(a) for a in send_lists[r][s][t])
                         if cur_send + len(sending[s][t]) > caps.sending_edges:
                             return False
+                        g_send += len(sending[s][t])
+                    if send_totals[r, s] + g_send > seg_sea_cap[r, s]:
+                        return False
             return True
 
         while idx < len(processed):
@@ -439,6 +467,8 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                             msg_targets[s][t] + step_offset)
                     recv_lists[r][s].append(receiving[s] + node_offset)
                     recv_offsets[r, s] += len(receiving[s])
+                    send_totals[r, s] += sum(len(sending[s][t])
+                                             for t in range(T))
             v, m = _labels_to_values_and_mask(g["labels"])
             values.append(v)
             masks.append(m)

@@ -330,7 +330,13 @@ def pack_sparse_batches_native(processed: SparseProcessed,
             g_edges = processed.edge_type_counts[g]
             fits = (node_count + n < node_budget
                     and len(batch_ids) + 1 <= caps.graphs
-                    and np.all(edge_counts + g_edges <= caps.edges_per_type))
+                    and np.all(edge_counts + g_edges <= caps.edges_per_type)
+                    # Combined-lane bound, matching the python packer: an
+                    # edges_all overflow would drop the edge_*_all arrays
+                    # from this batch's pytree structure.
+                    and (not caps.edges_all
+                         or edge_counts.sum() + g_edges.sum()
+                         <= caps.edges_all))
             if not fits:
                 if not batch_ids:
                     raise ValueError(

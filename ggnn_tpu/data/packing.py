@@ -255,6 +255,11 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
                 node_offset + n < node_budget
                 and graphs_in_batch + 1 <= caps.graphs
                 and np.all(edge_counts + g_edges <= caps.edges_per_type)
+                # The combined lane must also hold: overflow there would
+                # drop the edge_*_all arrays from this batch's pytree,
+                # which jitted/stacked consumers cannot absorb.
+                and (not caps.edges_all
+                     or edge_counts.sum() + g_edges.sum() <= caps.edges_all)
             )
             if not fits:
                 if graphs_in_batch == 0:
@@ -366,7 +371,7 @@ def preprocess_dense(raw_data: Sequence[Any], num_edge_types: int,
         bucket_sizes = DENSE_BUCKET_SIZES
     bucketed: Dict[int, List[dict]] = {}
     x_dim = len(raw_data[0]["node_features"][0])
-    for d in raw_data:
+    for graph_id, d in enumerate(raw_data):
         max_vertex = max((v for e in d["graph"] for v in (e[0], e[2])),
                          default=-1)
         n_active = len(d["node_features"])
@@ -390,6 +395,10 @@ def preprocess_dense(raw_data: Sequence[Any], num_edge_types: int,
             "init": init,
             "labels": _extract_labels(d, task_ids),
             "mask": mask,
+            # Original corpus index: bucketing re-orders graphs, and
+            # consumers (serving) need to scatter outputs back to
+            # request order without re-deriving the bucket formula.
+            "graph_id": graph_id,
         })
     if is_training:
         for bucket in bucketed.values():

@@ -87,10 +87,20 @@ def make_parallel_steps(model, optimizer, config: Dict,
                 jnp.sum(0.5 * jnp.square(diff), axis=1),
                 jnp.sum(batch.target_mask, axis=1))
 
+    # Node-sharded edge partitioning (batch_kind="sparse", n_edge>1)
+    # owns DISJOINT node rows per edge shard, so dropout masks must be
+    # drawn independently per shard — folding only the data axis would
+    # give node rows at equal local offsets identical masks. Type-TP
+    # ("sparse_tp") replicates the node arrays across the edge axis and
+    # REQUIRES the shared key (all replicas must apply one mask).
+    shard_rng_over_edge = batch_kind == "sparse" and n_edge > 1
+
     def global_loss(params, batch_stack, key, is_training):
         b_local = batch_stack.num_graphs.shape[0]
         if key is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            if shard_rng_over_edge:
+                key = jax.random.fold_in(key, jax.lax.axis_index(EDGE_AXIS))
             keys = jax.random.split(key, b_local)
             sums = jax.vmap(
                 lambda b, k: batch_sums(params, b, k, is_training)

@@ -235,19 +235,12 @@ class Predictor:
             for ids in processed.bucket_order:
                 order.extend(int(i) for i in ids)
         else:
-            # python path: buckets keep first-seen order; reconstruct by
-            # walking raw graphs the same way preprocess_dense does.
-            sizes = (np.asarray(self.config["dense_bucket_sizes"])
-                     if self.config.get("dense_bucket_sizes") is not None
-                     else packing.DENSE_BUCKET_SIZES)
-            chosen = []
-            for d in raw_graphs:
-                mv = max((v for e in d["graph"] for v in (e[0], e[2])),
-                         default=-1)
-                needed = max(mv + 1, len(d["node_features"]))
-                chosen.append(int(np.argmax(sizes >= needed)))
-            for b in dict.fromkeys(chosen):
-                order.extend(i for i, c in enumerate(chosen) if c == b)
+            # python path: buckets keep first-seen order and each entry
+            # carries its original corpus index (preprocess_dense sets
+            # "graph_id"), so the order comes straight from the packer —
+            # no re-derivation of the bucket-assignment formula.
+            for bucket in processed.values():
+                order.extend(int(g["graph_id"]) for g in bucket)
         self.adapter.meta = DatasetMeta(
             max_num_vertices=self.meta.max_num_vertices,
             num_edge_types=self.meta.num_edge_types,

@@ -204,17 +204,14 @@ class AsyncAdapter:
             is_training, rng)
 
     def plan(self, *processed_lists):
-        caps = [async_schedule.plan_async_capacities(
-                    p, self.meta.num_edge_types, self.config["num_nodes"],
-                    self.config["propagation_rounds"])
-                for p in processed_lists if p]
-        self.caps = async_schedule.AsyncCapacities(
-            nodes=max(c.nodes for c in caps),
-            graphs=max(c.graphs for c in caps),
-            initial_nodes=max(c.initial_nodes for c in caps),
-            sending_edges=max(c.sending_edges for c in caps),
-            receiving_nodes=max(c.receiving_nodes for c in caps),
-        )
+        # One merged planning pass over every split (train + valid must
+        # compile to the same shapes) INCLUDING the segmented-scan plan —
+        # dropping `plan` here would silently fall back to the uniform
+        # per-(round,step,type)-lane path (~5.6x slower).
+        self.caps = async_schedule.plan_async_capacities_multi(
+            [p for p in processed_lists if p],
+            self.meta.num_edge_types, self.config["num_nodes"],
+            self.config["propagation_rounds"])
         return self.caps
 
     def batches(self, processed, is_training: bool,

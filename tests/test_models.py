@@ -317,6 +317,44 @@ def test_async_compact_matches_plain_path():
         g_fast, g_plain)
 
 
+def test_async_isolated_nodes_keep_their_features():
+    """Feature rows with no incident edges are valid input (same shape
+    class as the dense-bucketing OOB fix). They must ride through every
+    round as initial nodes on BOTH async paths — the compact layout used
+    to map them to the dump slot (state 0) while the plain path kept
+    their features."""
+    H = 12
+    raw = [
+        # node 2 isolated
+        {"targets": [[0.5]], "graph": [[0, 1, 1]],
+         "node_features": [[1, 0, 0], [0, 1, 0], [0, 0, 1]]},
+        # nodes 0-1 bonded; node 3 isolated, distinctive feature
+        {"targets": [[-0.25]], "graph": [[0, 2, 1], [1, 1, 2]],
+         "node_features": [[1, 0, 0], [0, 1, 0], [1, 1, 0], [0, 0, 1]]},
+    ]
+    processed = preprocess_async(raw, 2, True, 2, 10, [0], {}, False)
+    caps = plan_async_capacities(processed, 2, 64, 2)
+    batch = next(pack_async_batches(processed, 2, 64, caps, 2, 10, H, 3,
+                                    False, None))
+    assert batch.seg_rounds is not None
+    cfg = {"hidden_size": H, "propagation_rounds": 2,
+           "propagation_substeps": 10, "use_edge_bias": False,
+           "graph_rnn_cell": "GRU", "graph_rnn_activation": "tanh",
+           "graph_state_dropout_keep_prob": 1.0}
+    model_fast = AsyncGGNN(dict(cfg, async_compact=True), 2)
+    model_plain = AsyncGGNN(dict(cfg, async_compact=False), 2)
+    params = model_fast.init_params(jax.random.PRNGKey(1))
+    fast = np.asarray(model_fast.forward(params, batch))
+    plain = np.asarray(model_plain.forward(params, batch))
+    np.testing.assert_allclose(fast, plain, rtol=1e-5, atol=1e-6)
+    # Isolated global rows: 2 (graph 0) and 3+3=6 (graph 1 offset 3).
+    feats = np.asarray(batch.node_features)
+    for row in (2, 6):
+        np.testing.assert_allclose(fast[row], feats[row], rtol=1e-6,
+                                   err_msg=f"isolated node row {row}")
+        assert np.abs(fast[row]).sum() > 0
+
+
 def test_combined_lane_matches_typed_lanes():
     """The type-combined edge lane is a pure re-layout: forward and
     gradients match the per-type-lane path (attention on and off)."""

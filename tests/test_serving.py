@@ -99,6 +99,23 @@ def test_predictor_all_variants(variant, extra, tmp_path):
                                        rtol=1e-5, atol=1e-6)
 
 
+def test_predictor_dense_python_path_request_order(tmp_path):
+    """The python dense packer re-orders by bucket; serving must scatter
+    outputs back via the packer's own graph_id tags (not a re-derived
+    bucket formula)."""
+    runner = _train_tiny("dense", tmp_path, {"batch_size": 2})
+    predictor = Predictor.from_checkpoint(
+        runner.best_model_file, "dense", max_nodes=512, max_graphs=64)
+    predictor.config["native_pack"] = False  # force the python pipeline
+    mols = synthetic_molecules(9, seed=8)
+    out = predictor(mols)
+    assert out.shape == (1, 9)
+    for i, mol in enumerate(mols):
+        want = runner.predict([mol])[0]
+        np.testing.assert_allclose(out[:, i], want[:, 0],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_prediction_server_http_roundtrip(trained):
     """The persistent server answers /healthz and /predict over real
     HTTP, agrees with the in-process Predictor, and keeps serving after

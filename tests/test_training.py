@@ -40,6 +40,18 @@ def make_runner(variant, tmp_path, n=120, **overrides):
     )
 
 
+def test_runner_async_batches_carry_segment_plan(tmp_path):
+    """Regression: AsyncAdapter.plan() used to rebuild AsyncCapacities
+    from per-split maxima and drop the `plan` field, so Runner/CLI async
+    training silently fell back to the uniform-lane path (~5.6x slower).
+    Every Runner-produced async batch must carry segments."""
+    runner = make_runner("async", tmp_path, n=40)
+    assert runner.adapter.caps.plan is not None
+    for split in (runner.train_processed, runner.valid_processed):
+        for batch in runner.adapter.batches(split, False):
+            assert batch.seg_rounds is not None
+
+
 @pytest.mark.parametrize("variant", ["sparse", "dense", "gcn", "rgcn"])
 def test_training_reduces_loss(variant, tmp_path):
     epochs = 4 if variant == "rgcn" else 2  # 8-layer ReLU-RNN learns slowly
