@@ -262,7 +262,7 @@ def preprocess_async(raw_data: Sequence, num_edge_types: int,
 
 def plan_async_capacities(processed: Sequence[dict], num_edge_types: int,
                           node_budget: int, propagation_rounds: int,
-                          margin: float = 1.3) -> AsyncCapacities:
+                          margin: float = None) -> AsyncCapacities:
     return plan_async_capacities_multi([processed], num_edge_types,
                                        node_budget, propagation_rounds,
                                        margin)
@@ -270,9 +270,12 @@ def plan_async_capacities(processed: Sequence[dict], num_edge_types: int,
 
 def plan_async_capacities_multi(processed_lists, num_edge_types: int,
                                 node_budget: int, propagation_rounds: int,
-                                margin: float = 1.3) -> AsyncCapacities:
+                                margin: float = None) -> AsyncCapacities:
     """Shared capacities + segmented-scan plan over several splits
     (train + valid must compile to the same shapes)."""
+    if margin is None:
+        from ggnn_tpu.data.packing import DEFAULT_PACK_MARGIN
+        margin = DEFAULT_PACK_MARGIN
     max_graphs = 1
     max_init, max_send, max_recv = 1, 1, 1
 

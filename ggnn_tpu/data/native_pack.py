@@ -271,8 +271,11 @@ def preprocess_sparse_native(raw_data, num_edge_types, tie_fwd_bkwd,
 
 
 def plan_capacities_native(processed: SparseProcessed, node_budget: int,
-                           margin: float = 1.3) -> PackCapacities:
+                           margin: float = None) -> PackCapacities:
     """Same walk as packing.plan_capacities over the flat arrays."""
+    if margin is None:
+        from ggnn_tpu.data.packing import DEFAULT_PACK_MARGIN
+        margin = DEFAULT_PACK_MARGIN
     from ggnn_tpu.utils.padding import round_up
     t_dim = processed.edge_type_counts.shape[1]
     max_graphs, max_edges = 1, np.zeros(t_dim, np.int64)

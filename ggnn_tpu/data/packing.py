@@ -38,6 +38,9 @@ from ggnn_tpu.utils.padding import pad_to, round_up
 DENSE_BUCKET_SIZES = np.array(list(range(4, 28, 2)) + [29])
 
 
+DEFAULT_PACK_MARGIN = 1.05
+
+
 @dataclasses.dataclass(frozen=True)
 class PackCapacities:
     nodes: int
@@ -149,13 +152,23 @@ def _graph_edge_counts(g, num_edge_types: int) -> np.ndarray:
 
 
 def plan_capacities(processed: Sequence[dict], num_edge_types: int,
-                    node_budget: int, margin: float = 1.3) -> PackCapacities:
+                    node_budget: int,
+                    margin: float = None) -> PackCapacities:
     """Derive padded capacities from one packing pass over the corpus.
 
     The margin absorbs shuffle-to-shuffle variation in batch composition;
-    `pack_sparse_batches` enforces the caps regardless, so they are safe
-    bounds, not assumptions.
+    `pack_sparse_batches` enforces the caps regardless (a batch closes
+    early rather than overflowing), so they are safe bounds, not
+    assumptions. Tight margins buy throughput directly — lane cost on
+    TPU is rows-touched x ~18ns, so occupancy is the lever (measured:
+    margin 1.3 -> 100.9k graphs/s, 1.05 -> 117.9k, 1.0 -> 120.4k on the
+    QM9-shaped sparse train step). Eval packs the same unshuffled order
+    the planner walked, so caps never bind there and the reference's
+    node-budget-only batch composition is preserved at any margin >= 1.
+    Config key `pack_margin` overrides.
     """
+    if margin is None:
+        margin = DEFAULT_PACK_MARGIN
     max_graphs = 1
     max_all = 0
     max_edges = np.zeros(num_edge_types, dtype=np.int64)
@@ -514,7 +527,9 @@ def preprocess_gcn(raw_data: Sequence[Any], task_ids: Sequence[int],
 
 
 def plan_gcn_capacities(processed: Sequence[dict], node_budget: int,
-                        margin: float = 1.3) -> PackCapacities:
+                        margin: float = None) -> PackCapacities:
+    if margin is None:
+        margin = DEFAULT_PACK_MARGIN
     max_graphs, max_edges = 1, 0
     cur_nodes, cur_graphs, cur_edges = 0, 0, 0
     for g in processed:

@@ -59,16 +59,23 @@ class SparseAdapter:
             is_training, rng)
 
     def plan(self, *processed_lists):
+        margin = self.config.get("pack_margin")
         caps = [
-            native_pack.plan_capacities_native(p, self.config["batch_size"])
+            native_pack.plan_capacities_native(p, self.config["batch_size"],
+                                               margin=margin)
             if isinstance(p, native_pack.SparseProcessed)
             else packing.plan_capacities(p, self.meta.num_edge_types,
-                                         self.config["batch_size"])
+                                         self.config["batch_size"],
+                                         margin=margin)
             for p in processed_lists if _nonempty(p)]
+        # Merge EVERY field across splits — dropping edges_all here would
+        # silently disable the type-combined lane (a ~2.7x slowdown on
+        # the sparse train step).
         self.caps = packing.PackCapacities(
             nodes=max(c.nodes for c in caps),
             edges_per_type=max(c.edges_per_type for c in caps),
             graphs=max(c.graphs for c in caps),
+            edges_all=max(c.edges_all for c in caps),
         )
         return self.caps
 
@@ -166,7 +173,9 @@ class GCNAdapter:
             is_training, rng)
 
     def plan(self, *processed_lists):
-        caps = [packing.plan_gcn_capacities(p, self.config["batch_size"])
+        caps = [packing.plan_gcn_capacities(
+                    p, self.config["batch_size"],
+                    margin=self.config.get("pack_margin"))
                 for p in processed_lists if p]
         self.caps = packing.PackCapacities(
             nodes=max(c.nodes for c in caps),
@@ -211,7 +220,8 @@ class AsyncAdapter:
         self.caps = async_schedule.plan_async_capacities_multi(
             [p for p in processed_lists if p],
             self.meta.num_edge_types, self.config["num_nodes"],
-            self.config["propagation_rounds"])
+            self.config["propagation_rounds"],
+            margin=self.config.get("pack_margin"))
         return self.caps
 
     def batches(self, processed, is_training: bool,

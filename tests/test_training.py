@@ -40,6 +40,25 @@ def make_runner(variant, tmp_path, n=120, **overrides):
     )
 
 
+def test_runner_sparse_batches_carry_combined_lane(tmp_path):
+    """Regression: SparseAdapter.plan() used to merge split capacities
+    without `edges_all`, silently disabling the type-combined edge lane
+    (a ~2.7x slowdown) for all Runner/CLI training. Both the native and
+    python pipelines must emit the lane."""
+    for native in (True, False):
+        runner = make_runner("sparse", tmp_path, n=40, native_pack=native)
+        assert runner.adapter.caps.edges_all > 0
+        for batch in runner.adapter.batches(runner.valid_processed, False):
+            assert batch.edge_sources_all is not None
+
+
+def test_pack_margin_config_controls_capacities(tmp_path):
+    """`pack_margin` tunes the planned lane occupancy (default 1.05)."""
+    tight = make_runner("sparse", tmp_path, n=40, pack_margin=1.0)
+    loose = make_runner("sparse", tmp_path, n=40, pack_margin=1.5)
+    assert loose.adapter.caps.edges_all > tight.adapter.caps.edges_all
+
+
 def test_runner_async_batches_carry_segment_plan(tmp_path):
     """Regression: AsyncAdapter.plan() used to rebuild AsyncCapacities
     from per-split maxima and drop the `plan` field, so Runner/CLI async
