@@ -160,6 +160,11 @@ def graph_to_propagation_schedules(edges, num_edge_types: int,
 
     seeds = [n for (n, _) in sorted(num_incoming.items(),
                                     key=lambda kv: (kv[1], kv[0]))]
+    if not seeds:
+        # No edges at all (e.g. a single-atom molecule): every round is
+        # step-free with all nodes initial — states pass through.
+        return [_tensorise([], num_edge_types, num_nodes)
+                for _ in range(propagation_rounds)]
     schedules = []
     for pair in range(propagation_rounds // 2):
         seed = seeds[pair % len(seeds)]

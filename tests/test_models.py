@@ -355,6 +355,37 @@ def test_async_isolated_nodes_keep_their_features():
         assert np.abs(fast[row]).sum() > 0
 
 
+def test_async_edgeless_graph_passes_features_through():
+    """A graph with no edges at all (single-atom molecule shape) used to
+    ZeroDivisionError in the schedule compiler (empty seed list). Every
+    round must be step-free with all nodes initial, on both paths."""
+    H = 8
+    raw = [
+        {"targets": [[0.1]], "graph": [],
+         "node_features": [[1, 0, 0], [0, 1, 0]]},
+        {"targets": [[0.2]], "graph": [[0, 1, 1]],
+         "node_features": [[1, 0, 0], [0, 0, 1]]},
+    ]
+    processed = preprocess_async(raw, 2, True, 4, 10, [0], {}, False)
+    for g in processed:
+        for sch in g["prop_schedules"]:
+            check_schedule_invariants(sch, 2)
+    caps = plan_async_capacities(processed, 2, 64, 4)
+    batch = next(pack_async_batches(processed, 2, 64, caps, 4, 10, H, 3,
+                                    False, None))
+    cfg = {"hidden_size": H, "propagation_rounds": 4,
+           "propagation_substeps": 10, "use_edge_bias": False,
+           "graph_rnn_cell": "GRU", "graph_rnn_activation": "tanh",
+           "graph_state_dropout_keep_prob": 1.0}
+    feats = np.asarray(batch.node_features)
+    for compact in (True, False):
+        model = AsyncGGNN(dict(cfg, async_compact=compact), 2)
+        params = model.init_params(jax.random.PRNGKey(0))
+        out = np.asarray(model.forward(params, batch))
+        np.testing.assert_allclose(out[:2], feats[:2], rtol=1e-6,
+                                   err_msg=f"compact={compact}")
+
+
 def test_combined_lane_matches_typed_lanes():
     """The type-combined edge lane is a pure re-layout: forward and
     gradients match the per-type-lane path (attention on and off)."""

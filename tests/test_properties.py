@@ -150,3 +150,28 @@ def test_async_segments_cover_schedule_exactly(raw):
                 seg_real += int((np.asarray(seg.msg_target) < rc_cap).sum())
                 covered_steps.append(n)
             assert seg_real == uniform_real
+
+
+@settings(max_examples=20, deadline=None)
+@given(corpora(), st.sampled_from([1.0, 1.05, 1.3]),
+       st.integers(0, 2**31 - 1))
+def test_pack_is_shuffle_robust_at_tight_margins(raw, margin, seed):
+    """With every capacity enforced in fits(), packing must succeed for
+    ANY shuffle at ANY margin >= 1.0: all graphs covered exactly once,
+    every batch within caps, and every batch carries the combined lane
+    (the pytree structure never degrades mid-epoch)."""
+    num_edge_types = 3
+    proc = packing.preprocess_sparse(raw, num_edge_types, True,
+                                     [0], {}, False)
+    caps = packing.plan_capacities(proc, num_edge_types, 40, margin=margin)
+    rng = np.random.RandomState(seed)
+    for _ in range(3):  # three shuffled "epochs"
+        batches = list(packing.pack_sparse_batches(
+            proc, num_edge_types, 40, caps, 8, 2, True, rng))
+        assert sum(int(b.num_graphs) for b in batches) == len(raw)
+        for b in batches:
+            assert b.edge_sources_all is not None
+            assert float(np.asarray(b.edge_mask_all).sum()) <= caps.edges_all
+            em = np.asarray(b.edge_mask)
+            for t in range(num_edge_types):
+                assert int((em[t] > 0).sum()) <= caps.edges_per_type
