@@ -404,6 +404,7 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                        rng: Optional[np.random.RandomState] = None
                        ) -> Iterator[AsyncGraphBatch]:
     if is_training and rng is not None:
+        processed = list(processed)  # copy: epoch shuffles must not compose
         rng.shuffle(processed)
     num_tasks = len(processed[0]["labels"])
     R, S, T = propagation_rounds, propagation_substeps, num_edge_types

@@ -79,6 +79,10 @@ class FlatCorpus:
                 raise ValueError("negative vertex id in graph data")
         # The C kernels index raw buffers with these ids — validate once
         # here so corrupt input raises instead of corrupting memory.
+        if len(seg) and np.any(edges[:, 1] < 1):
+            raise ValueError(
+                "edge type must be a positive 1-based integer "
+                "(the C packers index [T,...] slabs with type-1)")
         bad = np.nonzero(max_vertex >= node_counts)[0]
         if len(bad):
             raise ValueError(
@@ -117,6 +121,18 @@ def _map_ordered(fn: Callable, items: List, workers: int) -> Iterator:
             yield out
 
 
+def _validate_edge_types(corpus: FlatCorpus, num_fwd: int) -> None:
+    """Upper-bound check (lower bound is in FlatCorpus.from_raw): a raw
+    type beyond the model's forward-type count would index past the C
+    packers' [T, ...] slabs — heap corruption, not an exception."""
+    if len(corpus.edges):
+        worst = int(corpus.edges[:, 1].max())
+        if worst > num_fwd:
+            raise ValueError(
+                f"edge type {worst} exceeds the model's {num_fwd} "
+                f"forward edge types")
+
+
 def apply_task_sample_ratios(target_mask: np.ndarray, order: np.ndarray,
                              task_ids: Sequence[int],
                              task_sample_ratios: Dict) -> None:
@@ -141,9 +157,14 @@ class DenseProcessed:
 def preprocess_dense_native(raw_data, task_ids, task_sample_ratios,
                             is_training: bool,
                             rng: Optional[np.random.RandomState] = None,
-                            bucket_sizes: Optional[np.ndarray] = None
-                            ) -> DenseProcessed:
+                            bucket_sizes: Optional[np.ndarray] = None,
+                            num_edge_types: Optional[int] = None,
+                            tie_fwd_bkwd: bool = True) -> DenseProcessed:
     corpus = FlatCorpus.from_raw(raw_data, task_ids)
+    if num_edge_types is not None:
+        _validate_edge_types(
+            corpus,
+            num_edge_types if tie_fwd_bkwd else num_edge_types // 2)
     if bucket_sizes is None:
         bucket_sizes = DENSE_BUCKET_SIZES
     # Bucket by rows actually written (max edge vertex AND feature-row
@@ -250,6 +271,8 @@ def preprocess_sparse_native(raw_data, num_edge_types, tie_fwd_bkwd,
                              rng: Optional[np.random.RandomState] = None
                              ) -> SparseProcessed:
     corpus = FlatCorpus.from_raw(raw_data, task_ids)
+    _validate_edge_types(
+        corpus, num_edge_types if tie_fwd_bkwd else num_edge_types // 2)
     g_count = corpus.num_graphs
     counts = np.zeros((g_count, num_edge_types), np.int64)
     seg = np.repeat(np.arange(g_count), corpus.edges_per_graph)

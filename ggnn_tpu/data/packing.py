@@ -250,6 +250,10 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
     compilation) — when None it is sized per batch (tests only).
     """
     if is_training and rng is not None:
+        # Shuffle a COPY: mutating the caller's list would compose
+        # permutations across epochs and break mid-epoch resume (which
+        # replays the epoch-start RNG state over the pristine order).
+        processed = list(processed)
         rng.shuffle(processed)
     num_tasks = len(processed[0]["labels"])
     idx = 0
@@ -444,6 +448,9 @@ def pack_dense_batches(bucketed: Dict[int, List[dict]],
                           for _ in range(-(-len(data) // batch_size))]
     if is_training and rng is not None:
         rng.shuffle(bucket_at_step)
+        # Copies, not in-place: epoch shuffles must not compose (see the
+        # mid-epoch resume contract in training/runner.py).
+        bucketed = {b: list(data) for b, data in bucketed.items()}
         for data in bucketed.values():
             rng.shuffle(data)
 
@@ -556,6 +563,7 @@ def pack_gcn_batches(processed: List[dict], node_budget: int,
                      rng: Optional[np.random.RandomState] = None
                      ) -> Iterator[GCNGraphBatch]:
     if is_training and rng is not None:
+        processed = list(processed)  # copy: epoch shuffles must not compose
         rng.shuffle(processed)
     num_tasks = len(processed[0]["labels"])
     idx = 0

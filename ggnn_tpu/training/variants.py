@@ -125,7 +125,9 @@ class DenseAdapter:
             return native_pack.preprocess_dense_native(
                 raw, self.config["task_ids"],
                 self.config["task_sample_ratios"], is_training, rng,
-                bucket_sizes=self._bucket_sizes())
+                bucket_sizes=self._bucket_sizes(),
+                num_edge_types=self.meta.num_edge_types,
+                tie_fwd_bkwd=self.config["tie_fwd_bkwd"])
         bucketed, bucket_sizes = packing.preprocess_dense(
             raw, self.meta.num_edge_types, self.config["tie_fwd_bkwd"],
             self.config["task_ids"], self.config["task_sample_ratios"],
