@@ -48,6 +48,8 @@ from ggnn_tpu.ops.messages import (
     propagation_attention_weights_combined,
     typed_edge_messages,
 )
+from ggnn_tpu.ops.segment import segment_softmax, segment_sum
+from ggnn_tpu.utils.constants import SMALL_NUMBER
 from ggnn_tpu.utils.init import glorot_init
 
 
@@ -102,8 +104,10 @@ class SparseGGNN:
         self.edges_sorted = bool(config.get("edges_sorted_by_target", True))
         # Type-combined edge lane (GraphBatch.edge_*_all): one sorted
         # lane for all types — ~3x less padded gather/scatter work under
-        # bond-type skew. Single-chip path only; mesh layouts keep the
-        # typed lanes.
+        # bond-type skew. Applies to the single-chip GraphBatch path;
+        # the node-sharded layout has its own (always-combined) local
+        # and boundary lanes, and type-TP keeps typed lanes (the type
+        # axis is the sharding axis there).
         self.combined_lanes = bool(config.get("combined_edge_lanes", True))
         self.hidden_size = config["hidden_size"]
         self.layer_timesteps = list(config["layer_timesteps"])
@@ -239,16 +243,30 @@ class SparseGGNN:
         """Node-sharded propagation (parallel/node_shard.py layout).
 
         Per step: gather this shard's boundary rows for every peer
-        (`send_idx`), exchange them with ONE `all_to_all` over the edge
-        mesh axis, and run the whole step — typed transform, attention's
-        segment softmax, aggregation, bias/avg, cell update — on local
-        arrays against the combined [local ‖ boundary ‖ zero] gather
-        table. Per-step ICI traffic is O(cut-edges·H) instead of round
-        1's O(N·H) full-tensor psum; all segment reductions are local
-        because every edge lives on its target's owner shard.
+        (`send_idx`) and launch ONE `all_to_all` over the edge mesh
+        axis; while it is in flight, aggregate the LOCAL-source lane
+        (whose gather + sorted partial segment-sum depend only on this
+        shard's own states — XLA's latency-hiding scheduler overlaps it
+        with the collective); then aggregate the BOUNDARY-source lane
+        against the received table, sum the per-(target, type) partials,
+        and finish the step — [T,H,H] transform, bias/avg, cell update —
+        entirely locally. Per-step ICI traffic is O(cut-edges·H) instead
+        of round 1's O(N·H) full-tensor psum; all segment reductions are
+        local because every edge lives on its target's owner shard. Both
+        lanes are type-combined and (target, type)-sorted (the packers'
+        sorted-scatter contract; see benchmarks/README.md on why the
+        combined lane is ~3x the per-type lanes under bond-type skew).
+
+        With propagation attention on, the segment softmax must see
+        every incoming edge of a target, so the two lanes' scores are
+        softmaxed jointly — the boundary scores need the received rows,
+        which serialises the exchange before the softmax (overlap then
+        covers only the send gather; attention defaults off).
         """
         nl = batch.local_node_capacity
         h_dim = batch.node_features.shape[-1]
+        t_dim = self.num_edge_types
+        seg_count = nl * t_dim + 1  # composite target*T+type, pad last
         node_states_per_layer = [batch.node_features]
 
         for layer_idx, num_timesteps in enumerate(self.layer_timesteps):
@@ -277,19 +295,48 @@ class SparseGGNN:
                         tiled=True)
                 else:
                     recv = send  # single-shard degenerate case
-                combined = jnp.concatenate(
-                    [h_c, recv.reshape(-1, h_dim),
-                     jnp.zeros((1, h_dim), h_c.dtype)], axis=0)
-                attn = None
+                recv_flat = recv.reshape(-1, h_dim)     # [S*B, H]
+                gathered_l = h_c[batch.loc_src]         # [EL, H]
+                attn_l = attn_b = None
                 if self.use_propagation_attention:
-                    # All incoming edges of a target are local — the
-                    # segment softmax needs no cross-shard collective.
-                    attn = propagation_attention_weights(
-                        combined, batch.edge_sources, batch.edge_targets,
-                        batch.edge_mask, layer["attention"], nl).astype(cdt)
-                incoming = aggregate_then_transform(
-                    combined, batch.edge_sources, batch.edge_targets, w_c,
-                    nl, attn, targets_sorted=self.edges_sorted)
+                    # All incoming edges of a target live on this shard
+                    # (split across the two lanes), so the segment
+                    # softmax is local — but joint over both lanes.
+                    gathered_b_pre = recv_flat[batch.bnd_src]
+                    tgt_l = h_c[jnp.minimum(batch.loc_tgt, nl - 1)]
+                    tgt_b = h_c[jnp.minimum(batch.bnd_tgt, nl - 1)]
+                    factors = layer["attention"]
+                    scores = jnp.concatenate([
+                        jnp.sum((gathered_l * tgt_l).astype(jnp.float32),
+                                axis=-1) * factors[batch.loc_type],
+                        jnp.sum((gathered_b_pre * tgt_b
+                                 ).astype(jnp.float32),
+                                axis=-1) * factors[batch.bnd_type],
+                    ])
+                    attn = segment_softmax(
+                        scores,
+                        jnp.concatenate([batch.loc_tgt, batch.bnd_tgt]),
+                        nl + 1,
+                        jnp.concatenate([batch.loc_mask, batch.bnd_mask]),
+                        SMALL_NUMBER)
+                    el = batch.loc_src.shape[0]
+                    attn_l = attn[:el].astype(cdt)
+                    attn_b = attn[el:].astype(cdt)
+                if attn_l is not None:
+                    gathered_l = gathered_l * attn_l[:, None]
+                per = segment_sum(
+                    gathered_l, batch.loc_tgt * t_dim + batch.loc_type,
+                    seg_count, indices_are_sorted=self.edges_sorted)
+                gathered_b = recv_flat[batch.bnd_src]   # [EB, H]
+                if attn_b is not None:
+                    gathered_b = gathered_b * attn_b[:, None]
+                per = per + segment_sum(
+                    gathered_b, batch.bnd_tgt * t_dim + batch.bnd_type,
+                    seg_count, indices_are_sorted=self.edges_sorted)
+                per = per[:-1].reshape(nl, t_dim, h_dim)
+                incoming = jnp.einsum(
+                    "nth,thd->nd", per, w_c,
+                    preferred_element_type=jnp.float32)
                 incoming = incoming.astype(jnp.float32)
                 if self.use_edge_bias:
                     incoming = incoming + edge_bias_term(

@@ -19,6 +19,16 @@ north-star design:
     rows its neighbours' edges reference (`send_idx`) through ONE
     `all_to_all` over ICI: per-step communication drops from O(N·H) to
     O(cut-edges·H);
+  * edges are split into a LOCAL-source lane and a BOUNDARY-source lane
+    (round 2): the local lane's gather + partial segment-sum depends
+    only on this shard's own states, so XLA's latency-hiding scheduler
+    overlaps it with the in-flight `all_to_all` — the compute/comm
+    overlap SURVEY §5.7 names as the north star. Each lane is ONE
+    (target, type)-sorted type-combined lane (the same layout that made
+    the single-chip sparse step 3.1x faster — per-type lanes are sized
+    to the worst type and QM9's bond-type skew leaves them ~22%
+    occupied), summed into shared per-(target, type) partials before
+    the [T,H,H] transform;
   * per-graph readout pooling produces partial sums (a graph may span
     shards) combined by a single [G]-sized psum per batch.
 
@@ -28,10 +38,12 @@ transposes to a scatter-add into the owning shard's rows
 (tests/test_parallel.py pins gradient parity against the single-device
 oracle).
 
-Index space of `edge_sources` (per shard): `[0, Nl)` local rows,
-`[Nl, Nl + S*B)` boundary rows in (owner, slot) order, `Nl + S*B` an
-all-zero row for padded lanes. `edge_targets` stay in local space with
-dump slot `Nl`.
+Index spaces (per shard): the local lane's `loc_src` are local rows
+`[0, Nl)`; the boundary lane's `bnd_src` index the received boundary
+table `[0, S*B)` in (owner, slot) order. Both lanes' targets are local
+rows with dump slot `Nl`; both are sorted by the composite key
+`target*T + type` (padding, at `Nl*T`, sorts last), so the partial
+segment-sums run on XLA's sorted-scatter path.
 """
 
 import dataclasses
@@ -56,9 +68,14 @@ class NodeShardedGraphBatch:
       node_features  [S, Nl, H]
       node_graph_ids [S, Nl]        padding -> G (dump graph)
       in_degrees     [S, Nl, T]
-      edge_sources   [S, T, El]     combined-table index space (see above)
-      edge_targets   [S, T, El]     local target rows, padding -> Nl
-      edge_mask      [S, T, El]
+      loc_src        [S, EL]        local source rows, padding -> 0
+      loc_type       [S, EL]        edge type, padding -> 0
+      loc_tgt        [S, EL]        local target rows, padding -> Nl
+      loc_mask       [S, EL]
+      bnd_src        [S, EB]        boundary-table rows (owner*B + slot)
+      bnd_type       [S, EB]
+      bnd_tgt        [S, EB]        local target rows, padding -> Nl
+      bnd_mask       [S, EB]
       send_idx       [S, S, B]      rows THIS shard sends to each dest
       targets        [K, G]         replicated
       target_mask    [K, G]         replicated
@@ -69,9 +86,14 @@ class NodeShardedGraphBatch:
     node_features: jax.Array
     node_graph_ids: jax.Array
     in_degrees: jax.Array
-    edge_sources: jax.Array
-    edge_targets: jax.Array
-    edge_mask: jax.Array
+    loc_src: jax.Array
+    loc_type: jax.Array
+    loc_tgt: jax.Array
+    loc_mask: jax.Array
+    bnd_src: jax.Array
+    bnd_type: jax.Array
+    bnd_tgt: jax.Array
+    bnd_mask: jax.Array
     send_idx: jax.Array
     targets: jax.Array
     target_mask: jax.Array
@@ -81,7 +103,8 @@ class NodeShardedGraphBatch:
     # Fields whose axis 0 is the shard axis (split over the edge mesh
     # axis by shard_map; squeezed to a per-shard view by local_view).
     SHARDED_FIELDS = ("node_features", "node_graph_ids", "in_degrees",
-                      "edge_sources", "edge_targets", "edge_mask",
+                      "loc_src", "loc_type", "loc_tgt", "loc_mask",
+                      "bnd_src", "bnd_type", "bnd_tgt", "bnd_mask",
                       "send_idx")
 
     @property
@@ -104,7 +127,8 @@ class NodeShardCaps:
     """Static capacities for one compiled node-sharded program."""
     n_shards: int
     nodes_local: int      # Nl
-    edges_per_type: int   # El (per shard per type)
+    edges_local: int      # EL (per shard, all types combined)
+    edges_boundary: int   # EB (per shard, all types combined)
     boundary: int         # B (per ordered shard pair)
 
 
@@ -113,36 +137,53 @@ def _shard_ranges(node_capacity: int, n_shards: int) -> int:
     return -(-node_capacity // n_shards)
 
 
+def _flatten_edges(batch: GraphBatch):
+    """Real edges of a packed batch as flat (src, tgt, type) arrays."""
+    src = np.asarray(batch.edge_sources)
+    tgt = np.asarray(batch.edge_targets)
+    real = np.asarray(batch.edge_mask) > 0
+    t_dim = src.shape[0]
+    counts = [int(real[t].sum()) for t in range(t_dim)]
+    f_src = np.concatenate([src[t][real[t]] for t in range(t_dim)]
+                           or [np.zeros(0, src.dtype)])
+    f_tgt = np.concatenate([tgt[t][real[t]] for t in range(t_dim)]
+                           or [np.zeros(0, tgt.dtype)])
+    f_ty = np.concatenate([np.full(counts[t], t, np.int32)
+                           for t in range(t_dim)]
+                          or [np.zeros(0, np.int32)])
+    return f_src, f_tgt, f_ty, t_dim
+
+
 def plan_node_shard_caps(batches: Iterable[GraphBatch], n_shards: int,
                          margin: float = 1.3) -> NodeShardCaps:
-    """Walk (dry-pack) batches and size El and B for the epoch, with a
+    """Walk (dry-pack) batches and size EL/EB/B for the epoch, with a
     shuffle margin (same policy as the packers' capacity planning)."""
-    max_el, max_b, nl = 1, 0, 8
+    batches = list(batches)
+    max_el, max_eb, max_b = 1, 0, 0
+    nl = max([8] + [_shard_ranges(b.node_capacity, n_shards)
+                    for b in batches])
     for batch in batches:
-        nl = _shard_ranges(batch.node_capacity, n_shards)
-        src = np.asarray(batch.edge_sources)
-        tgt = np.asarray(batch.edge_targets)
-        mask = np.asarray(batch.edge_mask) > 0
-        t_dim = src.shape[0]
-        for t in range(t_dim):
-            s, d = src[t][mask[t]], tgt[t][mask[t]]
-            if not len(s):
-                continue
-            owner_d = d // nl
-            max_el = max(max_el, int(np.bincount(
-                owner_d, minlength=n_shards).max()))
-            cut = s // nl != owner_d
-            if np.any(cut):
-                # unique (owner, dest, src-row) triples per pair
-                pairs = np.stack([s[cut] // nl, owner_d[cut], s[cut]], 1)
-                uniq = np.unique(pairs, axis=0)
-                pair_ids = uniq[:, 0] * n_shards + uniq[:, 1]
-                max_b = max(max_b, int(np.bincount(
-                    pair_ids, minlength=n_shards * n_shards).max()))
+        f_src, f_tgt, _, _ = _flatten_edges(batch)
+        if not len(f_src):
+            continue
+        owner_s, owner_d = f_src // nl, f_tgt // nl
+        cut = owner_s != owner_d
+        max_el = max(max_el, int(np.bincount(
+            owner_d[~cut], minlength=n_shards).max()))
+        if np.any(cut):
+            max_eb = max(max_eb, int(np.bincount(
+                owner_d[cut], minlength=n_shards).max()))
+            # unique (owner, dest, src-row) triples per ordered pair
+            uniq = np.unique(np.stack(
+                [owner_s[cut], owner_d[cut], f_src[cut]], 1), axis=0)
+            pair_ids = uniq[:, 0] * n_shards + uniq[:, 1]
+            max_b = max(max_b, int(np.bincount(
+                pair_ids, minlength=n_shards * n_shards).max()))
     return NodeShardCaps(
         n_shards=n_shards,
         nodes_local=nl,
-        edges_per_type=round_up(int(np.ceil(max_el * margin)), 8),
+        edges_local=round_up(int(np.ceil(max_el * margin)), 8),
+        edges_boundary=max(8, round_up(int(np.ceil(max_eb * margin)), 8)),
         boundary=max(8, round_up(int(np.ceil(max_b * margin)), 8)),
     )
 
@@ -151,21 +192,19 @@ def shard_batch(batch: GraphBatch, caps: NodeShardCaps
                 ) -> NodeShardedGraphBatch:
     """Re-lay one packed GraphBatch into S node shards (host, numpy)."""
     s_count = caps.n_shards
-    nl, el, b_cap = caps.nodes_local, caps.edges_per_type, caps.boundary
+    nl, b_cap = caps.nodes_local, caps.boundary
+    el_l, el_b = caps.edges_local, caps.edges_boundary
     n_cap = batch.node_capacity
     g_cap = batch.graph_capacity
     feats = np.asarray(batch.node_features)
     gids = np.asarray(batch.node_graph_ids)
     degs = np.asarray(batch.in_degrees)
-    src = np.asarray(batch.edge_sources)
-    tgt = np.asarray(batch.edge_targets)
-    mask = np.asarray(batch.edge_mask)
-    t_dim, h_dim = src.shape[0], feats.shape[1]
+    h_dim = feats.shape[1]
 
     # ---- local node arrays (contiguous ranges, zero/dump padded)
     nf = np.zeros((s_count, nl, h_dim), feats.dtype)
     ng = np.full((s_count, nl), g_cap, gids.dtype)
-    nd = np.zeros((s_count, nl, t_dim), degs.dtype)
+    nd = np.zeros((s_count, nl, degs.shape[1]), degs.dtype)
     for s in range(s_count):
         lo, hi = s * nl, min((s + 1) * nl, n_cap)
         if hi > lo:
@@ -173,58 +212,69 @@ def shard_batch(batch: GraphBatch, caps: NodeShardCaps
             ng[s, :hi - lo] = gids[lo:hi]
             nd[s, :hi - lo] = degs[lo:hi]
 
+    f_src, f_tgt, f_ty, t_dim = _flatten_edges(batch)
+    owner_s, owner_d = f_src // nl, f_tgt // nl
+
     # ---- boundary send lists: send_idx[owner, dest] = local rows
     send_idx = np.zeros((s_count, s_count, b_cap), np.int32)
     slot_of = {}  # (owner, dest, local_row) -> slot
     fill = np.zeros((s_count, s_count), np.int64)
-    real = mask > 0
-    owners_s, owners_d = src // nl, np.where(real, tgt // nl, 0)
-    for t in range(t_dim):
-        for o, d, j in zip(owners_s[t][real[t]], owners_d[t][real[t]],
-                           (src[t] % nl)[real[t]]):
-            if o == d:
-                continue
-            key = (int(o), int(d), int(j))
-            if key not in slot_of:
-                k = int(fill[o, d])
-                if k >= b_cap:
-                    raise ValueError(
-                        f"boundary capacity overflow: pair ({o}->{d}) "
-                        f"needs more than {b_cap} rows")
-                slot_of[key] = k
-                send_idx[o, d, k] = j
-                fill[o, d] = k + 1
-
-    # ---- per-shard per-type edge lanes (combined-index sources)
-    zero_row = nl + s_count * b_cap
-    es = np.full((s_count, t_dim, el), zero_row, np.int32)
-    et = np.full((s_count, t_dim, el), nl, np.int32)
-    em = np.zeros((s_count, t_dim, el), np.float32)
-    for s in range(s_count):
-        for t in range(t_dim):
-            sel = real[t] & (owners_d[t] == s)
-            e_src, e_tgt = src[t][sel], tgt[t][sel]
-            if len(e_src) > el:
+    cut = owner_s != owner_d
+    for o, d, j in zip(owner_s[cut], owner_d[cut], (f_src % nl)[cut]):
+        key = (int(o), int(d), int(j))
+        if key not in slot_of:
+            k = int(fill[o, d])
+            if k >= b_cap:
                 raise ValueError(
-                    f"per-shard edge capacity overflow: shard {s} type "
-                    f"{t} holds {len(e_src)} > {el} edges")
-            local_tgt = (e_tgt % nl).astype(np.int32)
-            o = e_src // nl
-            j = e_src % nl
-            comb = np.where(
-                o == s, j,
-                nl + o * b_cap + np.array(
-                    [slot_of.get((int(oo), s, int(jj)), 0)
-                     for oo, jj in zip(o, j)], np.int64),
-            ).astype(np.int32)
-            order = np.argsort(local_tgt, kind="stable")
+                    f"boundary capacity overflow: pair ({o}->{d}) "
+                    f"needs more than {b_cap} rows")
+            slot_of[key] = k
+            send_idx[o, d, k] = j
+            fill[o, d] = k + 1
+
+    # ---- per-shard type-combined lanes, split local/boundary sources
+    def _lane(cap, pad_src):
+        return (np.full((s_count, cap), pad_src, np.int32),
+                np.zeros((s_count, cap), np.int32),
+                np.full((s_count, cap), nl, np.int32),
+                np.zeros((s_count, cap), np.float32))
+
+    l_src, l_ty, l_tgt, l_mask = _lane(el_l, 0)
+    b_src, b_ty, b_tgt, b_mask = _lane(el_b, 0)
+    for s in range(s_count):
+        mine = owner_d == s
+        e_src, e_tgt, e_ty = f_src[mine], f_tgt[mine], f_ty[mine]
+        local = (e_src // nl) == s
+        loc_tgt = (e_tgt % nl).astype(np.int32)
+
+        def _fill(lane, sel, src_vals):
+            dst_s, dst_t, dst_g, dst_m = lane
+            tgt, ty = loc_tgt[sel], e_ty[sel]
+            if len(tgt) > dst_s.shape[1]:
+                kind = "local" if dst_s is l_src else "boundary"
+                raise ValueError(
+                    f"per-shard {kind} edge capacity overflow: shard {s}"
+                    f" holds {len(tgt)} > {dst_s.shape[1]} edges")
+            order = np.argsort(tgt * t_dim + ty, kind="stable")
             k = len(order)
-            es[s, t, :k] = comb[order]
-            et[s, t, :k] = local_tgt[order]
-            em[s, t, :k] = 1.0
+            dst_s[s, :k] = src_vals[order]
+            dst_t[s, :k] = ty[order]
+            dst_g[s, :k] = tgt[order]
+            dst_m[s, :k] = 1.0
+
+        _fill((l_src, l_ty, l_tgt, l_mask), local,
+              (e_src % nl)[local].astype(np.int32))
+        o = (e_src // nl)[~local]
+        j = (e_src % nl)[~local]
+        slots = np.array([slot_of[(int(oo), s, int(jj))]
+                          for oo, jj in zip(o, j)], np.int64)
+        _fill((b_src, b_ty, b_tgt, b_mask), ~local,
+              (o * b_cap + slots).astype(np.int32))
+
     return NodeShardedGraphBatch(
         node_features=nf, node_graph_ids=ng, in_degrees=nd,
-        edge_sources=es, edge_targets=et, edge_mask=em,
+        loc_src=l_src, loc_type=l_ty, loc_tgt=l_tgt, loc_mask=l_mask,
+        bnd_src=b_src, bnd_type=b_ty, bnd_tgt=b_tgt, bnd_mask=b_mask,
         send_idx=send_idx,
         targets=np.asarray(batch.targets),
         target_mask=np.asarray(batch.target_mask),
@@ -242,11 +292,14 @@ def empty_sharded_batch_like(b: NodeShardedGraphBatch
         node_graph_ids=np.full_like(np.asarray(b.node_graph_ids),
                                     b.graph_capacity),
         in_degrees=np.zeros_like(np.asarray(b.in_degrees)),
-        edge_sources=np.full_like(np.asarray(b.edge_sources),
-                                  nl + b.send_idx.shape[1]
-                                  * b.send_idx.shape[2]),
-        edge_targets=np.full_like(np.asarray(b.edge_targets), nl),
-        edge_mask=np.zeros_like(np.asarray(b.edge_mask)),
+        loc_src=np.zeros_like(np.asarray(b.loc_src)),
+        loc_type=np.zeros_like(np.asarray(b.loc_type)),
+        loc_tgt=np.full_like(np.asarray(b.loc_tgt), nl),
+        loc_mask=np.zeros_like(np.asarray(b.loc_mask)),
+        bnd_src=np.zeros_like(np.asarray(b.bnd_src)),
+        bnd_type=np.zeros_like(np.asarray(b.bnd_type)),
+        bnd_tgt=np.full_like(np.asarray(b.bnd_tgt), nl),
+        bnd_mask=np.zeros_like(np.asarray(b.bnd_mask)),
         send_idx=np.zeros_like(np.asarray(b.send_idx)),
         targets=np.zeros_like(np.asarray(b.targets)),
         target_mask=np.zeros_like(np.asarray(b.target_mask)),
@@ -276,7 +329,10 @@ def sharded_batch_specs(n_edge: int):
     sharded = P(DATA_AXIS, EDGE_AXIS)
     return NodeShardedGraphBatch(
         node_features=sharded, node_graph_ids=sharded, in_degrees=sharded,
-        edge_sources=sharded, edge_targets=sharded, edge_mask=sharded,
+        loc_src=sharded, loc_type=sharded, loc_tgt=sharded,
+        loc_mask=sharded,
+        bnd_src=sharded, bnd_type=sharded, bnd_tgt=sharded,
+        bnd_mask=sharded,
         send_idx=sharded,
         targets=P(DATA_AXIS), target_mask=P(DATA_AXIS),
         num_graphs=P(DATA_AXIS), num_nodes=P(DATA_AXIS),

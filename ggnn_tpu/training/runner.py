@@ -403,9 +403,34 @@ class Runner:
                 stack = stack_any_batches(group, n_data,
                                           empty_masked_batch_like)
             elif self._nodeshard_caps is not None:
-                from ggnn_tpu.parallel.node_shard import shard_and_stack
-                stack = shard_and_stack(group, self._nodeshard_caps,
-                                        n_data=n_data)
+                from ggnn_tpu.parallel.node_shard import (
+                    plan_node_shard_caps, shard_and_stack)
+                try:
+                    stack = shard_and_stack(group, self._nodeshard_caps,
+                                            n_data=n_data)
+                except ValueError:
+                    # A reshuffled epoch packed this group beyond the
+                    # planned per-shard lane / boundary capacities. Grow
+                    # the caps to cover it (margin included) and retry —
+                    # one recompile at the new shapes instead of a dead
+                    # run (same fallback policy as the packers' ELL
+                    # overflow). Capacities only grow, so earlier
+                    # compiled shapes stay reusable next epoch.
+                    import dataclasses as _dc
+                    old = self._nodeshard_caps
+                    grown = plan_node_shard_caps(group, old.n_shards)
+                    self._nodeshard_caps = _dc.replace(
+                        grown,
+                        nodes_local=max(grown.nodes_local, old.nodes_local),
+                        edges_local=max(grown.edges_local, old.edges_local),
+                        edges_boundary=max(grown.edges_boundary,
+                                           old.edges_boundary),
+                        boundary=max(grown.boundary, old.boundary))
+                    if not self.quiet:
+                        print(f"[node-shard] capacity overflow; regrew "
+                              f"{old} -> {self._nodeshard_caps}")
+                    stack = shard_and_stack(group, self._nodeshard_caps,
+                                            n_data=n_data)
             else:
                 stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
             self.key, rng = jax.random.split(self.key)

@@ -213,6 +213,34 @@ def test_runner_trains_on_mesh():
     assert np.isfinite(log[1]["valid_results"][0])
 
 
+def test_node_shard_overflow_regrows_caps_mid_epoch():
+    """A shuffled epoch whose group exceeds the planned per-shard lane
+    capacities must regrow the caps and continue (one recompile), not
+    kill the run — the mesh analog of the packers' overflow fallback."""
+    import dataclasses
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 1, "hidden_size": 8, "batch_size": 120,'
+        ' "layer_timesteps": [1], "residual_connections": {},'
+        ' "edge_weight_dropout_keep_prob": 1.0,'
+        ' "graph_state_dropout_keep_prob": 1.0}')
+    mesh = make_mesh(n_data=1, n_edge=2)
+    runner = Runner("sparse", cfg, log_dir="/tmp/mesh_overflow_test",
+                    train_data=synthetic_molecules(48, seed=0),
+                    valid_data=synthetic_molecules(12, seed=1),
+                    quiet=True, tensorboard=False, mesh=mesh)
+    assert runner._nodeshard_caps is not None
+    sabotaged = dataclasses.replace(runner._nodeshard_caps, edges_local=8)
+    runner._nodeshard_caps = sabotaged
+    log = runner.train()
+    assert np.isfinite(log[0]["train_results"][0])
+    assert runner._nodeshard_caps.edges_local > sabotaged.edges_local
+
+
 def test_blocked_variant_trains_on_mesh():
     """Data-parallel mesh training of the blocked (dense-path) variant:
     single bucket shape, 4-way DP, loss matches the reference semantics
@@ -297,9 +325,10 @@ def test_node_sharded_forward_matches_single_device():
     np.testing.assert_allclose(got[:b.node_capacity],
                                want[:b.node_capacity], rtol=1e-5,
                                atol=1e-6)
-    # 4-shard layout invariants: every real edge kept, every real node
-    # row placed exactly once.
-    assert float(np.asarray(sb.edge_mask).sum()) == float(
+    # 4-shard layout invariants: every real edge kept (split across the
+    # local and boundary lanes), every real node row placed exactly once.
+    assert float(np.asarray(sb.loc_mask).sum()
+                 + np.asarray(sb.bnd_mask).sum()) == float(
         np.asarray(b.edge_mask).sum())
     nf = np.asarray(sb.node_features).reshape(-1, b.node_features.shape[1])
     np.testing.assert_array_equal(
@@ -316,9 +345,16 @@ def test_node_shard_boundary_capacity_overflow_raises():
     if not np.any(src // good.nodes_local != tgt // good.nodes_local):
         pytest.skip("no cut edges in this batch")
     bad = NodeShardCaps(n_shards=4, nodes_local=good.nodes_local,
-                        edges_per_type=good.edges_per_type, boundary=0)
+                        edges_local=good.edges_local,
+                        edges_boundary=good.edges_boundary, boundary=0)
     with pytest.raises(ValueError):
         shard_batch(b, bad)
+    bad_lane = NodeShardCaps(n_shards=4, nodes_local=good.nodes_local,
+                             edges_local=0,
+                             edges_boundary=good.edges_boundary,
+                             boundary=good.boundary)
+    with pytest.raises(ValueError):
+        shard_batch(b, bad_lane)
 
 
 @pytest.mark.parametrize("n_data,n_edge", [(4, 2), (2, 4)])
