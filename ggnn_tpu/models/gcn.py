@@ -25,8 +25,15 @@ from ggnn_tpu.utils.init import glorot_init
 
 
 class GCN:
-    def __init__(self, config: Dict):
+    def __init__(self, config: Dict, edge_axis: str = None):
+        """`edge_axis` names a mesh axis over which the batch's node/edge
+        set is partitioned (node-sharded graph parallelism inside
+        `shard_map`, parallel/node_shard.py) — same design as the sparse
+        GGNN's: per layer, ONE boundary all_to_all exchanges the cut
+        edges' source rows while the local lane's weighted segment-sum
+        overlaps with it. `None` = single-shard semantics."""
         self.config = config
+        self.edge_axis = edge_axis
         self.hidden_size = config["hidden_size"]
         self.num_layers = config["num_timesteps"]
         self.use_bias = config["gcn_use_bias"]
@@ -49,6 +56,9 @@ class GCN:
 
     def forward(self, params: Dict, batch: GCNGraphBatch, *, rng=None,
                 is_training: bool = False) -> jax.Array:
+        if getattr(batch, "send_idx", None) is not None:
+            return self._forward_node_sharded(params, batch, rng=rng,
+                                              is_training=is_training)
         n_cap = batch.node_capacity
         h = batch.node_features
         for layer_idx, layer in enumerate(params["layers"]):
@@ -69,9 +79,54 @@ class GCN:
             h = new_h
         return h
 
+    def _forward_node_sharded(self, params: Dict, batch, *, rng=None,
+                              is_training: bool = False) -> jax.Array:
+        """Node-sharded Â·H per layer (parallel/node_shard.py GCN
+        layout): ONE boundary all_to_all per layer; the local lane's
+        weighted gather + sorted partial segment-sum have no data
+        dependency on it, so XLA overlaps the exchange with the local
+        aggregation; the boundary lane (cut edges only) waits on the
+        wire. Identical math to the single-device forward — the two
+        partial sums split Σ_j Â[i,j]·H[j] by the source's owner."""
+        nl = batch.local_node_capacity
+        h = batch.node_features
+        h_dim = h.shape[-1]
+        for layer_idx, layer in enumerate(params["layers"]):
+            send = h[batch.send_idx]                   # [S, B, H]
+            if self.edge_axis is not None:
+                recv = jax.lax.all_to_all(
+                    send, self.edge_axis, split_axis=0, concat_axis=0,
+                    tiled=True)
+            else:
+                recv = send  # single-shard degenerate case
+            recv_flat = recv.reshape(-1, h_dim)
+            mixed = segment_sum(
+                h[batch.loc_src] * batch.loc_w[:, None], batch.loc_tgt,
+                nl + 1, indices_are_sorted=self.edges_sorted)
+            mixed = mixed + segment_sum(
+                recv_flat[batch.bnd_src] * batch.bnd_w[:, None],
+                batch.bnd_tgt, nl + 1,
+                indices_are_sorted=self.edges_sorted)
+            mixed = mixed[:nl]
+            new_h = jnp.dot(mixed, layer["W"],
+                            preferred_element_type=jnp.float32)
+            if self.use_bias:
+                new_h = new_h + layer["b"]
+            if layer_idx < self.num_layers - 1:
+                new_h = jax.nn.relu(new_h)
+                if is_training and self.state_keep_prob < 1.0:
+                    rng, sub = jax.random.split(rng)
+                    new_h = dropout(sub, new_h, self.state_keep_prob)
+            h = new_h
+        return h
+
     def readout(self, heads: Dict, task_ids, last_h: jax.Array,
                 batch: GCNGraphBatch, *, keep_prob: float = 1.0,
                 rng=None) -> jax.Array:
+        """Gated segment-sum pooling (chem_tensorflow_gcn.py:84-93). For
+        node-sharded batches the per-shard pooled sums are partial (a
+        graph may span shards), combined with one [G]-sized psum."""
+        node_sharded = getattr(batch, "send_idx", None) is not None
         outs = []
         for task_id in task_ids:
             if rng is not None:
@@ -83,4 +138,7 @@ class GCN:
                 keep_prob=keep_prob, rng=sub)
             outs.append(base.pool_nodes_to_graphs(
                 gated, batch.node_graph_ids, batch.graph_capacity))
-        return jnp.stack(outs, axis=0)
+        out = jnp.stack(outs, axis=0)
+        if node_sharded and self.edge_axis is not None:
+            out = jax.lax.psum(out, self.edge_axis)
+        return out

@@ -188,6 +188,29 @@ def plan_node_shard_caps(batches: Iterable[GraphBatch], n_shards: int,
     )
 
 
+def _build_send_lists(owner_s, owner_d, local_rows, s_count: int,
+                      b_cap: int):
+    """Boundary send lists: send_idx[owner, dest] = the (deduplicated)
+    local rows owner must ship to dest, plus the (owner, dest, row) ->
+    slot map the receiving side's boundary lane indexes with."""
+    send_idx = np.zeros((s_count, s_count, b_cap), np.int32)
+    slot_of = {}  # (owner, dest, local_row) -> slot
+    fill = np.zeros((s_count, s_count), np.int64)
+    cut = owner_s != owner_d
+    for o, d, j in zip(owner_s[cut], owner_d[cut], local_rows[cut]):
+        key = (int(o), int(d), int(j))
+        if key not in slot_of:
+            k = int(fill[o, d])
+            if k >= b_cap:
+                raise ValueError(
+                    f"boundary capacity overflow: pair ({o}->{d}) "
+                    f"needs more than {b_cap} rows")
+            slot_of[key] = k
+            send_idx[o, d, k] = j
+            fill[o, d] = k + 1
+    return send_idx, slot_of
+
+
 def shard_batch(batch: GraphBatch, caps: NodeShardCaps
                 ) -> NodeShardedGraphBatch:
     """Re-lay one packed GraphBatch into S node shards (host, numpy)."""
@@ -215,22 +238,8 @@ def shard_batch(batch: GraphBatch, caps: NodeShardCaps
     f_src, f_tgt, f_ty, t_dim = _flatten_edges(batch)
     owner_s, owner_d = f_src // nl, f_tgt // nl
 
-    # ---- boundary send lists: send_idx[owner, dest] = local rows
-    send_idx = np.zeros((s_count, s_count, b_cap), np.int32)
-    slot_of = {}  # (owner, dest, local_row) -> slot
-    fill = np.zeros((s_count, s_count), np.int64)
-    cut = owner_s != owner_d
-    for o, d, j in zip(owner_s[cut], owner_d[cut], (f_src % nl)[cut]):
-        key = (int(o), int(d), int(j))
-        if key not in slot_of:
-            k = int(fill[o, d])
-            if k >= b_cap:
-                raise ValueError(
-                    f"boundary capacity overflow: pair ({o}->{d}) "
-                    f"needs more than {b_cap} rows")
-            slot_of[key] = k
-            send_idx[o, d, k] = j
-            fill[o, d] = k + 1
+    send_idx, slot_of = _build_send_lists(owner_s, owner_d, f_src % nl,
+                                          s_count, b_cap)
 
     # ---- per-shard type-combined lanes, split local/boundary sources
     def _lane(cap, pad_src):
@@ -318,6 +327,209 @@ def shard_and_stack(batches: List[GraphBatch], caps: NodeShardCaps,
         sharded += [filler] * (n_data - len(sharded) % n_data)
     return jax.tree_util.tree_map(
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *sharded)
+
+
+# --------------------------------------------------------------------
+# GCN (single-type weighted COO) node sharding
+# --------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GCNNodeShardedBatch:
+    """A GCNGraphBatch re-laid-out for S node shards.
+
+    Same design as NodeShardedGraphBatch (contiguous node ranges, edges
+    live on their target's owner, per-step boundary all_to_all, local/
+    boundary lane split for compute/comm overlap) with one edge type and
+    a per-edge weight lane (the pre-normalized adjacency values,
+    chem_tensorflow_gcn.py:116-142); weights are 0.0 on padding. Lanes
+    are target-sorted (the packer's row-major COO contract).
+    """
+
+    node_features: jax.Array   # [S, Nl, H]
+    node_graph_ids: jax.Array  # [S, Nl]
+    loc_src: jax.Array         # [S, EL] local rows, padding -> 0
+    loc_tgt: jax.Array         # [S, EL] local rows, padding -> Nl
+    loc_w: jax.Array           # [S, EL]
+    bnd_src: jax.Array         # [S, EB] boundary rows (owner*B + slot)
+    bnd_tgt: jax.Array         # [S, EB] local rows, padding -> Nl
+    bnd_w: jax.Array           # [S, EB]
+    send_idx: jax.Array        # [S, S, B]
+    targets: jax.Array         # [K, G] replicated
+    target_mask: jax.Array     # [K, G] replicated
+    num_graphs: jax.Array
+    num_nodes: jax.Array
+
+    SHARDED_FIELDS = ("node_features", "node_graph_ids",
+                      "loc_src", "loc_tgt", "loc_w",
+                      "bnd_src", "bnd_tgt", "bnd_w", "send_idx")
+
+    @property
+    def graph_capacity(self) -> int:
+        return self.targets.shape[1]
+
+    @property
+    def local_node_capacity(self) -> int:
+        return self.node_features.shape[-2]
+
+    def local_view(self) -> "GCNNodeShardedBatch":
+        updates = {f: getattr(self, f)[0] for f in self.SHARDED_FIELDS}
+        return dataclasses.replace(self, **updates)
+
+
+def _flatten_gcn_edges(batch):
+    """Real edges of a packed GCN batch (weights 0.0 mark padding)."""
+    w = np.asarray(batch.edge_weights)
+    real = w != 0.0
+    return (np.asarray(batch.edge_sources)[real],
+            np.asarray(batch.edge_targets)[real], w[real])
+
+
+def plan_gcn_shard_caps(batches: Iterable, n_shards: int,
+                        margin: float = 1.3) -> NodeShardCaps:
+    """Size EL/EB/B for an epoch of GCN batches (see
+    plan_node_shard_caps; identical policy, single edge type)."""
+    batches = list(batches)
+    max_el, max_eb, max_b = 1, 0, 0
+    nl = max([8] + [_shard_ranges(b.node_capacity, n_shards)
+                    for b in batches])
+    for batch in batches:
+        f_src, f_tgt, _ = _flatten_gcn_edges(batch)
+        if not len(f_src):
+            continue
+        owner_s, owner_d = f_src // nl, f_tgt // nl
+        cut = owner_s != owner_d
+        max_el = max(max_el, int(np.bincount(
+            owner_d[~cut], minlength=n_shards).max()))
+        if np.any(cut):
+            max_eb = max(max_eb, int(np.bincount(
+                owner_d[cut], minlength=n_shards).max()))
+            uniq = np.unique(np.stack(
+                [owner_s[cut], owner_d[cut], f_src[cut]], 1), axis=0)
+            pair_ids = uniq[:, 0] * n_shards + uniq[:, 1]
+            max_b = max(max_b, int(np.bincount(
+                pair_ids, minlength=n_shards * n_shards).max()))
+    return NodeShardCaps(
+        n_shards=n_shards,
+        nodes_local=nl,
+        edges_local=round_up(int(np.ceil(max_el * margin)), 8),
+        edges_boundary=max(8, round_up(int(np.ceil(max_eb * margin)), 8)),
+        boundary=max(8, round_up(int(np.ceil(max_b * margin)), 8)),
+    )
+
+
+def shard_gcn_batch(batch, caps: NodeShardCaps) -> GCNNodeShardedBatch:
+    """Re-lay one packed GCNGraphBatch into S node shards."""
+    s_count = caps.n_shards
+    nl, b_cap = caps.nodes_local, caps.boundary
+    el_l, el_b = caps.edges_local, caps.edges_boundary
+    n_cap = batch.node_capacity
+    g_cap = batch.graph_capacity
+    feats = np.asarray(batch.node_features)
+    gids = np.asarray(batch.node_graph_ids)
+    h_dim = feats.shape[1]
+
+    nf = np.zeros((s_count, nl, h_dim), feats.dtype)
+    ng = np.full((s_count, nl), g_cap, gids.dtype)
+    for s in range(s_count):
+        lo, hi = s * nl, min((s + 1) * nl, n_cap)
+        if hi > lo:
+            nf[s, :hi - lo] = feats[lo:hi]
+            ng[s, :hi - lo] = gids[lo:hi]
+
+    f_src, f_tgt, f_w = _flatten_gcn_edges(batch)
+    owner_s, owner_d = f_src // nl, f_tgt // nl
+    send_idx, slot_of = _build_send_lists(owner_s, owner_d, f_src % nl,
+                                          s_count, b_cap)
+
+    def _lane(cap):
+        return (np.zeros((s_count, cap), np.int32),
+                np.full((s_count, cap), nl, np.int32),
+                np.zeros((s_count, cap), np.float32))
+
+    l_src, l_tgt, l_w = _lane(el_l)
+    b_src, b_tgt, b_w = _lane(el_b)
+    for s in range(s_count):
+        mine = owner_d == s
+        e_src, e_tgt, e_w = f_src[mine], f_tgt[mine], f_w[mine]
+        local = (e_src // nl) == s
+        loc_tgt = (e_tgt % nl).astype(np.int32)
+
+        def _fill(dst_s, dst_t, dst_w, sel, src_vals, kind):
+            tgt = loc_tgt[sel]
+            if len(tgt) > dst_s.shape[1]:
+                raise ValueError(
+                    f"per-shard {kind} edge capacity overflow: shard {s}"
+                    f" holds {len(tgt)} > {dst_s.shape[1]} edges")
+            order = np.argsort(tgt, kind="stable")
+            k = len(order)
+            dst_s[s, :k] = src_vals[order]
+            dst_t[s, :k] = tgt[order]
+            dst_w[s, :k] = e_w[sel][order]
+
+        _fill(l_src, l_tgt, l_w, local,
+              (e_src % nl)[local].astype(np.int32), "local")
+        o = (e_src // nl)[~local]
+        j = (e_src % nl)[~local]
+        slots = np.array([slot_of[(int(oo), s, int(jj))]
+                          for oo, jj in zip(o, j)], np.int64)
+        _fill(b_src, b_tgt, b_w, ~local,
+              (o * b_cap + slots).astype(np.int32), "boundary")
+
+    return GCNNodeShardedBatch(
+        node_features=nf, node_graph_ids=ng,
+        loc_src=l_src, loc_tgt=l_tgt, loc_w=l_w,
+        bnd_src=b_src, bnd_tgt=b_tgt, bnd_w=b_w,
+        send_idx=send_idx,
+        targets=np.asarray(batch.targets),
+        target_mask=np.asarray(batch.target_mask),
+        num_graphs=np.asarray(batch.num_graphs),
+        num_nodes=np.asarray(batch.num_nodes),
+    )
+
+
+def empty_gcn_sharded_like(b: GCNNodeShardedBatch) -> GCNNodeShardedBatch:
+    nl = b.local_node_capacity
+    return GCNNodeShardedBatch(
+        node_features=np.zeros_like(np.asarray(b.node_features)),
+        node_graph_ids=np.full_like(np.asarray(b.node_graph_ids),
+                                    b.graph_capacity),
+        loc_src=np.zeros_like(np.asarray(b.loc_src)),
+        loc_tgt=np.full_like(np.asarray(b.loc_tgt), nl),
+        loc_w=np.zeros_like(np.asarray(b.loc_w)),
+        bnd_src=np.zeros_like(np.asarray(b.bnd_src)),
+        bnd_tgt=np.full_like(np.asarray(b.bnd_tgt), nl),
+        bnd_w=np.zeros_like(np.asarray(b.bnd_w)),
+        send_idx=np.zeros_like(np.asarray(b.send_idx)),
+        targets=np.zeros_like(np.asarray(b.targets)),
+        target_mask=np.zeros_like(np.asarray(b.target_mask)),
+        num_graphs=np.int32(0),
+        num_nodes=np.int32(0),
+    )
+
+
+def gcn_shard_and_stack(batches: List, caps: NodeShardCaps,
+                        n_data: int) -> GCNNodeShardedBatch:
+    sharded = [shard_gcn_batch(b, caps) for b in batches]
+    if len(sharded) % n_data != 0:
+        filler = empty_gcn_sharded_like(sharded[0])
+        sharded += [filler] * (n_data - len(sharded) % n_data)
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *sharded)
+
+
+def gcn_sharded_batch_specs(n_edge: int):
+    from jax.sharding import PartitionSpec as P
+    from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
+    sharded = P(DATA_AXIS, EDGE_AXIS)
+    return GCNNodeShardedBatch(
+        node_features=sharded, node_graph_ids=sharded,
+        loc_src=sharded, loc_tgt=sharded, loc_w=sharded,
+        bnd_src=sharded, bnd_tgt=sharded, bnd_w=sharded,
+        send_idx=sharded,
+        targets=P(DATA_AXIS), target_mask=P(DATA_AXIS),
+        num_graphs=P(DATA_AXIS), num_nodes=P(DATA_AXIS),
+    )
 
 
 def sharded_batch_specs(n_edge: int):

@@ -87,13 +87,14 @@ def make_parallel_steps(model, optimizer, config: Dict,
                 jnp.sum(0.5 * jnp.square(diff), axis=1),
                 jnp.sum(batch.target_mask, axis=1))
 
-    # Node-sharded edge partitioning (batch_kind="sparse", n_edge>1)
-    # owns DISJOINT node rows per edge shard, so dropout masks must be
-    # drawn independently per shard — folding only the data axis would
-    # give node rows at equal local offsets identical masks. Type-TP
-    # ("sparse_tp") replicates the node arrays across the edge axis and
-    # REQUIRES the shared key (all replicas must apply one mask).
-    shard_rng_over_edge = batch_kind == "sparse" and n_edge > 1
+    # Node-sharded edge partitioning (batch_kind "sparse"/"gcn",
+    # n_edge>1) owns DISJOINT node rows per edge shard, so dropout masks
+    # must be drawn independently per shard — folding only the data axis
+    # would give node rows at equal local offsets identical masks.
+    # Type-TP ("sparse_tp") replicates the node arrays across the edge
+    # axis and REQUIRES the shared key (all replicas must apply one
+    # mask).
+    shard_rng_over_edge = batch_kind in ("sparse", "gcn") and n_edge > 1
 
     def global_loss(params, batch_stack, key, is_training):
         b_local = batch_stack.num_graphs.shape[0]
@@ -159,6 +160,11 @@ def make_parallel_steps(model, optimizer, config: Dict,
         if batch_template is None:
             raise ValueError("batch_kind='data_only' needs batch_template")
         batch_specs = data_parallel_specs(batch_template)
+    elif batch_kind == "gcn":
+        # Node-sharded GCN (parallel/node_shard.py GCN section): the
+        # step consumes stacked GCNNodeShardedBatch pytrees.
+        from ggnn_tpu.parallel.node_shard import gcn_sharded_batch_specs
+        batch_specs = gcn_sharded_batch_specs(n_edge)
     elif n_edge > 1:
         # Node-sharded edge partitioning (parallel/node_shard.py): the
         # step consumes stacked NodeShardedGraphBatch pytrees.

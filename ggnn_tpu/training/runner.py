@@ -137,7 +137,13 @@ class Runner:
                         "dense/blocked mesh training is data-parallel "
                         "only (use n_edge=1)")
                 self._mesh_kind = "dense"
-            else:  # gcn / async: generic fixed-shape DP
+            elif variant == "gcn":
+                # GCN gets the same node-sharded boundary-exchange
+                # layout as sparse when the edge axis is active
+                # (parallel/node_shard.py GCN section), plain DP
+                # otherwise.
+                self._mesh_kind = "gcn" if n_edge > 1 else "data_only"
+            else:  # async: generic fixed-shape DP
                 if n_edge > 1:
                     raise ValueError(
                         f"{variant} mesh training is data-parallel only "
@@ -145,7 +151,7 @@ class Runner:
                 self._mesh_kind = "data_only"
 
         # Model + parameters.
-        if self._mesh_kind in ("sparse", "sparse_tp"):
+        if self._mesh_kind in ("sparse", "sparse_tp", "gcn"):
             from ggnn_tpu.parallel.mesh import EDGE_AXIS
             n_edge = mesh.shape[EDGE_AXIS]
             self.model = self.adapter.build_model(
@@ -213,13 +219,13 @@ class Runner:
             if self._mesh_kind == "data_only":
                 template = next(iter(self.adapter.batches(
                     self.valid_processed, False)))
-            if self._mesh_kind == "sparse" and mesh.shape[EDGE_AXIS] > 1:
+            if (self._mesh_kind in ("sparse", "gcn")
+                    and mesh.shape[EDGE_AXIS] > 1):
                 # Node-sharded edge partitioning: size the per-shard
                 # edge lanes and boundary-exchange buffers from a dry
                 # pack of both splits (shuffle margin included).
-                from ggnn_tpu.parallel.node_shard import plan_node_shard_caps
                 import itertools
-                self._nodeshard_caps = plan_node_shard_caps(
+                self._nodeshard_caps = self._nodeshard_plan(
                     itertools.chain(
                         self.adapter.batches(self.train_processed, False),
                         self.adapter.batches(self.valid_processed, False)),
@@ -372,6 +378,21 @@ class Runner:
             if processed_edges else None)
         return mean_loss, accuracies, error_ratios, instance_per_sec, steps
 
+    def _nodeshard_plan(self, batches, n_shards):
+        """Variant-matched node-shard capacity planner (sparse vs GCN
+        layouts share NodeShardCaps but count edges differently)."""
+        from ggnn_tpu.parallel import node_shard
+        if self._mesh_kind == "gcn":
+            return node_shard.plan_gcn_shard_caps(batches, n_shards)
+        return node_shard.plan_node_shard_caps(batches, n_shards)
+
+    def _nodeshard_stack(self, group, caps, n_data):
+        from ggnn_tpu.parallel import node_shard
+        if self._mesh_kind == "gcn":
+            return node_shard.gcn_shard_and_stack(group, caps,
+                                                  n_data=n_data)
+        return node_shard.shard_and_stack(group, caps, n_data=n_data)
+
     def _run_epoch_mesh(self, epoch_name: str, processed, is_training: bool):
         """Multi-chip epoch: stacks of n_data packed batches per step,
         split over the mesh's data axis (edges over the edge axis)."""
@@ -403,11 +424,10 @@ class Runner:
                 stack = stack_any_batches(group, n_data,
                                           empty_masked_batch_like)
             elif self._nodeshard_caps is not None:
-                from ggnn_tpu.parallel.node_shard import (
-                    plan_node_shard_caps, shard_and_stack)
                 try:
-                    stack = shard_and_stack(group, self._nodeshard_caps,
-                                            n_data=n_data)
+                    stack = self._nodeshard_stack(group,
+                                                  self._nodeshard_caps,
+                                                  n_data=n_data)
                 except ValueError:
                     # A reshuffled epoch packed this group beyond the
                     # planned per-shard lane / boundary capacities. Grow
@@ -418,7 +438,7 @@ class Runner:
                     # compiled shapes stay reusable next epoch.
                     import dataclasses as _dc
                     old = self._nodeshard_caps
-                    grown = plan_node_shard_caps(group, old.n_shards)
+                    grown = self._nodeshard_plan(group, old.n_shards)
                     self._nodeshard_caps = _dc.replace(
                         grown,
                         nodes_local=max(grown.nodes_local, old.nodes_local),
@@ -429,8 +449,9 @@ class Runner:
                     if not self.quiet:
                         print(f"[node-shard] capacity overflow; regrew "
                               f"{old} -> {self._nodeshard_caps}")
-                    stack = shard_and_stack(group, self._nodeshard_caps,
-                                            n_data=n_data)
+                    stack = self._nodeshard_stack(group,
+                                                  self._nodeshard_caps,
+                                                  n_data=n_data)
             else:
                 stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
             self.key, rng = jax.random.split(self.key)

@@ -165,8 +165,8 @@ class GCNAdapter:
         self.meta = meta
         self.caps = None
 
-    def build_model(self):
-        return GCN(self.config)
+    def build_model(self, edge_axis=None):
+        return GCN(self.config, edge_axis=edge_axis)
 
     def preprocess(self, raw, is_training: bool,
                    rng: Optional[np.random.RandomState] = None):

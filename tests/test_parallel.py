@@ -357,6 +357,92 @@ def test_node_shard_boundary_capacity_overflow_raises():
         shard_batch(b, bad_lane)
 
 
+def _gcn_setup(n_mols=48, batch_nodes=160):
+    cfg = default_params_for("gcn")
+    cfg.update({"batch_size": batch_nodes,
+                "graph_state_dropout_keep_prob": 1.0})
+    data = synthetic_molecules(n_mols, seed=3)
+    meta = infer_metadata([data], cfg["tie_fwd_bkwd"])
+    proc = packing.preprocess_gcn(data, cfg["task_ids"],
+                                  cfg["task_sample_ratios"], False)
+    caps = packing.plan_gcn_capacities(proc, cfg["batch_size"])
+    batches = list(packing.pack_gcn_batches(
+        proc, cfg["batch_size"], caps, cfg["hidden_size"],
+        meta.annotation_size, False, None))
+    assert len(batches) >= 2
+    return cfg, meta, batches
+
+
+@pytest.mark.parametrize("n_data,n_edge", [(4, 2), (2, 4)])
+def test_gcn_node_sharded_matches_single_device(n_data, n_edge):
+    """GCN over the node-sharded boundary-exchange layout: loss and
+    every gradient leaf must match the single-device global-batch
+    oracle (same contract as the sparse node-shard tests)."""
+    from ggnn_tpu.models.gcn import GCN
+    from ggnn_tpu.parallel.node_shard import (gcn_shard_and_stack,
+                                              plan_gcn_shard_caps)
+
+    cfg, meta, batches = _gcn_setup()
+    mesh = make_mesh(n_data=n_data, n_edge=n_edge)
+    model_p = GCN(cfg, edge_axis="edge")
+    model_s = GCN(cfg)
+    key = jax.random.PRNGKey(7)
+    params = {
+        "graph": model_p.init_params(key),
+        "heads": init_output_heads(key, cfg["hidden_size"],
+                                   cfg["task_ids"]),
+    }
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": jax.tree_util.tree_map(jnp.copy, params),
+             "opt_state": opt.init(params)}
+    train_step, eval_step = make_parallel_steps(
+        model_p, opt, cfg, cfg["task_ids"], mesh, return_grads=True,
+        batch_kind="gcn")
+    ns_caps = plan_gcn_shard_caps(batches, n_edge)
+    stack = gcn_shard_and_stack(batches, ns_caps, n_data=n_data)
+
+    def loss_fn(p):
+        return _oracle_loss(model_s, p, batches, cfg["task_ids"])
+
+    (exp_loss, exp_acc), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+
+    _, metrics = eval_step(state, stack, None)
+    np.testing.assert_allclose(float(metrics["loss"]), float(exp_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(metrics["accuracies"]),
+                               np.asarray(exp_acc), rtol=1e-5)
+
+    _, tmetrics = train_step(state, stack, jax.random.PRNGKey(0))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        tmetrics["grads"], grads)
+
+
+def test_gcn_runner_trains_node_sharded():
+    """End-to-end: Runner with an active edge axis drives the GCN
+    node-sharded path (plan, stack, overflow-regrow plumbing)."""
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = resolve_config(
+        "gcn", None,
+        '{"num_epochs": 2, "hidden_size": 16, "batch_size": 120}')
+    mesh = make_mesh(n_data=2, n_edge=2)
+    runner = Runner("gcn", cfg, log_dir="/tmp/mesh_gcn_ns_test",
+                    train_data=synthetic_molecules(64, seed=0),
+                    valid_data=synthetic_molecules(16, seed=1),
+                    quiet=True, tensorboard=False, mesh=mesh)
+    assert runner._mesh_kind == "gcn"
+    assert runner._nodeshard_caps is not None
+    log = runner.train()
+    assert len(log) == 2
+    assert np.isfinite(log[-1]["train_results"][0])
+    assert log[-1]["train_results"][0] < log[0]["train_results"][0] * 1.5
+
+
 @pytest.mark.parametrize("n_data,n_edge", [(4, 2), (2, 4)])
 def test_type_tp_matches_single_device(n_data, n_edge):
     """Tensor parallelism over the [T, H, H] edge weights: sharding the

@@ -95,3 +95,64 @@ def test_preprocess_split_and_train_only_normalization(tmp_path, monkeypatch):
 
 def test_smiles_to_graph_requires_rdkit_gracefully():
     pytest.importorskip("rdkit", reason="rdkit not installed here")
+
+
+def test_smiles_to_graph_bond_and_atom_mapping(monkeypatch):
+    """Pin smiles_to_graph's rdkit->schema mapping (get_data.py:63-73:
+    bond types {SINGLE:1, DOUBLE:2, TRIPLE:3, AROMATIC:4}, one-hot over
+    [H,C,N,O,F]) against a stub rdkit modelling formaldehyde C=O +
+    AddHs: real rdkit is not installable here, but the mapping logic is
+    ours and hermetically testable."""
+    import sys
+    import types
+
+    class Atom:
+        def __init__(self, symbol):
+            self._s = symbol
+
+        def GetSymbol(self):
+            return self._s
+
+    class Bond:
+        def __init__(self, begin, kind, end):
+            self._b, self._k, self._e = begin, kind, end
+
+        def GetBeginAtomIdx(self):
+            return self._b
+
+        def GetEndAtomIdx(self):
+            return self._e
+
+        def GetBondType(self):
+            return self._k  # str(kind) is the BOND_DICT key
+
+    class Mol:
+        def __init__(self, atoms, bonds):
+            self.atoms, self.bonds = atoms, bonds
+
+        def GetAtoms(self):
+            return self.atoms
+
+        def GetBonds(self):
+            return self.bonds
+
+    heavy = Mol([Atom("C"), Atom("O")], [Bond(0, "DOUBLE", 1)])
+
+    def add_hs(mol):
+        return Mol(mol.atoms + [Atom("H"), Atom("H")],
+                   mol.bonds + [Bond(0, "SINGLE", 2), Bond(0, "SINGLE", 3)])
+
+    chem = types.SimpleNamespace(
+        MolFromSmiles=lambda smiles: heavy, AddHs=add_hs)
+    fake_rdkit = types.ModuleType("rdkit")
+    fake_rdkit.Chem = chem
+    monkeypatch.setitem(sys.modules, "rdkit", fake_rdkit)
+
+    nodes, edges = qm9.smiles_to_graph("C=O")
+    assert nodes == [
+        [0, 1, 0, 0, 0],   # C
+        [0, 0, 0, 1, 0],   # O
+        [1, 0, 0, 0, 0],   # H
+        [1, 0, 0, 0, 0],   # H
+    ]
+    assert edges == [(0, 2, 1), (0, 1, 2), (0, 1, 3)]
