@@ -380,11 +380,19 @@ class Runner:
 
     def _nodeshard_plan(self, batches, n_shards):
         """Variant-matched node-shard capacity planner (sparse vs GCN
-        layouts share NodeShardCaps but count edges differently)."""
+        layouts share NodeShardCaps but count edges differently). Uses
+        the packers' tight default margin (`pack_margin` config key,
+        1.05): lane occupancy multiplies the per-step gather/scatter
+        cost, and a shuffled epoch that still overflows regrows the
+        caps instead of dying (see _run_epoch_mesh)."""
+        from ggnn_tpu.data.packing import DEFAULT_PACK_MARGIN
         from ggnn_tpu.parallel import node_shard
+        margin = self.config.get("pack_margin") or DEFAULT_PACK_MARGIN
         if self._mesh_kind == "gcn":
-            return node_shard.plan_gcn_shard_caps(batches, n_shards)
-        return node_shard.plan_node_shard_caps(batches, n_shards)
+            return node_shard.plan_gcn_shard_caps(batches, n_shards,
+                                                  margin=margin)
+        return node_shard.plan_node_shard_caps(batches, n_shards,
+                                               margin=margin)
 
     def _nodeshard_stack(self, group, caps, n_data):
         from ggnn_tpu.parallel import node_shard
