@@ -124,6 +124,59 @@ def test_combined_lane_is_exact_relayout(raw):
 
 
 @settings(max_examples=15, deadline=None)
+@given(corpora(), st.integers(1, 4))
+def test_node_shard_is_exact_relayout(raw, n_shards):
+    """shard_batch splits every packed batch's real edge multiset
+    exactly across the local and boundary lanes: local edges keep their
+    (global src, tgt, type), boundary edges resolve through send_idx to
+    the same global source row, every lane is composite-sorted, and
+    send_idx rows are deduplicated per (owner, dest)."""
+    from ggnn_tpu.parallel.node_shard import (plan_node_shard_caps,
+                                              shard_batch)
+    meta = infer_metadata([raw], True)
+    proc = packing.preprocess_sparse(raw, meta.num_edge_types, True,
+                                     [0], {}, False)
+    caps = packing.plan_capacities(proc, meta.num_edge_types, 40)
+    t_dim = meta.num_edge_types
+    for b in packing.pack_sparse_batches(
+            proc, meta.num_edge_types, 40, caps, 8, meta.annotation_size,
+            False, None):
+        ns_caps = plan_node_shard_caps([b], n_shards)
+        sb = shard_batch(b, ns_caps)
+        nl, b_cap = ns_caps.nodes_local, ns_caps.boundary
+        want = []
+        m = np.asarray(b.edge_mask) > 0
+        for t in range(t_dim):
+            for s_, d_ in zip(np.asarray(b.edge_sources)[t][m[t]],
+                              np.asarray(b.edge_targets)[t][m[t]]):
+                want.append((int(s_), int(d_), t))
+        got = []
+        send = np.asarray(sb.send_idx)
+        for s in range(n_shards):
+            lm = np.asarray(sb.loc_mask)[s] > 0
+            for src, ty, tg in zip(np.asarray(sb.loc_src)[s][lm],
+                                   np.asarray(sb.loc_type)[s][lm],
+                                   np.asarray(sb.loc_tgt)[s][lm]):
+                got.append((s * nl + int(src), s * nl + int(tg), int(ty)))
+            bm = np.asarray(sb.bnd_mask)[s] > 0
+            for src, ty, tg in zip(np.asarray(sb.bnd_src)[s][bm],
+                                   np.asarray(sb.bnd_type)[s][bm],
+                                   np.asarray(sb.bnd_tgt)[s][bm]):
+                owner, slot = int(src) // b_cap, int(src) % b_cap
+                assert owner != s  # boundary rows come from peers
+                global_src = owner * nl + int(send[owner, s, slot])
+                got.append((global_src, s * nl + int(tg), int(ty)))
+            # composite sortedness per lane (sorted-scatter contract)
+            comp_l = (np.asarray(sb.loc_tgt)[s] * t_dim
+                      + np.asarray(sb.loc_type)[s])
+            comp_b = (np.asarray(sb.bnd_tgt)[s] * t_dim
+                      + np.asarray(sb.bnd_type)[s])
+            assert np.all(np.diff(comp_l) >= 0)
+            assert np.all(np.diff(comp_b) >= 0)
+        assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=15, deadline=None)
 @given(corpora())
 def test_async_segments_cover_schedule_exactly(raw):
     """Segmented lanes hold exactly the uniform schedule's messages and
