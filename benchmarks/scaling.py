@@ -1,12 +1,13 @@
 """Multi-chip scaling-efficiency harness (SURVEY north star: >=80%
 edges/s efficiency 1 -> N chips).
 
-Usage: python benchmarks/scaling.py [N_DATA] [N_EDGE]
+Usage: python benchmarks/scaling.py [N_DATA] [N_EDGE] [VARIANT]
 
-Runs the shard_map training step over an (N_DATA, N_EDGE) mesh and over
-a (1, 1) mesh on the same global batch stack, reports edges/s/chip and
-the scaling efficiency. On a single-chip environment run it on a virtual
-CPU mesh:
+VARIANT is "sparse" (default) or "gcn" — both ride the node-sharded
+boundary-exchange layout when N_EDGE > 1. Runs the shard_map training
+step over an (N_DATA, N_EDGE) mesh and over a (1, 1) mesh on the same
+global batch stack, reports edges/s/chip and the scaling efficiency. On
+a single-chip environment run it on a virtual CPU mesh:
 
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python benchmarks/scaling.py 4 2
@@ -44,39 +45,73 @@ def main():
 
     n_data = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_edge = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    variant = sys.argv[3] if len(sys.argv) > 3 else "sparse"
     n_chips = n_data * n_edge
 
-    cfg = default_params_for("sparse")
-    cfg.update({"batch_size": 2000, "edge_weight_dropout_keep_prob": 1.0,
-                "use_propagation_attention": True, "use_edge_bias": True,
-                "native_pack": True})
-    data = synthetic_molecules(64 * n_chips, seed=0)
-    meta = infer_metadata([data], True)
-    proc = native_pack.preprocess_sparse_native(
-        data, meta.num_edge_types, True, [0], {}, False)
-    caps = native_pack.plan_capacities_native(proc, cfg["batch_size"])
-    batches = list(native_pack.pack_sparse_batches_native(
-        proc, meta.num_edge_types, True, cfg["batch_size"], caps,
-        cfg["hidden_size"], meta.annotation_size, False, None))
-    total_edges = sum(float(np.asarray(b.edge_mask).sum()) for b in batches)
+    if variant == "gcn":
+        from ggnn_tpu.data import packing
+        from ggnn_tpu.models.gcn import GCN
+        cfg = default_params_for("gcn")
+        cfg.update({"batch_size": 2000,
+                    "graph_state_dropout_keep_prob": 1.0})
+        data = synthetic_molecules(64 * n_chips, seed=0)
+        meta = infer_metadata([data], True)
+        proc = packing.preprocess_gcn(data, [0], {}, False)
+        caps = packing.plan_gcn_capacities(proc, cfg["batch_size"])
+        batches = list(packing.pack_gcn_batches(
+            proc, cfg["batch_size"], caps, cfg["hidden_size"],
+            meta.annotation_size, False, None))
+        total_edges = sum(float((np.asarray(b.edge_weights) != 0).sum())
+                          for b in batches)
+        prop_steps = cfg["num_timesteps"]
+    else:
+        cfg = default_params_for("sparse")
+        cfg.update({"batch_size": 2000,
+                    "edge_weight_dropout_keep_prob": 1.0,
+                    "use_propagation_attention": True,
+                    "use_edge_bias": True, "native_pack": True})
+        data = synthetic_molecules(64 * n_chips, seed=0)
+        meta = infer_metadata([data], True)
+        proc = native_pack.preprocess_sparse_native(
+            data, meta.num_edge_types, True, [0], {}, False)
+        caps = native_pack.plan_capacities_native(proc, cfg["batch_size"])
+        batches = list(native_pack.pack_sparse_batches_native(
+            proc, meta.num_edge_types, True, cfg["batch_size"], caps,
+            cfg["hidden_size"], meta.annotation_size, False, None))
+        total_edges = sum(float(np.asarray(b.edge_mask).sum())
+                          for b in batches)
+        prop_steps = sum(cfg["layer_timesteps"])
     steps_per_call = 8
 
     def measure(nd, ne):
+        from ggnn_tpu.parallel import node_shard as ns
         mesh = make_mesh(n_data=nd, n_edge=ne)
-        model = SparseGGNN(cfg, meta.num_edge_types,
-                           edge_axis="edge" if ne > 1 else None)
+        edge_axis = "edge" if ne > 1 else None
+        if variant == "gcn":
+            from ggnn_tpu.models.gcn import GCN
+            model = GCN(cfg, edge_axis=edge_axis)
+        else:
+            model = SparseGGNN(cfg, meta.num_edge_types,
+                               edge_axis=edge_axis)
         key = jax.random.PRNGKey(0)
         params = {"graph": model.init_params(key),
                   "heads": init_output_heads(key, cfg["hidden_size"], [0])}
         opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
         state = {"params": params, "opt_state": opt.init(params)}
-        train, _ = make_parallel_steps(model, opt, cfg, [0], mesh)
         if ne > 1:
-            from ggnn_tpu.parallel.node_shard import (plan_node_shard_caps,
-                                                      shard_and_stack)
-            ns_caps = plan_node_shard_caps(batches, ne)
-            stack = jax.device_put(shard_and_stack(batches, ns_caps,
-                                                   n_data=nd))
+            kind = "gcn" if variant == "gcn" else "sparse"
+            train, _ = make_parallel_steps(model, opt, cfg, [0], mesh,
+                                           batch_kind=kind)
+            # margin 1.0: the stack is static here (no epoch reshuffle),
+            # so exact capacities are safe and lane occupancy is maximal.
+            if variant == "gcn":
+                ns_caps = ns.plan_gcn_shard_caps(batches, ne, margin=1.0)
+                stack = jax.device_put(ns.gcn_shard_and_stack(
+                    batches, ns_caps, n_data=nd))
+            else:
+                ns_caps = ns.plan_node_shard_caps(batches, ne, margin=1.0)
+                stack = jax.device_put(ns.shard_and_stack(
+                    batches, ns_caps, n_data=nd))
             # Per-step cross-chip ICI traffic of the node-sharded
             # boundary exchange vs round 1's replicate+psum design. A
             # shard's all_to_all chunk to itself stays local, so only
@@ -84,11 +119,28 @@ def main():
             h = cfg["hidden_size"]
             new_vol = (ne - 1) * ns_caps.boundary * h * 4
             old_vol = batches[0].node_capacity * h * 4
+            # Lane occupancy straight off the stack just built (axis 0
+            # is the step axis: real batches first, then any all-padding
+            # fillers — slice those off so they don't dilute it).
+            lane = (stack.loc_w if variant == "gcn" else stack.loc_mask)
+            occ_l = float(
+                (np.asarray(jax.device_get(lane))[:len(batches)]
+                 != 0).mean())
             print(f"  per-shard per-prop-step comm: boundary all_to_all "
                   f"{new_vol/1024:.1f} KiB vs full-[N,H] psum "
                   f"{old_vol/1024:.1f} KiB "
-                  f"({old_vol/max(new_vol,1):.1f}x less traffic)")
+                  f"({old_vol/max(new_vol,1):.1f}x less traffic); "
+                  f"local-lane occupancy {occ_l*100:.1f}%")
+        elif variant == "gcn":
+            from ggnn_tpu.parallel.stacking import (empty_masked_batch_like,
+                                                    stack_any_batches)
+            train, _ = make_parallel_steps(model, opt, cfg, [0], mesh,
+                                           batch_kind="data_only",
+                                           batch_template=batches[0])
+            stack = jax.device_put(stack_any_batches(
+                batches, nd, empty_masked_batch_like))
         else:
+            train, _ = make_parallel_steps(model, opt, cfg, [0], mesh)
             stack = jax.device_put(stack_batches(batches, n_data=nd,
                                                  n_edge=ne))
 
@@ -105,11 +157,22 @@ def main():
         s, m = run(s, 2)
         loss = float(m["loss"])
         t1 = time.time()
-        s, m = run(s, 2 + steps_per_call)
+        # Size the long run from the pilot so the measured work dwarfs
+        # timing jitter (a fixed short run goes negative for fast
+        # models under the CPU collectives' busy-wait variance).
+        extra = max(steps_per_call,
+                    int(np.ceil(3.0 / max((t1 - t0) / 2, 1e-5))))
+        s, m = run(s, 2 + extra)
         loss = float(m["loss"])
         t2 = time.time()
-        per_step = ((t2 - t1) - (t1 - t0)) / steps_per_call
-        prop_steps = sum(cfg["layer_timesteps"])
+        if jax.default_backend() == "cpu":
+            # CPU fetches are cheap — plain division is the lower-noise
+            # estimator on the virtual mesh.
+            per_step = (t2 - t1) / (2 + extra)
+        else:
+            # The tunneled TPU's ~30ms per-fetch cost dominates short
+            # runs; differenced run lengths cancel it.
+            per_step = ((t2 - t1) - (t1 - t0)) / extra
         return total_edges * prop_steps / per_step, loss
 
     base_eps, _ = measure(1, 1)

@@ -297,20 +297,18 @@ class SparseGGNN:
                     recv = send  # single-shard degenerate case
                 recv_flat = recv.reshape(-1, h_dim)     # [S*B, H]
                 gathered_l = h_c[batch.loc_src]         # [EL, H]
-                attn_l = attn_b = None
+                gathered_b = recv_flat[batch.bnd_src]   # [EB, H]
                 if self.use_propagation_attention:
                     # All incoming edges of a target live on this shard
                     # (split across the two lanes), so the segment
                     # softmax is local — but joint over both lanes.
-                    gathered_b_pre = recv_flat[batch.bnd_src]
                     tgt_l = h_c[jnp.minimum(batch.loc_tgt, nl - 1)]
                     tgt_b = h_c[jnp.minimum(batch.bnd_tgt, nl - 1)]
                     factors = layer["attention"]
                     scores = jnp.concatenate([
                         jnp.sum((gathered_l * tgt_l).astype(jnp.float32),
                                 axis=-1) * factors[batch.loc_type],
-                        jnp.sum((gathered_b_pre * tgt_b
-                                 ).astype(jnp.float32),
+                        jnp.sum((gathered_b * tgt_b).astype(jnp.float32),
                                 axis=-1) * factors[batch.bnd_type],
                     ])
                     attn = segment_softmax(
@@ -320,16 +318,11 @@ class SparseGGNN:
                         jnp.concatenate([batch.loc_mask, batch.bnd_mask]),
                         SMALL_NUMBER)
                     el = batch.loc_src.shape[0]
-                    attn_l = attn[:el].astype(cdt)
-                    attn_b = attn[el:].astype(cdt)
-                if attn_l is not None:
-                    gathered_l = gathered_l * attn_l[:, None]
+                    gathered_l = gathered_l * attn[:el, None].astype(cdt)
+                    gathered_b = gathered_b * attn[el:, None].astype(cdt)
                 per = segment_sum(
                     gathered_l, batch.loc_tgt * t_dim + batch.loc_type,
                     seg_count, indices_are_sorted=self.edges_sorted)
-                gathered_b = recv_flat[batch.bnd_src]   # [EB, H]
-                if attn_b is not None:
-                    gathered_b = gathered_b * attn_b[:, None]
                 per = per + segment_sum(
                     gathered_b, batch.bnd_tgt * t_dim + batch.bnd_type,
                     seg_count, indices_are_sorted=self.edges_sorted)

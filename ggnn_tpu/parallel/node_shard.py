@@ -154,16 +154,16 @@ def _flatten_edges(batch: GraphBatch):
     return f_src, f_tgt, f_ty, t_dim
 
 
-def plan_node_shard_caps(batches: Iterable[GraphBatch], n_shards: int,
-                         margin: float = 1.3) -> NodeShardCaps:
-    """Walk (dry-pack) batches and size EL/EB/B for the epoch, with a
-    shuffle margin (same policy as the packers' capacity planning)."""
-    batches = list(batches)
+def _plan_caps(edge_lists, node_caps, n_shards: int,
+               margin: float) -> NodeShardCaps:
+    """Shared cap counting over per-batch flattened (src, tgt) arrays.
+
+    `nl` must be the max over ALL batches before any owner arithmetic,
+    so the callers stream their batches once, retaining only the int
+    edge arrays (not the padded feature tensors)."""
+    nl = max([8] + [_shard_ranges(nc, n_shards) for nc in node_caps])
     max_el, max_eb, max_b = 1, 0, 0
-    nl = max([8] + [_shard_ranges(b.node_capacity, n_shards)
-                    for b in batches])
-    for batch in batches:
-        f_src, f_tgt, _, _ = _flatten_edges(batch)
+    for f_src, f_tgt in edge_lists:
         if not len(f_src):
             continue
         owner_s, owner_d = f_src // nl, f_tgt // nl
@@ -186,6 +186,20 @@ def plan_node_shard_caps(batches: Iterable[GraphBatch], n_shards: int,
         edges_boundary=max(8, round_up(int(np.ceil(max_eb * margin)), 8)),
         boundary=max(8, round_up(int(np.ceil(max_b * margin)), 8)),
     )
+
+
+def plan_node_shard_caps(batches: Iterable[GraphBatch], n_shards: int,
+                         margin: float = 1.3) -> NodeShardCaps:
+    """Walk (dry-pack) batches and size EL/EB/B for the epoch, with a
+    shuffle margin (same policy as the packers' capacity planning).
+    Streams the iterable, keeping only flattened int edge arrays — a
+    full-corpus dry pack must not hold every padded batch in memory."""
+    edge_lists, node_caps = [], []
+    for batch in batches:
+        f_src, f_tgt, _, _ = _flatten_edges(batch)
+        edge_lists.append((f_src, f_tgt))
+        node_caps.append(batch.node_capacity)
+    return _plan_caps(edge_lists, node_caps, n_shards, margin)
 
 
 def _build_send_lists(owner_s, owner_d, local_rows, s_count: int,
@@ -211,59 +225,82 @@ def _build_send_lists(owner_s, owner_d, local_rows, s_count: int,
     return send_idx, slot_of
 
 
+def _shard_node_rows(arr: np.ndarray, s_count: int, nl: int, fill=0):
+    """Split [N, ...] node-indexed rows into contiguous [S, Nl, ...]
+    ranges, padding with `fill`."""
+    out = np.full((s_count, nl) + arr.shape[1:], fill, arr.dtype)
+    n_cap = arr.shape[0]
+    for s in range(s_count):
+        lo, hi = s * nl, min((s + 1) * nl, n_cap)
+        if hi > lo:
+            out[s, :hi - lo] = arr[lo:hi]
+    return out
+
+
+def _shard_edge_split(s: int, f_src, f_tgt, nl: int, b_cap: int, slot_of,
+                      caps_l: int, caps_b: int):
+    """Shard s's incoming edges split by source owner.
+
+    Returns (mine, local, loc_tgt, local_rows, boundary_rows): `mine`
+    selects s's edges out of the flat arrays, `local` splits them,
+    `loc_tgt` are local target rows for ALL of s's edges, `local_rows`
+    local source rows, `boundary_rows` received-table rows
+    (owner*B + slot, resolved through `slot_of`). Raises on lane
+    overflow."""
+    mine = (f_tgt // nl) == s
+    src_m = f_src[mine]
+    loc_tgt = (f_tgt[mine] % nl).astype(np.int32)
+    local = (src_m // nl) == s
+    for kind, count, cap in (("local", int(local.sum()), caps_l),
+                             ("boundary", int((~local).sum()), caps_b)):
+        if count > cap:
+            raise ValueError(
+                f"per-shard {kind} edge capacity overflow: shard {s}"
+                f" holds {count} > {cap} edges")
+    local_rows = (src_m % nl)[local].astype(np.int32)
+    o = (src_m // nl)[~local]
+    j = (src_m % nl)[~local]
+    slots = np.array([slot_of[(int(oo), s, int(jj))]
+                      for oo, jj in zip(o, j)], np.int64)
+    boundary_rows = (o * b_cap + slots).astype(np.int32)
+    return mine, local, loc_tgt, local_rows, boundary_rows
+
+
 def shard_batch(batch: GraphBatch, caps: NodeShardCaps
                 ) -> NodeShardedGraphBatch:
     """Re-lay one packed GraphBatch into S node shards (host, numpy)."""
     s_count = caps.n_shards
     nl, b_cap = caps.nodes_local, caps.boundary
     el_l, el_b = caps.edges_local, caps.edges_boundary
-    n_cap = batch.node_capacity
     g_cap = batch.graph_capacity
-    feats = np.asarray(batch.node_features)
-    gids = np.asarray(batch.node_graph_ids)
-    degs = np.asarray(batch.in_degrees)
-    h_dim = feats.shape[1]
 
     # ---- local node arrays (contiguous ranges, zero/dump padded)
-    nf = np.zeros((s_count, nl, h_dim), feats.dtype)
-    ng = np.full((s_count, nl), g_cap, gids.dtype)
-    nd = np.zeros((s_count, nl, degs.shape[1]), degs.dtype)
-    for s in range(s_count):
-        lo, hi = s * nl, min((s + 1) * nl, n_cap)
-        if hi > lo:
-            nf[s, :hi - lo] = feats[lo:hi]
-            ng[s, :hi - lo] = gids[lo:hi]
-            nd[s, :hi - lo] = degs[lo:hi]
+    nf = _shard_node_rows(np.asarray(batch.node_features), s_count, nl)
+    ng = _shard_node_rows(np.asarray(batch.node_graph_ids), s_count, nl,
+                          fill=g_cap)
+    nd = _shard_node_rows(np.asarray(batch.in_degrees), s_count, nl)
 
     f_src, f_tgt, f_ty, t_dim = _flatten_edges(batch)
-    owner_s, owner_d = f_src // nl, f_tgt // nl
-
-    send_idx, slot_of = _build_send_lists(owner_s, owner_d, f_src % nl,
-                                          s_count, b_cap)
+    send_idx, slot_of = _build_send_lists(f_src // nl, f_tgt // nl,
+                                          f_src % nl, s_count, b_cap)
 
     # ---- per-shard type-combined lanes, split local/boundary sources
-    def _lane(cap, pad_src):
-        return (np.full((s_count, cap), pad_src, np.int32),
+    def _lane(cap):
+        return (np.zeros((s_count, cap), np.int32),
                 np.zeros((s_count, cap), np.int32),
                 np.full((s_count, cap), nl, np.int32),
                 np.zeros((s_count, cap), np.float32))
 
-    l_src, l_ty, l_tgt, l_mask = _lane(el_l, 0)
-    b_src, b_ty, b_tgt, b_mask = _lane(el_b, 0)
+    l_src, l_ty, l_tgt, l_mask = _lane(el_l)
+    b_src, b_ty, b_tgt, b_mask = _lane(el_b)
     for s in range(s_count):
-        mine = owner_d == s
-        e_src, e_tgt, e_ty = f_src[mine], f_tgt[mine], f_ty[mine]
-        local = (e_src // nl) == s
-        loc_tgt = (e_tgt % nl).astype(np.int32)
+        mine, local, loc_tgt, lrows, brows = _shard_edge_split(
+            s, f_src, f_tgt, nl, b_cap, slot_of, el_l, el_b)
+        e_ty = f_ty[mine]
 
         def _fill(lane, sel, src_vals):
             dst_s, dst_t, dst_g, dst_m = lane
             tgt, ty = loc_tgt[sel], e_ty[sel]
-            if len(tgt) > dst_s.shape[1]:
-                kind = "local" if dst_s is l_src else "boundary"
-                raise ValueError(
-                    f"per-shard {kind} edge capacity overflow: shard {s}"
-                    f" holds {len(tgt)} > {dst_s.shape[1]} edges")
             order = np.argsort(tgt * t_dim + ty, kind="stable")
             k = len(order)
             dst_s[s, :k] = src_vals[order]
@@ -271,14 +308,8 @@ def shard_batch(batch: GraphBatch, caps: NodeShardCaps
             dst_g[s, :k] = tgt[order]
             dst_m[s, :k] = 1.0
 
-        _fill((l_src, l_ty, l_tgt, l_mask), local,
-              (e_src % nl)[local].astype(np.int32))
-        o = (e_src // nl)[~local]
-        j = (e_src % nl)[~local]
-        slots = np.array([slot_of[(int(oo), s, int(jj))]
-                          for oo, jj in zip(o, j)], np.int64)
-        _fill((b_src, b_ty, b_tgt, b_mask), ~local,
-              (o * b_cap + slots).astype(np.int32))
+        _fill((l_src, l_ty, l_tgt, l_mask), local, lrows)
+        _fill((b_src, b_ty, b_tgt, b_mask), ~local, brows)
 
     return NodeShardedGraphBatch(
         node_features=nf, node_graph_ids=ng, in_degrees=nd,
@@ -389,33 +420,12 @@ def plan_gcn_shard_caps(batches: Iterable, n_shards: int,
                         margin: float = 1.3) -> NodeShardCaps:
     """Size EL/EB/B for an epoch of GCN batches (see
     plan_node_shard_caps; identical policy, single edge type)."""
-    batches = list(batches)
-    max_el, max_eb, max_b = 1, 0, 0
-    nl = max([8] + [_shard_ranges(b.node_capacity, n_shards)
-                    for b in batches])
+    edge_lists, node_caps = [], []
     for batch in batches:
         f_src, f_tgt, _ = _flatten_gcn_edges(batch)
-        if not len(f_src):
-            continue
-        owner_s, owner_d = f_src // nl, f_tgt // nl
-        cut = owner_s != owner_d
-        max_el = max(max_el, int(np.bincount(
-            owner_d[~cut], minlength=n_shards).max()))
-        if np.any(cut):
-            max_eb = max(max_eb, int(np.bincount(
-                owner_d[cut], minlength=n_shards).max()))
-            uniq = np.unique(np.stack(
-                [owner_s[cut], owner_d[cut], f_src[cut]], 1), axis=0)
-            pair_ids = uniq[:, 0] * n_shards + uniq[:, 1]
-            max_b = max(max_b, int(np.bincount(
-                pair_ids, minlength=n_shards * n_shards).max()))
-    return NodeShardCaps(
-        n_shards=n_shards,
-        nodes_local=nl,
-        edges_local=round_up(int(np.ceil(max_el * margin)), 8),
-        edges_boundary=max(8, round_up(int(np.ceil(max_eb * margin)), 8)),
-        boundary=max(8, round_up(int(np.ceil(max_b * margin)), 8)),
-    )
+        edge_lists.append((f_src, f_tgt))
+        node_caps.append(batch.node_capacity)
+    return _plan_caps(edge_lists, node_caps, n_shards, margin)
 
 
 def shard_gcn_batch(batch, caps: NodeShardCaps) -> GCNNodeShardedBatch:
@@ -423,24 +433,14 @@ def shard_gcn_batch(batch, caps: NodeShardCaps) -> GCNNodeShardedBatch:
     s_count = caps.n_shards
     nl, b_cap = caps.nodes_local, caps.boundary
     el_l, el_b = caps.edges_local, caps.edges_boundary
-    n_cap = batch.node_capacity
-    g_cap = batch.graph_capacity
-    feats = np.asarray(batch.node_features)
-    gids = np.asarray(batch.node_graph_ids)
-    h_dim = feats.shape[1]
 
-    nf = np.zeros((s_count, nl, h_dim), feats.dtype)
-    ng = np.full((s_count, nl), g_cap, gids.dtype)
-    for s in range(s_count):
-        lo, hi = s * nl, min((s + 1) * nl, n_cap)
-        if hi > lo:
-            nf[s, :hi - lo] = feats[lo:hi]
-            ng[s, :hi - lo] = gids[lo:hi]
+    nf = _shard_node_rows(np.asarray(batch.node_features), s_count, nl)
+    ng = _shard_node_rows(np.asarray(batch.node_graph_ids), s_count, nl,
+                          fill=batch.graph_capacity)
 
     f_src, f_tgt, f_w = _flatten_gcn_edges(batch)
-    owner_s, owner_d = f_src // nl, f_tgt // nl
-    send_idx, slot_of = _build_send_lists(owner_s, owner_d, f_src % nl,
-                                          s_count, b_cap)
+    send_idx, slot_of = _build_send_lists(f_src // nl, f_tgt // nl,
+                                          f_src % nl, s_count, b_cap)
 
     def _lane(cap):
         return (np.zeros((s_count, cap), np.int32),
@@ -450,31 +450,20 @@ def shard_gcn_batch(batch, caps: NodeShardCaps) -> GCNNodeShardedBatch:
     l_src, l_tgt, l_w = _lane(el_l)
     b_src, b_tgt, b_w = _lane(el_b)
     for s in range(s_count):
-        mine = owner_d == s
-        e_src, e_tgt, e_w = f_src[mine], f_tgt[mine], f_w[mine]
-        local = (e_src // nl) == s
-        loc_tgt = (e_tgt % nl).astype(np.int32)
+        mine, local, loc_tgt, lrows, brows = _shard_edge_split(
+            s, f_src, f_tgt, nl, b_cap, slot_of, el_l, el_b)
+        e_w = f_w[mine]
 
-        def _fill(dst_s, dst_t, dst_w, sel, src_vals, kind):
+        def _fill(dst_s, dst_t, dst_w, sel, src_vals):
             tgt = loc_tgt[sel]
-            if len(tgt) > dst_s.shape[1]:
-                raise ValueError(
-                    f"per-shard {kind} edge capacity overflow: shard {s}"
-                    f" holds {len(tgt)} > {dst_s.shape[1]} edges")
             order = np.argsort(tgt, kind="stable")
             k = len(order)
             dst_s[s, :k] = src_vals[order]
             dst_t[s, :k] = tgt[order]
             dst_w[s, :k] = e_w[sel][order]
 
-        _fill(l_src, l_tgt, l_w, local,
-              (e_src % nl)[local].astype(np.int32), "local")
-        o = (e_src // nl)[~local]
-        j = (e_src % nl)[~local]
-        slots = np.array([slot_of[(int(oo), s, int(jj))]
-                          for oo, jj in zip(o, j)], np.int64)
-        _fill(b_src, b_tgt, b_w, ~local,
-              (o * b_cap + slots).astype(np.int32), "boundary")
+        _fill(l_src, l_tgt, l_w, local, lrows)
+        _fill(b_src, b_tgt, b_w, ~local, brows)
 
     return GCNNodeShardedBatch(
         node_features=nf, node_graph_ids=ng,
