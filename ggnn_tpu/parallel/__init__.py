@@ -24,6 +24,7 @@ from ggnn_tpu.parallel.stacking import (
     empty_batch_like,
     repad_edges,
     stack_batches,
+    stack_from_process_local,
     stacked_batch_specs,
 )
 from ggnn_tpu.parallel.step import make_parallel_steps

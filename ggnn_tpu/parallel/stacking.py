@@ -164,6 +164,36 @@ def stack_any_batches(batches: List, n_data: int, empty_fn=None):
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
 
 
+def stack_from_process_local(local_stack, mesh, specs):
+    """Assemble a GLOBAL stacked batch from per-process data-axis
+    slices (the production multi-host input path, SURVEY §5.8).
+
+    Under `jax.distributed`, each process packs only ITS portion of the
+    corpus (the contiguous data-axis slice its devices own on `mesh`)
+    and passes the resulting local stack here; every leaf becomes a
+    global `jax.Array` via `jax.make_array_from_process_local_data`, so
+    no host ever materialises (or ships) another host's batches. The
+    static capacities (PackCapacities / NodeShardCaps) must be agreed
+    globally beforehand — plan them from a deterministic metadata pass
+    over the full corpus, exactly like the Runner's dry pack.
+
+    `specs` is the same PartitionSpec pytree the parallel step was built
+    with (stacked_batch_specs / sharded_batch_specs / ...). Leaves whose
+    spec does not shard axis 0 over "data" are replicated and must be
+    identical across processes (targets on node-sharded layouts, etc.).
+
+    On a single process this is equivalent to `jax.device_put(stack,
+    NamedSharding(mesh, spec))` per leaf.
+    """
+    from jax.sharding import NamedSharding
+
+    def make(x, spec):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+
+    return jax.tree_util.tree_map(make, local_stack, specs)
+
+
 def empty_masked_batch_like(batch):
     """Generic all-masked filler: zero targets/masks/counters, other
     leaves copied (their compute contributes nothing through the masked

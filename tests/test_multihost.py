@@ -75,6 +75,42 @@ state, metrics = train(state, stack, jax.random.PRNGKey(1))
 loss = float(metrics["loss"])
 num_graphs = int(metrics["num_graphs"])
 
+# ---- Phase 2: per-process data feeding (the production multi-host
+# input path). Each process packs ONLY the molecules of its data-axis
+# slice; stack_from_process_local assembles the global jax.Array from
+# the local halves, so no host ever builds the other host's batches.
+# The global eval loss must equal a single-device oracle over the
+# UNION (process 0 computes it locally).
+from ggnn_tpu.parallel import empty_batch_like, stack_from_process_local
+from ggnn_tpu.parallel.node_shard import sharded_batch_specs
+
+if len(batches) % 2:  # equal per-process slice shapes
+    batches = batches + [empty_batch_like(batches[0])]
+half = len(batches) // 2  # caps planned globally above; shapes agree
+local_batches = batches[:half] if proc_id == 0 else batches[half:]
+local_stack = shard_and_stack(local_batches, ns_caps, n_data=1)
+global_stack = stack_from_process_local(local_stack, mesh,
+                                        sharded_batch_specs(n_edge))
+_, eval_step = make_parallel_steps(model, opt, cfg, [0], mesh)
+_, metrics2 = eval_step(state, global_stack, None)
+loss2 = float(metrics2["loss"])
+graphs2 = int(metrics2["num_graphs"])
+
+oracle_loss = None
+if proc_id == 0:
+    import jax.numpy as jnp
+    from ggnn_tpu.utils.constants import SMALL_NUMBER
+    model_s = SparseGGNN(cfg, meta.num_edge_types)
+    p_host = jax.tree_util.tree_map(np.asarray, state["params"])
+    sq_s = mask_s = 0.0
+    for b in batches:
+        final = model_s.forward(p_host["graph"], b)
+        computed = model_s.readout(p_host["heads"], [0], final, b)
+        diff = (computed - b.targets) * b.target_mask
+        sq_s = sq_s + jnp.sum(0.5 * jnp.square(diff), axis=1)
+        mask_s = mask_s + jnp.sum(b.target_mask, axis=1)
+    oracle_loss = float(jnp.sum(sq_s / (mask_s + SMALL_NUMBER)))
+
 # Checkpoint from process 0; everyone barriers via a psum before exit.
 if proc_id == 0:
     from ggnn_tpu.training.checkpoint import save_checkpoint, \
@@ -89,7 +125,10 @@ if proc_id == 0:
         jax.tree_util.tree_leaves(host_state)))
     with open(out_path, "w") as f:
         json.dump({"loss": loss, "num_graphs": num_graphs,
-                   "ckpt_roundtrip": bool(ok), "ts": ts}, f)
+                   "ckpt_roundtrip": bool(ok), "ts": ts,
+                   "local_feed_loss": loss2,
+                   "local_feed_graphs": graphs2,
+                   "local_feed_oracle": oracle_loss}, f)
 jax.effects_barrier()
 """
 
@@ -131,3 +170,8 @@ def test_two_process_distributed_train_step(tmp_path):
     assert result["ckpt_roundtrip"] is True
     import math
     assert math.isfinite(result["loss"])
+    # Per-process data feeding: the global loss over each host's own
+    # half must equal the single-device oracle over the union.
+    assert result["local_feed_graphs"] == 24
+    assert math.isclose(result["local_feed_loss"],
+                        result["local_feed_oracle"], rel_tol=1e-5)
