@@ -36,6 +36,32 @@ def make_mesh(n_data: Optional[int] = None, n_edge: int = 1,
     return Mesh(arr, (DATA_AXIS, EDGE_AXIS))
 
 
+def process_aligned_data_rows(mesh: Mesh):
+    """This process's data-axis rows, when the mesh is process-aligned.
+
+    Returns the list of data indices whose entire device row belongs to
+    the calling process — the rows whose batches this host should pack
+    and feed (`stack_from_process_local`). Returns None (meaning: feed
+    replicated global stacks) when single-process, when any row spans
+    processes (e.g. the edge axis crosses hosts), or when some process
+    owns no row — the None decision is identical on every process, so
+    no host takes a divergent code path into a collective.
+    """
+    if jax.process_count() == 1:
+        return None
+    dev = mesh.devices  # [n_data, n_edge]
+    row_owner = []
+    for i in range(dev.shape[0]):
+        owners = {d.process_index for d in dev[i].flat}
+        if len(owners) != 1:
+            return None
+        row_owner.append(owners.pop())
+    if set(row_owner) != set(range(jax.process_count())):
+        return None
+    return [i for i, o in enumerate(row_owner)
+            if o == jax.process_index()]
+
+
 def initialize_distributed(**kwargs) -> None:
     """Multi-host process-group setup (SURVEY §5.8): call once per host
     before `make_mesh()` on a multi-host slice. Thin wrapper over

@@ -212,6 +212,14 @@ class Runner:
         self.restored = restore is not None
 
         self._nodeshard_caps = None
+        self._proc_data_rows = None
+        if mesh is not None and self._mesh_kind in ("sparse", "gcn"):
+            # Under jax.distributed, feed only THIS host's data rows
+            # (parallel/stacking.py:stack_from_process_local) — no host
+            # packs or ships another host's batches. None = replicated
+            # global stacks (single process, or non-row-aligned mesh).
+            from ggnn_tpu.parallel.mesh import process_aligned_data_rows
+            self._proc_data_rows = process_aligned_data_rows(mesh)
         if mesh is not None:
             from ggnn_tpu.parallel.mesh import EDGE_AXIS
             from ggnn_tpu.parallel.step import make_parallel_steps
@@ -378,7 +386,7 @@ class Runner:
             if processed_edges else None)
         return mean_loss, accuracies, error_ratios, instance_per_sec, steps
 
-    def _nodeshard_plan(self, batches, n_shards):
+    def _nodeshard_plan(self, batches, n_shards, margin=None):
         """Variant-matched node-shard capacity planner (sparse vs GCN
         layouts share NodeShardCaps but count edges differently). Uses
         the packers' tight default margin (`pack_margin` config key,
@@ -387,7 +395,8 @@ class Runner:
         caps instead of dying (see _run_epoch_mesh)."""
         from ggnn_tpu.data.packing import DEFAULT_PACK_MARGIN
         from ggnn_tpu.parallel import node_shard
-        margin = self.config.get("pack_margin") or DEFAULT_PACK_MARGIN
+        if margin is None:
+            margin = self.config.get("pack_margin") or DEFAULT_PACK_MARGIN
         if self._mesh_kind == "gcn":
             return node_shard.plan_gcn_shard_caps(batches, n_shards,
                                                   margin=margin)
@@ -400,6 +409,55 @@ class Runner:
             return node_shard.gcn_shard_and_stack(group, caps,
                                                   n_data=n_data)
         return node_shard.shard_and_stack(group, caps, n_data=n_data)
+
+    def _stack_process_local(self, group, n_data, n_edge):
+        """Multi-process path: pad the (process-identical) group to
+        n_data with no-op fillers, keep only this host's data rows,
+        stack them, and assemble the global jax.Array. Capacity checks
+        run on the FULL group so a regrow decision is identical on
+        every process (a process-local regrow would diverge compiled
+        shapes across hosts and deadlock the collectives)."""
+        from ggnn_tpu.parallel import node_shard, stack_from_process_local
+        from ggnn_tpu.parallel.stacking import (empty_batch_like,
+                                                empty_masked_batch_like,
+                                                stack_batches,
+                                                stacked_batch_specs)
+        if len(group) < n_data:
+            filler = (empty_batch_like(group[0])
+                      if self._mesh_kind == "sparse"
+                      else empty_masked_batch_like(group[0]))
+            group = group + [filler] * (n_data - len(group))
+        local = [group[i] for i in self._proc_data_rows]
+        if self._nodeshard_caps is not None:
+            import dataclasses as _dc
+            caps = self._nodeshard_caps
+            need = self._nodeshard_plan(group, caps.n_shards, margin=1.0)
+            if (need.nodes_local > caps.nodes_local
+                    or need.edges_local > caps.edges_local
+                    or need.edges_boundary > caps.edges_boundary
+                    or need.boundary > caps.boundary):
+                grown = self._nodeshard_plan(group, caps.n_shards)
+                self._nodeshard_caps = _dc.replace(
+                    grown,
+                    nodes_local=max(grown.nodes_local, caps.nodes_local),
+                    edges_local=max(grown.edges_local, caps.edges_local),
+                    edges_boundary=max(grown.edges_boundary,
+                                       caps.edges_boundary),
+                    boundary=max(grown.boundary, caps.boundary))
+                if not self.quiet:
+                    print(f"[node-shard] capacity overflow; regrew "
+                          f"{caps} -> {self._nodeshard_caps}")
+            stack_local = self._nodeshard_stack(
+                local, self._nodeshard_caps,
+                n_data=len(self._proc_data_rows))
+            specs = (node_shard.gcn_sharded_batch_specs(n_edge)
+                     if self._mesh_kind == "gcn"
+                     else node_shard.sharded_batch_specs(n_edge))
+        else:
+            stack_local = stack_batches(
+                local, n_data=len(self._proc_data_rows), n_edge=n_edge)
+            specs = stacked_batch_specs(n_edge)
+        return stack_from_process_local(stack_local, self.mesh, specs)
 
     def _run_epoch_mesh(self, epoch_name: str, processed, is_training: bool):
         """Multi-chip epoch: stacks of n_data packed batches per step,
@@ -426,7 +484,14 @@ class Runner:
 
         def run_group(group):
             nonlocal total_loss, processed_graphs, steps
-            if self._mesh_kind == "dense":
+            already_global = False
+            if (self._proc_data_rows is not None
+                    and self._mesh_kind in ("sparse", "gcn")):
+                # Multi-process: this host packs/ships only its own
+                # data rows; the leaves are already global jax.Arrays.
+                stack = self._stack_process_local(group, n_data, n_edge)
+                already_global = True
+            elif self._mesh_kind == "dense":
                 stack = stack_dense_batches(group, n_data=n_data)
             elif self._mesh_kind == "data_only":
                 stack = stack_any_batches(group, n_data,
@@ -463,8 +528,9 @@ class Runner:
             else:
                 stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
             self.key, rng = jax.random.split(self.key)
-            self.state, metrics = step_fn(self.state, jax.device_put(stack),
-                                          rng)
+            if not already_global:
+                stack = jax.device_put(stack)
+            self.state, metrics = step_fn(self.state, stack, rng)
             # Metrics stay ON DEVICE until the epoch ends (same policy
             # as the single-chip path, runner.py:262): a per-step
             # float(loss) fetch would serialize a host round-trip into

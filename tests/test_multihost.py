@@ -111,6 +111,25 @@ if proc_id == 0:
         mask_s = mask_s + jnp.sum(b.target_mask, axis=1)
     oracle_loss = float(jnp.sum(sq_s / (mask_s + SMALL_NUMBER)))
 
+# ---- Phase 3: the Runner's production multi-host epoch path — the
+# Runner detects the process-aligned mesh rows and feeds only this
+# host's data rows per step (runner._stack_process_local).
+from ggnn_tpu.training.config import resolve_config
+from ggnn_tpu.training.runner import Runner
+rcfg = resolve_config("sparse", None, json.dumps({
+    "num_epochs": 1, "hidden_size": 8, "batch_size": 150,
+    "layer_timesteps": [1, 1], "residual_connections": {},
+    "edge_weight_dropout_keep_prob": 1.0,
+    "graph_state_dropout_keep_prob": 1.0}))
+runner = Runner("sparse", rcfg,
+                log_dir=os.path.join(os.path.dirname(out_path),
+                                     f"run{proc_id}"),
+                train_data=data, valid_data=synthetic_molecules(8, seed=2),
+                quiet=True, tensorboard=False, mesh=mesh)
+assert runner._proc_data_rows == [proc_id], runner._proc_data_rows
+rlog = runner.train()
+runner_train_loss = float(rlog[0]["train_results"][0])
+
 # Checkpoint from process 0; everyone barriers via a psum before exit.
 if proc_id == 0:
     from ggnn_tpu.training.checkpoint import save_checkpoint, \
@@ -128,7 +147,8 @@ if proc_id == 0:
                    "ckpt_roundtrip": bool(ok), "ts": ts,
                    "local_feed_loss": loss2,
                    "local_feed_graphs": graphs2,
-                   "local_feed_oracle": oracle_loss}, f)
+                   "local_feed_oracle": oracle_loss,
+                   "runner_train_loss": runner_train_loss}, f)
 jax.effects_barrier()
 """
 
@@ -175,3 +195,4 @@ def test_two_process_distributed_train_step(tmp_path):
     assert result["local_feed_graphs"] == 24
     assert math.isclose(result["local_feed_loss"],
                         result["local_feed_oracle"], rel_tol=1e-5)
+    assert math.isfinite(result["runner_train_loss"])
