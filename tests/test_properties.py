@@ -177,6 +177,48 @@ def test_node_shard_is_exact_relayout(raw, n_shards):
 
 
 @settings(max_examples=15, deadline=None)
+@given(corpora(), st.integers(1, 4))
+def test_gcn_node_shard_conserves_weighted_edges(raw, n_shards):
+    """GCN node sharding preserves the weighted edge multiset of the
+    normalized adjacency: every (global src, global tgt, weight) appears
+    exactly once across the local/boundary lanes, boundary rows resolve
+    through send_idx, and both lanes are target-sorted."""
+    from ggnn_tpu.parallel.node_shard import (plan_gcn_shard_caps,
+                                              shard_gcn_batch)
+    proc = packing.preprocess_gcn(raw, [0], {}, False)
+    caps = packing.plan_gcn_capacities(proc, 40)
+    for b in packing.pack_gcn_batches(proc, 40, caps, 8, 2, False, None):
+        ns_caps = plan_gcn_shard_caps([b], n_shards)
+        sb = shard_gcn_batch(b, ns_caps)
+        nl, b_cap = ns_caps.nodes_local, ns_caps.boundary
+        w = np.asarray(b.edge_weights)
+        real = w != 0.0
+        want = sorted(zip(np.asarray(b.edge_sources)[real].tolist(),
+                          np.asarray(b.edge_targets)[real].tolist(),
+                          w[real].tolist()))
+        got = []
+        send = np.asarray(sb.send_idx)
+        for s in range(n_shards):
+            lw = np.asarray(sb.loc_w)[s]
+            for src, tg, ww in zip(np.asarray(sb.loc_src)[s][lw != 0],
+                                   np.asarray(sb.loc_tgt)[s][lw != 0],
+                                   lw[lw != 0]):
+                got.append((s * nl + int(src), s * nl + int(tg),
+                            float(ww)))
+            bw = np.asarray(sb.bnd_w)[s]
+            for src, tg, ww in zip(np.asarray(sb.bnd_src)[s][bw != 0],
+                                   np.asarray(sb.bnd_tgt)[s][bw != 0],
+                                   bw[bw != 0]):
+                owner, slot = int(src) // b_cap, int(src) % b_cap
+                assert owner != s
+                got.append((owner * nl + int(send[owner, s, slot]),
+                            s * nl + int(tg), float(ww)))
+            assert np.all(np.diff(np.asarray(sb.loc_tgt)[s]) >= 0)
+            assert np.all(np.diff(np.asarray(sb.bnd_tgt)[s]) >= 0)
+        assert sorted(got) == want
+
+
+@settings(max_examples=15, deadline=None)
 @given(corpora())
 def test_async_segments_cover_schedule_exactly(raw):
     """Segmented lanes hold exactly the uniform schedule's messages and
