@@ -335,6 +335,14 @@ def test_node_sharded_forward_matches_single_device():
         nf[:b.node_capacity], np.asarray(b.node_features))
 
 
+def test_process_aligned_rows_is_none_single_process():
+    """Single-process sessions must take the replicated-stack path (the
+    per-process feeding optimisation only exists under jax.distributed)."""
+    from ggnn_tpu.parallel.mesh import process_aligned_data_rows
+    mesh = make_mesh(n_data=2, n_edge=2)
+    assert process_aligned_data_rows(mesh) is None
+
+
 def test_node_shard_boundary_capacity_overflow_raises():
     cfg, meta, batches = _setup()
     from ggnn_tpu.parallel.node_shard import NodeShardCaps
