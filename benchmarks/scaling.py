@@ -3,8 +3,11 @@ edges/s efficiency 1 -> N chips).
 
 Usage: python benchmarks/scaling.py [N_DATA] [N_EDGE] [VARIANT]
 
-VARIANT is "sparse" (default) or "gcn" — both ride the node-sharded
-boundary-exchange layout when N_EDGE > 1. Runs the shard_map training
+VARIANT is "sparse" (default), "gcn", or "giant" — all ride the
+node-sharded boundary-exchange layout when N_EDGE > 1. "giant" is
+sparse over ONE 8,000-node connected graph (SURVEY §5.7's stress case:
+a deliberately split giant packed graph, where the cut — and the
+boundary exchange — is substantial instead of near-zero). Runs the shard_map training
 step over an (N_DATA, N_EDGE) mesh and over a (1, 1) mesh on the same
 global batch stack, reports edges/s/chip and the scaling efficiency. On
 a single-chip environment run it on a virtual CPU mesh:
@@ -70,7 +73,12 @@ def main():
                     "edge_weight_dropout_keep_prob": 1.0,
                     "use_propagation_attention": True,
                     "use_edge_bias": True, "native_pack": True})
-        data = synthetic_molecules(64 * n_chips, seed=0)
+        if variant == "giant":
+            from ggnn_tpu.data.synthetic import synthetic_giant_graph
+            cfg["batch_size"] = 10000
+            data = synthetic_giant_graph(8000, seed=0)
+        else:
+            data = synthetic_molecules(64 * n_chips, seed=0)
         meta = infer_metadata([data], True)
         proc = native_pack.preprocess_sparse_native(
             data, meta.num_edge_types, True, [0], {}, False)

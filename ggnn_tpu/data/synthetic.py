@@ -51,6 +51,36 @@ def _one_graph(rng: np.random.Generator, num_targets: int = 1) -> Dict[str, Any]
     }
 
 
+def synthetic_giant_graph(num_nodes: int, seed: int = 0,
+                          extra_edge_frac: float = 0.5
+                          ) -> List[Dict[str, Any]]:
+    """ONE large connected graph in the reference schema — the stress
+    case for node-sharded edge partitioning (SURVEY §5.7: molecular
+    batches are disconnected components with near-zero cut; a giant
+    packed graph deliberately split across shards is where the boundary
+    exchange actually works). Random spanning tree over a shuffled node
+    order + long-range extra edges, so contiguous node-range shards see
+    a substantial cut."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(num_nodes)
+    edges = []
+    for i in range(1, num_nodes):
+        parent = order[int(rng.integers(0, i))]
+        bond = int(rng.choice([1, 2, 3, 4], p=[0.75, 0.12, 0.03, 0.10]))
+        edges.append([int(parent), bond, int(order[i])])
+    for _ in range(int(num_nodes * extra_edge_frac)):
+        a, b = rng.integers(0, num_nodes, size=2)
+        if a != b:
+            edges.append([int(a), int(rng.integers(1, 5)), int(b)])
+    atom_types = rng.choice(5, size=num_nodes,
+                            p=[0.5, 0.35, 0.05, 0.08, 0.02])
+    node_features = [[1 if t == a else 0 for t in range(5)]
+                     for a in atom_types]
+    target = 0.001 * num_nodes + 0.1 * float(np.mean(atom_types))
+    return [{"targets": [[target]], "graph": edges,
+             "node_features": node_features}]
+
+
 def synthetic_molecules(num_graphs: int, seed: int = 0,
                         normalize: bool = True,
                         num_targets: int = 1) -> List[Dict[str, Any]]:

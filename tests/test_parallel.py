@@ -335,6 +335,62 @@ def test_node_sharded_forward_matches_single_device():
         nf[:b.node_capacity], np.asarray(b.node_features))
 
 
+def test_node_sharded_giant_graph_parity():
+    """The stress case SURVEY §5.7 names: ONE large connected graph
+    deliberately split across shards (substantial cut, heavily used
+    boundary lanes) — loss and every gradient leaf must still match
+    the single-device oracle."""
+    from ggnn_tpu.data.synthetic import synthetic_giant_graph
+    from ggnn_tpu.parallel.node_shard import (plan_node_shard_caps,
+                                              shard_and_stack)
+
+    cfg = default_params_for("sparse")
+    cfg.update({"batch_size": 2000, "layer_timesteps": [2, 1],
+                "residual_connections": {"1": [0]},
+                "use_propagation_attention": True, "use_edge_bias": True,
+                "edge_weight_dropout_keep_prob": 1.0,
+                "graph_state_dropout_keep_prob": 1.0})
+    data = synthetic_giant_graph(600, seed=5)
+    meta = infer_metadata([data], cfg["tie_fwd_bkwd"])
+    proc = packing.preprocess_sparse(
+        data, meta.num_edge_types, cfg["tie_fwd_bkwd"], cfg["task_ids"],
+        cfg["task_sample_ratios"], False)
+    caps = packing.plan_capacities(proc, meta.num_edge_types,
+                                   cfg["batch_size"])
+    batches = list(packing.pack_sparse_batches(
+        proc, meta.num_edge_types, cfg["batch_size"], caps,
+        cfg["hidden_size"], meta.annotation_size, False, None))
+    assert len(batches) == 1  # one giant packed graph
+
+    n_data, n_edge = 1, 8
+    ns_caps = plan_node_shard_caps(batches, n_edge)
+    stack = shard_and_stack(batches, ns_caps, n_data=n_data)
+    # The split must actually exercise the boundary path.
+    boundary_edges = float((np.asarray(stack.bnd_mask) > 0).sum())
+    assert boundary_edges > 100, boundary_edges
+
+    mesh = make_mesh(n_data=n_data, n_edge=n_edge)
+    model_p, params = _params(cfg, meta, edge_axis="edge")
+    model_s, _ = _params(cfg, meta)
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": jax.tree_util.tree_map(jnp.copy, params),
+             "opt_state": opt.init(params)}
+    train_step, _ = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
+                                        mesh, return_grads=True)
+    _, metrics = train_step(state, stack, jax.random.PRNGKey(0))
+
+    def loss_fn(p):
+        return _oracle_loss(model_s, p, batches, cfg["task_ids"])
+
+    (exp_loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    np.testing.assert_allclose(float(metrics["loss"]), float(exp_loss),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6),
+        metrics["grads"], grads)
+
+
 def test_process_aligned_rows_is_none_single_process():
     """Single-process sessions must take the replicated-stack path (the
     per-process feeding optimisation only exists under jax.distributed)."""
