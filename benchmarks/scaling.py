@@ -74,9 +74,18 @@ def main():
                     "use_propagation_attention": True,
                     "use_edge_bias": True, "native_pack": True})
         if variant == "giant":
+            from ggnn_tpu.data.reorder import dfs_reorder
             from ggnn_tpu.data.synthetic import synthetic_giant_graph
             cfg["batch_size"] = 10000
             data = synthetic_giant_graph(8000, seed=0)
+            raw_edges = data[0]["graph"]
+            data = [dfs_reorder(data[0])]
+            nl8 = -(-8000 // max(n_edge, 1))
+            def _cut(edges):
+                return sum((a // nl8) != (b // nl8) for a, _, b in edges)
+            print(f"giant graph: DFS locality reorder cut "
+                  f"{_cut(raw_edges)} -> {_cut(data[0]['graph'])} edges "
+                  f"({n_edge} contiguous ranges)")
         else:
             data = synthetic_molecules(64 * n_chips, seed=0)
         meta = infer_metadata([data], True)
@@ -126,7 +135,12 @@ def main():
             # (ne-1) of the ne chunks cross the interconnect.
             h = cfg["hidden_size"]
             new_vol = (ne - 1) * ns_caps.boundary * h * 4
+            shift_vol = sum(ns_caps.boundary_shifts) * h * 4
             old_vol = batches[0].node_capacity * h * 4
+            print(f"  shift-bucketed exchange (boundary_exchange="
+                  f"'shift'): {shift_vol/1024:.1f} KiB/step "
+                  f"({new_vol/max(shift_vol,1):.1f}x under the dense "
+                  f"all_to_all's padded {new_vol/1024:.1f} KiB)")
             # Lane occupancy straight off the stack just built (axis 0
             # is the step axis: real batches first, then any all-padding
             # fillers — slice those off so they don't dilute it).

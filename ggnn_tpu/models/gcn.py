@@ -21,6 +21,7 @@ from ggnn_tpu.graph import GCNGraphBatch
 from ggnn_tpu.models import base
 from ggnn_tpu.ops.dropout import dropout
 from ggnn_tpu.ops.segment import segment_sum
+from ggnn_tpu.parallel.node_shard import exchange_boundary
 from ggnn_tpu.utils.init import glorot_init
 
 
@@ -92,14 +93,8 @@ class GCN:
         h = batch.node_features
         h_dim = h.shape[-1]
         for layer_idx, layer in enumerate(params["layers"]):
-            send = h[batch.send_idx]                   # [S, B, H]
-            if self.edge_axis is not None:
-                recv = jax.lax.all_to_all(
-                    send, self.edge_axis, split_axis=0, concat_axis=0,
-                    tiled=True)
-            else:
-                recv = send  # single-shard degenerate case
-            recv_flat = recv.reshape(-1, h_dim)
+            recv_flat = exchange_boundary(h, batch.send_idx,
+                                          self.edge_axis, h_dim)
             mixed = segment_sum(
                 h[batch.loc_src] * batch.loc_w[:, None], batch.loc_tgt,
                 nl + 1, indices_are_sorted=self.edges_sorted)

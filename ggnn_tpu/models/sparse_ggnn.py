@@ -49,6 +49,7 @@ from ggnn_tpu.ops.messages import (
     typed_edge_messages,
 )
 from ggnn_tpu.ops.segment import segment_softmax, segment_sum
+from ggnn_tpu.parallel.node_shard import exchange_boundary
 from ggnn_tpu.utils.constants import SMALL_NUMBER
 from ggnn_tpu.utils.init import glorot_init
 
@@ -288,14 +289,8 @@ class SparseGGNN:
             w_c = edge_weights.astype(cdt)
             for _step in range(num_timesteps):
                 h_c = h.astype(cdt)
-                send = h_c[batch.send_idx]              # [S, B, H]
-                if self.edge_axis is not None:
-                    recv = jax.lax.all_to_all(
-                        send, self.edge_axis, split_axis=0, concat_axis=0,
-                        tiled=True)
-                else:
-                    recv = send  # single-shard degenerate case
-                recv_flat = recv.reshape(-1, h_dim)     # [S*B, H]
+                recv_flat = exchange_boundary(
+                    h_c, batch.send_idx, self.edge_axis, h_dim)
                 gathered_l = h_c[batch.loc_src]         # [EL, H]
                 gathered_b = recv_flat[batch.bnd_src]   # [EB, H]
                 if self.use_propagation_attention:

@@ -57,6 +57,14 @@ from ggnn_tpu.graph import GraphBatch
 from ggnn_tpu.utils.padding import round_up
 
 
+def _squeeze_shard(v):
+    """Drop the local shard-extent-1 axis; send_idx may be a tuple of
+    per-shift arrays (the shift-bucketed boundary layout)."""
+    if isinstance(v, tuple):
+        return tuple(x[0] for x in v)
+    return v[0]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class NodeShardedGraphBatch:
@@ -118,18 +126,29 @@ class NodeShardedGraphBatch:
     def local_view(self) -> "NodeShardedGraphBatch":
         """Inside shard_map each sharded leaf has local shard extent 1;
         squeeze it so the model sees plain per-shard arrays."""
-        updates = {f: getattr(self, f)[0] for f in self.SHARDED_FIELDS}
+        updates = {f: _squeeze_shard(getattr(self, f))
+                   for f in self.SHARDED_FIELDS}
         return dataclasses.replace(self, **updates)
 
 
 @dataclasses.dataclass(frozen=True)
 class NodeShardCaps:
-    """Static capacities for one compiled node-sharded program."""
+    """Static capacities for one compiled node-sharded program.
+
+    `boundary` sizes the dense all_to_all layout (every ordered pair
+    padded to the worst pair). `boundary_shifts[k-1]` sizes shift k of
+    the shift-bucketed layout (`exchange="shift"`): one ppermute per
+    ring shift, each padded only to that shift's worst pair — wire cost
+    then tracks the actual cut distribution (XLA's ragged-all-to-all
+    would be the ideal transport, but it is unimplemented on XLA:CPU,
+    where this repo's multi-chip validation runs; independent ppermutes
+    overlap with each other and with the local lane just the same)."""
     n_shards: int
     nodes_local: int      # Nl
     edges_local: int      # EL (per shard, all types combined)
     edges_boundary: int   # EB (per shard, all types combined)
-    boundary: int         # B (per ordered shard pair)
+    boundary: int         # B (per ordered shard pair, all_to_all mode)
+    boundary_shifts: tuple = ()  # B_k per ring shift (shift mode)
 
 
 def _shard_ranges(node_capacity: int, n_shards: int) -> int:
@@ -162,7 +181,8 @@ def _plan_caps(edge_lists, node_caps, n_shards: int,
     so the callers stream their batches once, retaining only the int
     edge arrays (not the padded feature tensors)."""
     nl = max([8] + [_shard_ranges(nc, n_shards) for nc in node_caps])
-    max_el, max_eb, max_b = 1, 0, 0
+    max_el, max_eb = 1, 0
+    pair_max = np.zeros((n_shards, n_shards), np.int64)
     for f_src, f_tgt in edge_lists:
         if not len(f_src):
             continue
@@ -177,14 +197,21 @@ def _plan_caps(edge_lists, node_caps, n_shards: int,
             uniq = np.unique(np.stack(
                 [owner_s[cut], owner_d[cut], f_src[cut]], 1), axis=0)
             pair_ids = uniq[:, 0] * n_shards + uniq[:, 1]
-            max_b = max(max_b, int(np.bincount(
-                pair_ids, minlength=n_shards * n_shards).max()))
+            pair_max = np.maximum(pair_max, np.bincount(
+                pair_ids, minlength=n_shards * n_shards
+            ).reshape(n_shards, n_shards))
+    cap8 = lambda x: max(8, round_up(int(np.ceil(x * margin)), 8))
+    shifts = tuple(
+        cap8(max(int(pair_max[o, (o + k) % n_shards])
+                 for o in range(n_shards)))
+        for k in range(1, n_shards))
     return NodeShardCaps(
         n_shards=n_shards,
         nodes_local=nl,
         edges_local=round_up(int(np.ceil(max_el * margin)), 8),
         edges_boundary=max(8, round_up(int(np.ceil(max_eb * margin)), 8)),
-        boundary=max(8, round_up(int(np.ceil(max_b * margin)), 8)),
+        boundary=cap8(int(pair_max.max())),
+        boundary_shifts=shifts,
     )
 
 
@@ -202,27 +229,71 @@ def plan_node_shard_caps(batches: Iterable[GraphBatch], n_shards: int,
     return _plan_caps(edge_lists, node_caps, n_shards, margin)
 
 
-def _build_send_lists(owner_s, owner_d, local_rows, s_count: int,
-                      b_cap: int):
-    """Boundary send lists: send_idx[owner, dest] = the (deduplicated)
-    local rows owner must ship to dest, plus the (owner, dest, row) ->
-    slot map the receiving side's boundary lane indexes with."""
-    send_idx = np.zeros((s_count, s_count, b_cap), np.int32)
-    slot_of = {}  # (owner, dest, local_row) -> slot
-    fill = np.zeros((s_count, s_count), np.int64)
+def _build_pair_sends(owner_s, owner_d, local_rows):
+    """Deduplicated boundary send lists per ordered shard pair, plus
+    the (owner, dest, local_row) -> slot map the receiving side's
+    boundary lane indexes with."""
+    slot_of = {}  # (owner, dest, local_row) -> slot within the pair
+    pair_rows = {}  # (owner, dest) -> [local rows, in slot order]
     cut = owner_s != owner_d
     for o, d, j in zip(owner_s[cut], owner_d[cut], local_rows[cut]):
         key = (int(o), int(d), int(j))
         if key not in slot_of:
-            k = int(fill[o, d])
-            if k >= b_cap:
+            rows = pair_rows.setdefault((int(o), int(d)), [])
+            slot_of[key] = len(rows)
+            rows.append(int(j))
+    return slot_of, pair_rows
+
+
+def _materialize_sends(pair_rows, caps: NodeShardCaps, exchange: str):
+    """Transport container for the pair send lists + the function
+    mapping (owner, dest, slot) to a row of the receiver's boundary
+    table.
+
+    "alltoall": ONE dense collective, every pair padded to `boundary`;
+    receiver table is owner-major [S*B]. "shift": one ppermute per ring
+    shift k, each padded to `boundary_shifts[k-1]`; receiver table is
+    shift-major [sum B_k] (the sender at shift k is (dest - k) mod S).
+    """
+    s_count = caps.n_shards
+
+    def _pair(o, d):
+        return pair_rows.get((o, d), [])
+
+    if exchange == "alltoall":
+        b_cap = caps.boundary
+        send_idx = np.zeros((s_count, s_count, b_cap), np.int32)
+        for (o, d), rows in pair_rows.items():
+            if len(rows) > b_cap:
                 raise ValueError(
                     f"boundary capacity overflow: pair ({o}->{d}) "
-                    f"needs more than {b_cap} rows")
-            slot_of[key] = k
-            send_idx[o, d, k] = j
-            fill[o, d] = k + 1
-    return send_idx, slot_of
+                    f"needs {len(rows)} > {b_cap} rows")
+            send_idx[o, d, :len(rows)] = rows
+        table_row = lambda o, d, slot: o * b_cap + slot
+        return send_idx, table_row
+    if exchange != "shift":
+        raise ValueError(f"unknown boundary exchange '{exchange}'")
+    shifts = caps.boundary_shifts
+    send_parts = []
+    for k in range(1, s_count):
+        b_k = shifts[k - 1]
+        part = np.zeros((s_count, b_k), np.int32)
+        for o in range(s_count):
+            rows = _pair(o, (o + k) % s_count)
+            if len(rows) > b_k:
+                raise ValueError(
+                    f"boundary capacity overflow: shift {k} pair "
+                    f"({o}->{(o + k) % s_count}) needs {len(rows)} > "
+                    f"{b_k} rows")
+            part[o, :len(rows)] = rows
+        send_parts.append(part)
+    prefix = np.concatenate([[0], np.cumsum(shifts)]).astype(np.int64)
+
+    def table_row(o, d, slot):
+        k = (d - o) % s_count
+        return int(prefix[k - 1]) + slot
+
+    return tuple(send_parts), table_row
 
 
 def _shard_node_rows(arr: np.ndarray, s_count: int, nl: int, fill=0):
@@ -237,15 +308,15 @@ def _shard_node_rows(arr: np.ndarray, s_count: int, nl: int, fill=0):
     return out
 
 
-def _shard_edge_split(s: int, f_src, f_tgt, nl: int, b_cap: int, slot_of,
+def _shard_edge_split(s: int, f_src, f_tgt, nl: int, table_row, slot_of,
                       caps_l: int, caps_b: int):
     """Shard s's incoming edges split by source owner.
 
     Returns (mine, local, loc_tgt, local_rows, boundary_rows): `mine`
     selects s's edges out of the flat arrays, `local` splits them,
     `loc_tgt` are local target rows for ALL of s's edges, `local_rows`
-    local source rows, `boundary_rows` received-table rows
-    (owner*B + slot, resolved through `slot_of`). Raises on lane
+    local source rows, `boundary_rows` received-table rows (resolved
+    through `slot_of` and the transport's `table_row`). Raises on lane
     overflow."""
     mine = (f_tgt // nl) == s
     src_m = f_src[mine]
@@ -260,17 +331,48 @@ def _shard_edge_split(s: int, f_src, f_tgt, nl: int, b_cap: int, slot_of,
     local_rows = (src_m % nl)[local].astype(np.int32)
     o = (src_m // nl)[~local]
     j = (src_m % nl)[~local]
-    slots = np.array([slot_of[(int(oo), s, int(jj))]
-                      for oo, jj in zip(o, j)], np.int64)
-    boundary_rows = (o * b_cap + slots).astype(np.int32)
+    boundary_rows = np.array(
+        [table_row(int(oo), s, slot_of[(int(oo), s, int(jj))])
+         for oo, jj in zip(o, j)], np.int64).astype(np.int32)
     return mine, local, loc_tgt, local_rows, boundary_rows
 
 
-def shard_batch(batch: GraphBatch, caps: NodeShardCaps
-                ) -> NodeShardedGraphBatch:
+def exchange_boundary(h, send_idx, axis, h_dim):
+    """The per-step boundary transport, dispatched on the layout.
+
+    Dense all_to_all for an [S, S, B] send_idx; one ppermute per ring
+    shift for a tuple layout (independent collectives — XLA overlaps
+    them with each other and with the local lane). Returns the flat
+    received table matching the batch's `bnd_src` index space."""
+    import jax.numpy as jnp
+    if isinstance(send_idx, tuple):
+        s_count = len(send_idx) + 1
+        parts = []
+        for k, idx in enumerate(send_idx, start=1):
+            sendk = h[idx]
+            if axis is not None:
+                sendk = jax.lax.ppermute(
+                    sendk, axis,
+                    perm=[(i, (i + k) % s_count)
+                          for i in range(s_count)])
+            parts.append(sendk)
+        if not parts:  # single-shard degenerate case
+            return jnp.zeros((1, h_dim), h.dtype)
+        return jnp.concatenate(parts, axis=0)
+    send = h[send_idx]                       # [S, B, H]
+    if axis is not None:
+        recv = jax.lax.all_to_all(send, axis, split_axis=0,
+                                  concat_axis=0, tiled=True)
+    else:
+        recv = send  # single-shard degenerate case
+    return recv.reshape(-1, h_dim)
+
+
+def shard_batch(batch: GraphBatch, caps: NodeShardCaps,
+                exchange: str = "alltoall") -> NodeShardedGraphBatch:
     """Re-lay one packed GraphBatch into S node shards (host, numpy)."""
     s_count = caps.n_shards
-    nl, b_cap = caps.nodes_local, caps.boundary
+    nl = caps.nodes_local
     el_l, el_b = caps.edges_local, caps.edges_boundary
     g_cap = batch.graph_capacity
 
@@ -281,8 +383,9 @@ def shard_batch(batch: GraphBatch, caps: NodeShardCaps
     nd = _shard_node_rows(np.asarray(batch.in_degrees), s_count, nl)
 
     f_src, f_tgt, f_ty, t_dim = _flatten_edges(batch)
-    send_idx, slot_of = _build_send_lists(f_src // nl, f_tgt // nl,
-                                          f_src % nl, s_count, b_cap)
+    slot_of, pair_rows = _build_pair_sends(f_src // nl, f_tgt // nl,
+                                           f_src % nl)
+    send_idx, table_row = _materialize_sends(pair_rows, caps, exchange)
 
     # ---- per-shard type-combined lanes, split local/boundary sources
     def _lane(cap):
@@ -295,7 +398,7 @@ def shard_batch(batch: GraphBatch, caps: NodeShardCaps
     b_src, b_ty, b_tgt, b_mask = _lane(el_b)
     for s in range(s_count):
         mine, local, loc_tgt, lrows, brows = _shard_edge_split(
-            s, f_src, f_tgt, nl, b_cap, slot_of, el_l, el_b)
+            s, f_src, f_tgt, nl, table_row, slot_of, el_l, el_b)
         e_ty = f_ty[mine]
 
         def _fill(lane, sel, src_vals):
@@ -323,6 +426,12 @@ def shard_batch(batch: GraphBatch, caps: NodeShardCaps
     )
 
 
+def _zeros_like_send(send_idx):
+    if isinstance(send_idx, tuple):
+        return tuple(np.zeros_like(np.asarray(x)) for x in send_idx)
+    return np.zeros_like(np.asarray(send_idx))
+
+
 def empty_sharded_batch_like(b: NodeShardedGraphBatch
                              ) -> NodeShardedGraphBatch:
     """All-padding filler (loss/gradient no-op under the masked loss)."""
@@ -340,7 +449,7 @@ def empty_sharded_batch_like(b: NodeShardedGraphBatch
         bnd_type=np.zeros_like(np.asarray(b.bnd_type)),
         bnd_tgt=np.full_like(np.asarray(b.bnd_tgt), nl),
         bnd_mask=np.zeros_like(np.asarray(b.bnd_mask)),
-        send_idx=np.zeros_like(np.asarray(b.send_idx)),
+        send_idx=_zeros_like_send(b.send_idx),
         targets=np.zeros_like(np.asarray(b.targets)),
         target_mask=np.zeros_like(np.asarray(b.target_mask)),
         num_graphs=np.int32(0),
@@ -349,10 +458,11 @@ def empty_sharded_batch_like(b: NodeShardedGraphBatch
 
 
 def shard_and_stack(batches: List[GraphBatch], caps: NodeShardCaps,
-                    n_data: int) -> NodeShardedGraphBatch:
+                    n_data: int, exchange: str = "alltoall"
+                    ) -> NodeShardedGraphBatch:
     """shard_batch each + stack along a new leading step axis padded to
     a multiple of n_data with empty fillers."""
-    sharded = [shard_batch(b, caps) for b in batches]
+    sharded = [shard_batch(b, caps, exchange) for b in batches]
     if len(sharded) % n_data != 0:
         filler = empty_sharded_batch_like(sharded[0])
         sharded += [filler] * (n_data - len(sharded) % n_data)
@@ -404,7 +514,8 @@ class GCNNodeShardedBatch:
         return self.node_features.shape[-2]
 
     def local_view(self) -> "GCNNodeShardedBatch":
-        updates = {f: getattr(self, f)[0] for f in self.SHARDED_FIELDS}
+        updates = {f: _squeeze_shard(getattr(self, f))
+                   for f in self.SHARDED_FIELDS}
         return dataclasses.replace(self, **updates)
 
 
@@ -428,10 +539,11 @@ def plan_gcn_shard_caps(batches: Iterable, n_shards: int,
     return _plan_caps(edge_lists, node_caps, n_shards, margin)
 
 
-def shard_gcn_batch(batch, caps: NodeShardCaps) -> GCNNodeShardedBatch:
+def shard_gcn_batch(batch, caps: NodeShardCaps,
+                    exchange: str = "alltoall") -> GCNNodeShardedBatch:
     """Re-lay one packed GCNGraphBatch into S node shards."""
     s_count = caps.n_shards
-    nl, b_cap = caps.nodes_local, caps.boundary
+    nl = caps.nodes_local
     el_l, el_b = caps.edges_local, caps.edges_boundary
 
     nf = _shard_node_rows(np.asarray(batch.node_features), s_count, nl)
@@ -439,8 +551,9 @@ def shard_gcn_batch(batch, caps: NodeShardCaps) -> GCNNodeShardedBatch:
                           fill=batch.graph_capacity)
 
     f_src, f_tgt, f_w = _flatten_gcn_edges(batch)
-    send_idx, slot_of = _build_send_lists(f_src // nl, f_tgt // nl,
-                                          f_src % nl, s_count, b_cap)
+    slot_of, pair_rows = _build_pair_sends(f_src // nl, f_tgt // nl,
+                                           f_src % nl)
+    send_idx, table_row = _materialize_sends(pair_rows, caps, exchange)
 
     def _lane(cap):
         return (np.zeros((s_count, cap), np.int32),
@@ -451,7 +564,7 @@ def shard_gcn_batch(batch, caps: NodeShardCaps) -> GCNNodeShardedBatch:
     b_src, b_tgt, b_w = _lane(el_b)
     for s in range(s_count):
         mine, local, loc_tgt, lrows, brows = _shard_edge_split(
-            s, f_src, f_tgt, nl, b_cap, slot_of, el_l, el_b)
+            s, f_src, f_tgt, nl, table_row, slot_of, el_l, el_b)
         e_w = f_w[mine]
 
         def _fill(dst_s, dst_t, dst_w, sel, src_vals):
@@ -489,7 +602,7 @@ def empty_gcn_sharded_like(b: GCNNodeShardedBatch) -> GCNNodeShardedBatch:
         bnd_src=np.zeros_like(np.asarray(b.bnd_src)),
         bnd_tgt=np.full_like(np.asarray(b.bnd_tgt), nl),
         bnd_w=np.zeros_like(np.asarray(b.bnd_w)),
-        send_idx=np.zeros_like(np.asarray(b.send_idx)),
+        send_idx=_zeros_like_send(b.send_idx),
         targets=np.zeros_like(np.asarray(b.targets)),
         target_mask=np.zeros_like(np.asarray(b.target_mask)),
         num_graphs=np.int32(0),
@@ -498,8 +611,9 @@ def empty_gcn_sharded_like(b: GCNNodeShardedBatch) -> GCNNodeShardedBatch:
 
 
 def gcn_shard_and_stack(batches: List, caps: NodeShardCaps,
-                        n_data: int) -> GCNNodeShardedBatch:
-    sharded = [shard_gcn_batch(b, caps) for b in batches]
+                        n_data: int, exchange: str = "alltoall"
+                        ) -> GCNNodeShardedBatch:
+    sharded = [shard_gcn_batch(b, caps, exchange) for b in batches]
     if len(sharded) % n_data != 0:
         filler = empty_gcn_sharded_like(sharded[0])
         sharded += [filler] * (n_data - len(sharded) % n_data)
@@ -507,7 +621,17 @@ def gcn_shard_and_stack(batches: List, caps: NodeShardCaps,
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *sharded)
 
 
-def gcn_sharded_batch_specs(n_edge: int):
+def _send_spec(sharded, template):
+    """send_idx spec matching the transport layout: a tuple of specs
+    for the shift layout (needed by strict tree_maps like
+    stack_from_process_local; shard_map's prefix matching would accept
+    the bare spec)."""
+    if template is not None and isinstance(template.send_idx, tuple):
+        return tuple(sharded for _ in template.send_idx)
+    return sharded
+
+
+def gcn_sharded_batch_specs(n_edge: int, template=None):
     from jax.sharding import PartitionSpec as P
     from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
     sharded = P(DATA_AXIS, EDGE_AXIS)
@@ -515,13 +639,13 @@ def gcn_sharded_batch_specs(n_edge: int):
         node_features=sharded, node_graph_ids=sharded,
         loc_src=sharded, loc_tgt=sharded, loc_w=sharded,
         bnd_src=sharded, bnd_tgt=sharded, bnd_w=sharded,
-        send_idx=sharded,
+        send_idx=_send_spec(sharded, template),
         targets=P(DATA_AXIS), target_mask=P(DATA_AXIS),
         num_graphs=P(DATA_AXIS), num_nodes=P(DATA_AXIS),
     )
 
 
-def sharded_batch_specs(n_edge: int):
+def sharded_batch_specs(n_edge: int, template=None):
     """PartitionSpecs for a stacked NodeShardedGraphBatch: leading step
     axis over "data", shard axis over "edge" (replicated leaves: data
     only)."""
@@ -534,7 +658,7 @@ def sharded_batch_specs(n_edge: int):
         loc_mask=sharded,
         bnd_src=sharded, bnd_type=sharded, bnd_tgt=sharded,
         bnd_mask=sharded,
-        send_idx=sharded,
+        send_idx=_send_spec(sharded, template),
         targets=P(DATA_AXIS), target_mask=P(DATA_AXIS),
         num_graphs=P(DATA_AXIS), num_nodes=P(DATA_AXIS),
     )

@@ -98,6 +98,15 @@ class Runner:
         if valid_data is None:
             valid_data = load_graphs_json(
                 os.path.join(data_dir, config["valid_file"]), restrict_data)
+        if config.get("locality_reorder", False):
+            # DFS-preorder vertex relabeling (data/reorder.py): a pure
+            # per-graph relabel that shrinks the contiguous-range cut —
+            # and hence the node-sharding boundary exchange — for giant
+            # graphs. No effect on results; off by default (molecular
+            # corpora don't need it).
+            from ggnn_tpu.data.reorder import dfs_reorder
+            train_data = [dfs_reorder(g) for g in train_data]
+            valid_data = [dfs_reorder(g) for g in valid_data]
         self.meta = infer_metadata([train_data, valid_data],
                                    config["tie_fwd_bkwd"])
 
@@ -405,10 +414,18 @@ class Runner:
 
     def _nodeshard_stack(self, group, caps, n_data):
         from ggnn_tpu.parallel import node_shard
+        # "alltoall" (default): ONE dense collective, pairs padded to
+        # the worst pair. "shift": one ppermute per ring shift, each
+        # sized to ITS worst pair — wire cost tracks the actual cut
+        # distribution (the static-shape stand-in for a ragged
+        # all-to-all; see NodeShardCaps).
+        exchange = self.config.get("boundary_exchange", "alltoall")
         if self._mesh_kind == "gcn":
             return node_shard.gcn_shard_and_stack(group, caps,
-                                                  n_data=n_data)
-        return node_shard.shard_and_stack(group, caps, n_data=n_data)
+                                                  n_data=n_data,
+                                                  exchange=exchange)
+        return node_shard.shard_and_stack(group, caps, n_data=n_data,
+                                          exchange=exchange)
 
     def _stack_process_local(self, group, n_data, n_edge):
         """Multi-process path: pad the (process-identical) group to
@@ -450,9 +467,11 @@ class Runner:
             stack_local = self._nodeshard_stack(
                 local, self._nodeshard_caps,
                 n_data=len(self._proc_data_rows))
-            specs = (node_shard.gcn_sharded_batch_specs(n_edge)
+            specs = (node_shard.gcn_sharded_batch_specs(
+                         n_edge, template=stack_local)
                      if self._mesh_kind == "gcn"
-                     else node_shard.sharded_batch_specs(n_edge))
+                     else node_shard.sharded_batch_specs(
+                         n_edge, template=stack_local))
         else:
             stack_local = stack_batches(
                 local, n_data=len(self._proc_data_rows), n_edge=n_edge)

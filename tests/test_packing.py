@@ -233,3 +233,60 @@ def test_large_graph_capability():
     out = np.asarray(model.forward(params, jax.device_put(batches[0])))
     assert out.shape[0] == batches[0].node_capacity
     assert np.isfinite(out).all()
+
+
+def test_dfs_reorder_is_pure_relabeling_and_cuts_boundary():
+    """dfs_reorder must be an exact relabeling (per-graph model outputs
+    unchanged) and must reduce the contiguous-range cut of a giant
+    graph (the comm volume of node sharding scales with it)."""
+    import jax
+
+    from ggnn_tpu.data.reorder import dfs_reorder
+    from ggnn_tpu.data.synthetic import synthetic_giant_graph
+    from ggnn_tpu.models.base import init_output_heads
+    from ggnn_tpu.models.sparse_ggnn import SparseGGNN
+    from ggnn_tpu.training.config import default_params_for
+
+    raw = synthetic_giant_graph(400, seed=11)[0]
+    re = dfs_reorder(raw)
+    # same multiset of typed edges under the relabeling
+    assert len(re["graph"]) == len(raw["graph"])
+    assert sorted(t for _, t, _ in re["graph"]) == sorted(
+        t for _, t, _ in raw["graph"])
+    assert sorted(map(tuple, re["node_features"])) == sorted(
+        map(tuple, raw["node_features"]))
+
+    def one_batch(g):
+        data = [g]
+        meta = infer_metadata([data], True)
+        proc = preprocess_sparse(data, meta.num_edge_types, True,
+                                 [0], {}, False)
+        caps = plan_capacities(proc, meta.num_edge_types, 1000)
+        return meta, list(pack_sparse_batches(
+            proc, meta.num_edge_types, 1000, caps, 32, 5, False, None))[0]
+
+    meta, b_raw = one_batch(raw)
+    _, b_re = one_batch(re)
+    cfg = {**default_params_for("sparse"), "hidden_size": 32,
+           "layer_timesteps": [2], "residual_connections": {},
+           "edge_weight_dropout_keep_prob": 1.0}
+    model = SparseGGNN(cfg, meta.num_edge_types)
+    key = jax.random.PRNGKey(3)
+    params = {"graph": model.init_params(key),
+              "heads": init_output_heads(key, 32, [0])}
+    out_raw = model.readout(params["heads"], [0],
+                            model.forward(params["graph"], b_raw), b_raw)
+    out_re = model.readout(params["heads"], [0],
+                           model.forward(params["graph"], b_re), b_re)
+    np.testing.assert_allclose(np.asarray(out_raw), np.asarray(out_re),
+                               rtol=1e-5, atol=1e-6)
+
+    def cut_edges(batch, n_shards=8):
+        nl = -(-batch.node_capacity // n_shards)
+        src = np.asarray(batch.edge_sources)
+        tgt = np.asarray(batch.edge_targets)
+        real = np.asarray(batch.edge_mask) > 0
+        return int(np.sum((src[real] // nl) != (tgt[real] // nl)))
+
+    assert cut_edges(b_re) < 0.7 * cut_edges(b_raw), (
+        cut_edges(b_re), cut_edges(b_raw))

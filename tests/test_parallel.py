@@ -31,12 +31,12 @@ from ggnn_tpu.parallel.node_shard import (
 )
 
 
-def _stack_for(batches, n_data, n_edge):
+def _stack_for(batches, n_data, n_edge, exchange="alltoall"):
     """Node-sharded stacking when the edge axis is active, plain
     data-parallel stacking otherwise (the production Runner path)."""
     if n_edge > 1:
         caps = plan_node_shard_caps(batches, n_edge)
-        return shard_and_stack(batches, caps, n_data)
+        return shard_and_stack(batches, caps, n_data, exchange=exchange)
     return stack_batches(batches, n_data=n_data, n_edge=n_edge)
 from ggnn_tpu.training.config import default_params_for
 from ggnn_tpu.training.optimizer import make_optimizer
@@ -116,8 +116,12 @@ def test_parallel_loss_matches_single_device(n_data, n_edge):
         int(b.num_graphs) for b in batches)
 
 
-@pytest.mark.parametrize("n_data,n_edge", [(4, 2), (2, 4)])
-def test_parallel_train_step_matches_single_device(n_data, n_edge):
+@pytest.mark.parametrize("n_data,n_edge,exchange",
+                         [(4, 2, "alltoall"), (2, 4, "alltoall"),
+                          (4, 2, "shift"), (2, 4, "shift"),
+                          (1, 8, "shift")])
+def test_parallel_train_step_matches_single_device(n_data, n_edge,
+                                                   exchange):
     cfg, meta, batches = _setup()
     mesh = make_mesh(n_data=n_data, n_edge=n_edge)
     model_p, params = _params(cfg, meta, edge_axis="edge")
@@ -127,7 +131,7 @@ def test_parallel_train_step_matches_single_device(n_data, n_edge):
              "opt_state": opt.init(params)}
     train_step, _ = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
                                         mesh, return_grads=True)
-    stack = _stack_for(batches, n_data, n_edge)
+    stack = _stack_for(batches, n_data, n_edge, exchange)
     new_state, metrics = train_step(state, stack, jax.random.PRNGKey(0))
 
     # Oracle: the global-batch gradient on one device. (Post-Adam params
@@ -335,11 +339,12 @@ def test_node_sharded_forward_matches_single_device():
         nf[:b.node_capacity], np.asarray(b.node_features))
 
 
-def test_node_sharded_giant_graph_parity():
+@pytest.mark.parametrize("exchange", ["alltoall", "shift"])
+def test_node_sharded_giant_graph_parity(exchange):
     """The stress case SURVEY §5.7 names: ONE large connected graph
     deliberately split across shards (substantial cut, heavily used
     boundary lanes) — loss and every gradient leaf must still match
-    the single-device oracle."""
+    the single-device oracle, under both boundary transports."""
     from ggnn_tpu.data.synthetic import synthetic_giant_graph
     from ggnn_tpu.parallel.node_shard import (plan_node_shard_caps,
                                               shard_and_stack)
@@ -364,7 +369,8 @@ def test_node_sharded_giant_graph_parity():
 
     n_data, n_edge = 1, 8
     ns_caps = plan_node_shard_caps(batches, n_edge)
-    stack = shard_and_stack(batches, ns_caps, n_data=n_data)
+    stack = shard_and_stack(batches, ns_caps, n_data=n_data,
+                            exchange=exchange)
     # The split must actually exercise the boundary path.
     boundary_edges = float((np.asarray(stack.bnd_mask) > 0).sum())
     assert boundary_edges > 100, boundary_edges
@@ -493,7 +499,9 @@ def test_gcn_runner_trains_node_sharded():
 
     cfg = resolve_config(
         "gcn", None,
-        '{"num_epochs": 2, "hidden_size": 16, "batch_size": 120}')
+        '{"num_epochs": 2, "hidden_size": 16, "batch_size": 120,'
+        ' "boundary_exchange": "shift"}')  # runner plumbing for the
+    # shift-bucketed transport rides along in this end-to-end test
     mesh = make_mesh(n_data=2, n_edge=2)
     runner = Runner("gcn", cfg, log_dir="/tmp/mesh_gcn_ns_test",
                     train_data=synthetic_molecules(64, seed=0),
