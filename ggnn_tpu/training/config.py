@@ -54,6 +54,22 @@ SPARSE_DEFAULTS: Dict = {
     # the same per-edge-row-access floor on v5e, so the default sorted-
     # XLA path is optimal for edge lists — see benchmarks/README.md and
     # ops/pallas/ell_spmm.py for the archived experiment.)
+    #
+    # Optional keys READ but deliberately not defaulted here (adding new
+    # default keys would break the reference's checkpoint config-compat
+    # assert for checkpoints written before the key existed):
+    #   "pack_margin" (float, 1.05)  — packer/lane capacity headroom;
+    #   "edge_parallelism" ("node_shard" | "type_tp") — edge-axis mesh
+    #       strategy (parallel/node_shard.py / parallel/tp.py);
+    #   "boundary_exchange" ("alltoall" | "shift") — node-shard boundary
+    #       transport: one dense all_to_all vs per-ring-shift ppermutes
+    #       sized to each shift's worst pair (parallel/node_shard.py);
+    #   "locality_reorder" (bool, False) — DFS-preorder vertex
+    #       relabeling for giant graphs (data/reorder.py);
+    #   "edges_sorted_by_target", "combined_edge_lanes" — packer layout
+    #       contract switches (models/sparse_ggnn.py);
+    #   "async_remat" (bool, True) — rematerialize async substeps in the
+    #       backward pass (models/async_ggnn.py).
 }
 
 # chem_tensorflow_dense.py:56-66

@@ -427,6 +427,34 @@ class Runner:
         return node_shard.shard_and_stack(group, caps, n_data=n_data,
                                           exchange=exchange)
 
+    @staticmethod
+    def _caps_exceed(need, caps) -> bool:
+        """True when `need` exceeds `caps` in ANY field, including the
+        per-shift boundary capacities of the shift-bucketed layout."""
+        return (need.nodes_local > caps.nodes_local
+                or need.edges_local > caps.edges_local
+                or need.edges_boundary > caps.edges_boundary
+                or need.boundary > caps.boundary
+                or any(n > c for n, c in zip(need.boundary_shifts,
+                                             caps.boundary_shifts)))
+
+    @staticmethod
+    def _merge_grown_caps(old, grown):
+        """Elementwise max of two NodeShardCaps — capacities only ever
+        grow, so compiled shapes from earlier groups stay reusable (and
+        a later regrow can never shrink a shift lane another group
+        needed)."""
+        import dataclasses as _dc
+        return _dc.replace(
+            grown,
+            nodes_local=max(grown.nodes_local, old.nodes_local),
+            edges_local=max(grown.edges_local, old.edges_local),
+            edges_boundary=max(grown.edges_boundary, old.edges_boundary),
+            boundary=max(grown.boundary, old.boundary),
+            boundary_shifts=tuple(
+                max(g, o) for g, o in zip(grown.boundary_shifts,
+                                          old.boundary_shifts)))
+
     def _stack_process_local(self, group, n_data, n_edge):
         """Multi-process path: pad the (process-identical) group to
         n_data with no-op fillers, keep only this host's data rows,
@@ -446,21 +474,17 @@ class Runner:
             group = group + [filler] * (n_data - len(group))
         local = [group[i] for i in self._proc_data_rows]
         if self._nodeshard_caps is not None:
-            import dataclasses as _dc
             caps = self._nodeshard_caps
+            # Deterministic cross-host overflow check on the FULL group
+            # (process-identical inputs -> identical regrow decisions).
+            # This re-counts the group's edges once per step — O(group
+            # edges) numpy, comparable to the shard relayout itself and
+            # the price of never diverging compiled shapes across hosts
+            # (the single-process path uses try/except instead).
             need = self._nodeshard_plan(group, caps.n_shards, margin=1.0)
-            if (need.nodes_local > caps.nodes_local
-                    or need.edges_local > caps.edges_local
-                    or need.edges_boundary > caps.edges_boundary
-                    or need.boundary > caps.boundary):
+            if self._caps_exceed(need, caps):
                 grown = self._nodeshard_plan(group, caps.n_shards)
-                self._nodeshard_caps = _dc.replace(
-                    grown,
-                    nodes_local=max(grown.nodes_local, caps.nodes_local),
-                    edges_local=max(grown.edges_local, caps.edges_local),
-                    edges_boundary=max(grown.edges_boundary,
-                                       caps.edges_boundary),
-                    boundary=max(grown.boundary, caps.boundary))
+                self._nodeshard_caps = self._merge_grown_caps(caps, grown)
                 if not self.quiet:
                     print(f"[node-shard] capacity overflow; regrew "
                           f"{caps} -> {self._nodeshard_caps}")
@@ -526,18 +550,11 @@ class Runner:
                     # the caps to cover it (margin included) and retry —
                     # one recompile at the new shapes instead of a dead
                     # run (same fallback policy as the packers' ELL
-                    # overflow). Capacities only grow, so earlier
-                    # compiled shapes stay reusable next epoch.
-                    import dataclasses as _dc
+                    # overflow).
                     old = self._nodeshard_caps
                     grown = self._nodeshard_plan(group, old.n_shards)
-                    self._nodeshard_caps = _dc.replace(
-                        grown,
-                        nodes_local=max(grown.nodes_local, old.nodes_local),
-                        edges_local=max(grown.edges_local, old.edges_local),
-                        edges_boundary=max(grown.edges_boundary,
-                                           old.edges_boundary),
-                        boundary=max(grown.boundary, old.boundary))
+                    self._nodeshard_caps = self._merge_grown_caps(old,
+                                                                  grown)
                     if not self.quiet:
                         print(f"[node-shard] capacity overflow; regrew "
                               f"{old} -> {self._nodeshard_caps}")
@@ -547,7 +564,13 @@ class Runner:
             else:
                 stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
             self.key, rng = jax.random.split(self.key)
-            if not already_global:
+            if not already_global and jax.process_count() == 1:
+                # Multi-process fallback paths (non-row-aligned mesh,
+                # dense/data_only kinds) must pass host arrays
+                # UNCOMMITTED: jax.device_put would pin every leaf to
+                # one local device, which a jitted shard_map over the
+                # global multi-host mesh rejects. Single-process keeps
+                # the explicit transfer (overlaps with the epoch loop).
                 stack = jax.device_put(stack)
             self.state, metrics = step_fn(self.state, stack, rng)
             # Metrics stay ON DEVICE until the epoch ends (same policy
