@@ -168,6 +168,56 @@ def test_prediction_server_http_roundtrip(trained):
         server.shutdown()
 
 
+def test_prediction_server_concurrent_requests(trained):
+    """Concurrent clients must all get correct answers: device dispatch
+    is serialized inside the server, so parallel HTTP requests may
+    interleave arbitrarily but never corrupt each other's outputs."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from ggnn_tpu.server import PredictionServer
+
+    predictor = Predictor.from_checkpoint(
+        trained.best_model_file, "sparse", max_nodes=256, max_graphs=32)
+    server = PredictionServer(predictor, port=0)
+    server.warmup()
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    n_clients = 8
+    payloads = [synthetic_molecules(3, seed=100 + i)
+                for i in range(n_clients)]
+    want = [np.asarray(predictor(p)) for p in payloads]
+    got = [None] * n_clients
+    errors = []
+
+    def client(i):
+        try:
+            req = urllib.request.Request(
+                f"{base}/predict",
+                data=_json.dumps({"graphs": payloads[i]}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                got[i] = np.asarray(_json.load(r)["outputs"])
+        except Exception as exc:  # surface in the main thread
+            errors.append((i, exc))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(n_clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        for i in range(n_clients):
+            np.testing.assert_allclose(got[i], want[i], rtol=1e-6,
+                                       atol=1e-7)
+    finally:
+        server.shutdown()
+
+
 def test_prediction_server_cli_entry(trained):
     """--help parses (argparse wiring) without loading a checkpoint."""
     from ggnn_tpu.server import main
