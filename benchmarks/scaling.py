@@ -1,7 +1,7 @@
 """Multi-chip scaling-efficiency harness (SURVEY north star: >=80%
 edges/s efficiency 1 -> N chips).
 
-Usage: python benchmarks/scaling.py [N_DATA] [N_EDGE] [VARIANT]
+Usage: python benchmarks/scaling.py [N_DATA] [N_EDGE] [VARIANT] [EXCHANGE]
 
 VARIANT is "sparse" (default), "gcn", or "giant" — all ride the
 node-sharded boundary-exchange layout when N_EDGE > 1. "giant" is
@@ -49,6 +49,7 @@ def main():
     n_data = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     n_edge = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     variant = sys.argv[3] if len(sys.argv) > 3 else "sparse"
+    exchange = sys.argv[4] if len(sys.argv) > 4 else "alltoall"
     n_chips = n_data * n_edge
 
     if variant == "gcn":
@@ -124,11 +125,11 @@ def main():
             if variant == "gcn":
                 ns_caps = ns.plan_gcn_shard_caps(batches, ne, margin=1.0)
                 stack = jax.device_put(ns.gcn_shard_and_stack(
-                    batches, ns_caps, n_data=nd))
+                    batches, ns_caps, n_data=nd, exchange=exchange))
             else:
                 ns_caps = ns.plan_node_shard_caps(batches, ne, margin=1.0)
                 stack = jax.device_put(ns.shard_and_stack(
-                    batches, ns_caps, n_data=nd))
+                    batches, ns_caps, n_data=nd, exchange=exchange))
             # Per-step cross-chip ICI traffic of the node-sharded
             # boundary exchange vs round 1's replicate+psum design. A
             # shard's all_to_all chunk to itself stays local, so only
