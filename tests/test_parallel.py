@@ -339,6 +339,64 @@ def test_node_sharded_forward_matches_single_device():
         nf[:b.node_capacity], np.asarray(b.node_features))
 
 
+def test_node_sharded_untied_multitask_parity():
+    """Node sharding with tie_fwd_bkwd=false (backward edges land in
+    types T..2T-1 — the composite lane keys must cover the doubled type
+    axis) and two tasks: loss/accuracy parity vs the single-device
+    oracle, on the shift transport."""
+    cfg = default_params_for("sparse")
+    cfg.update({
+        "batch_size": 160, "tie_fwd_bkwd": False, "task_ids": [0, 1],
+        "use_propagation_attention": True, "use_edge_bias": True,
+        "edge_weight_dropout_keep_prob": 1.0,
+        "graph_state_dropout_keep_prob": 1.0,
+    })
+    data = synthetic_molecules(40, seed=6, num_targets=2)
+    meta = infer_metadata([data], cfg["tie_fwd_bkwd"])
+    proc = packing.preprocess_sparse(
+        data, meta.num_edge_types, cfg["tie_fwd_bkwd"], cfg["task_ids"],
+        cfg["task_sample_ratios"], False)
+    caps = packing.plan_capacities(proc, meta.num_edge_types,
+                                   cfg["batch_size"])
+    batches = list(packing.pack_sparse_batches(
+        proc, meta.num_edge_types, cfg["batch_size"], caps,
+        cfg["hidden_size"], meta.annotation_size, False, None))
+    assert meta.num_edge_types == 8  # 4 bond types doubled
+
+    mesh = make_mesh(n_data=2, n_edge=4)
+    model_p, params = _params(cfg, meta, edge_axis="edge")
+    model_s, _ = _params(cfg, meta)
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": params, "opt_state": opt.init(params)}
+    _, eval_step = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
+                                       mesh)
+    stack = _stack_for(batches, 2, 4, exchange="shift")
+    _, metrics = eval_step(state, stack, None)
+    exp_loss, exp_acc = _oracle_loss(model_s, params, batches,
+                                     cfg["task_ids"])
+    np.testing.assert_allclose(float(metrics["loss"]), float(exp_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(metrics["accuracies"]),
+                               np.asarray(exp_acc), rtol=1e-5)
+
+
+def test_use_graph_false_on_mesh():
+    """The use_graph=False ablation (readout over zeroed states,
+    chem_tensorflow.py:144-147) must run under the node-sharded mesh
+    step too."""
+    cfg, meta, batches = _setup(attention=False, edge_bias=False)
+    cfg["use_graph"] = False
+    mesh = make_mesh(n_data=2, n_edge=4)
+    model_p, params = _params(cfg, meta, edge_axis="edge")
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": params, "opt_state": opt.init(params)}
+    train_step, _ = make_parallel_steps(model_p, opt, cfg,
+                                        cfg["task_ids"], mesh)
+    stack = _stack_for(batches, 2, 4)
+    _, metrics = train_step(state, stack, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 @pytest.mark.parametrize("exchange", ["alltoall", "shift"])
 def test_node_sharded_giant_graph_parity(exchange):
     """The stress case SURVEY §5.7 names: ONE large connected graph
