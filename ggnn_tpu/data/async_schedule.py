@@ -151,6 +151,14 @@ def graph_to_propagation_schedules(edges, num_edge_types: int,
     num_incoming: Dict[int, int] = {}
     outgoing: Dict[int, List[Tuple[int, int, int]]] = {}
     for (v, typ, w) in edges:
+        if not 1 <= typ <= num_fwd:
+            # Same loud rejection as the native preprocessors (a raw
+            # type outside [1, num_fwd] would otherwise land in the
+            # backward weight band / be silently dropped by the
+            # per-type tensorise loop — corrupt input must not produce
+            # a silently wrong schedule).
+            raise ValueError(
+                f"edge type {typ} out of range [1, {num_fwd}]")
         t = typ - 1  # 0-based, all variants agree
         bwd_t = t if tie_fwd_bkwd else num_fwd + t
         num_incoming[v] = num_incoming.get(v, 0) + 1
@@ -194,6 +202,13 @@ def graph_to_propagation_schedules(edges, num_edge_types: int,
                 fwd[dv - 1].append((w, bwd_t, v))
                 bwd[-dw - 1].append((v, t, w))
             else:
+                # Self-loops are dropped from the async schedule — the
+                # reference behaves identically (async.py:330 asserts
+                # v == w for equal-depth edges and appends the edge to
+                # neither pass), so the async variant deliberately sees
+                # self-loop-free graphs while sparse/dense deliver
+                # self-loop messages. QM9 bonds contain none; pinned by
+                # tests/test_models.py.
                 assert v == w, "equal-depth non-self-loop edge (broken DFS)"
         schedules.append(_tensorise(fwd, num_edge_types, num_nodes))
         schedules.append(_tensorise(bwd, num_edge_types, num_nodes))
@@ -352,6 +367,20 @@ def _build_segments(plan, R, T, caps, i_cap, m_dump, node_to_compact,
     rc_pad = caps.receiving_nodes  # pad marker in uniform msg_targets
     rounds = []
     for r in range(R):
+        # Every step with real receivers must be covered by a planned
+        # segment — an out-of-plan step (a graph whose schedule is
+        # deeper/wider than the planning corpus, e.g. arbitrary predict
+        # inputs) would otherwise be silently DROPPED from the fast
+        # path (its compact slots stay zero -> wrong states). Raising
+        # engages the plain-path fallback instead.
+        covered = np.zeros(recv_offsets.shape[1], bool)
+        for (lo, hi, _sea, _rc) in plan[r]:
+            covered[lo:hi] = True
+        uncovered = np.nonzero(~covered & (recv_offsets[r] > 0))[0]
+        if len(uncovered):
+            raise _SegmentOverflow(
+                f"round {r}: steps {uncovered.tolist()} have receivers "
+                f"outside the planned segments")
         segs = []
         for (lo, hi, sea_cap, rc_cap) in plan[r]:
             n = hi - lo
@@ -429,6 +458,11 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
         recv_lists = [[[] for _ in range(S)] for _ in range(R)]
         recv_offsets = np.zeros((R, S), dtype=np.int64)
         send_totals = np.zeros((R, S), dtype=np.int64)
+        # Incremental counters for fits(): re-summing the append lists
+        # per candidate graph would be O(graphs^2) per batch (the
+        # reference-default 100k-node budget packs ~5k molecules).
+        send_type_totals = np.zeros((R, S, T), dtype=np.int64)
+        init_totals = np.zeros((R,), dtype=np.int64)
         node_offset, graphs_in_batch = 0, 0
 
         def fits(g) -> bool:
@@ -436,8 +470,7 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
             if node_offset + n >= node_budget or graphs_in_batch + 1 > caps.graphs:
                 return False
             for r, (initial, sending, _mt, receiving) in enumerate(g["prop_schedules"]):
-                cur_init = sum(len(a) for a in init_lists[r])
-                if cur_init + len(initial) > caps.initial_nodes:
+                if init_totals[r] + len(initial) > caps.initial_nodes:
                     return False
                 for s in range(len(receiving)):
                     new_recv = recv_offsets[r, s] + len(receiving[s])
@@ -445,8 +478,8 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                         return False
                     g_send = 0
                     for t in range(T):
-                        cur_send = sum(len(a) for a in send_lists[r][s][t])
-                        if cur_send + len(sending[s][t]) > caps.sending_edges:
+                        if (send_type_totals[r, s, t] + len(sending[s][t])
+                                > caps.sending_edges):
                             return False
                         g_send += len(sending[s][t])
                     if send_totals[r, s] + g_send > seg_sea_cap[r, s]:
@@ -466,10 +499,12 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
             for r, (initial, sending, msg_targets, receiving) in enumerate(
                     g["prop_schedules"]):
                 init_lists[r].append(initial + node_offset)
+                init_totals[r] += len(initial)
                 for s in range(len(receiving)):
                     step_offset = recv_offsets[r, s]
                     for t in range(T):
                         send_lists[r][s][t].append(sending[s][t] + node_offset)
+                        send_type_totals[r, s, t] += len(sending[s][t])
                         # All types share the step's receiver offset —
                         # the fixed version of async.py:399-401.
                         target_lists[r][s][t].append(
@@ -515,8 +550,13 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
         from ggnn_tpu.graph import AsyncSegment
         i_cap = caps.initial_nodes
         plan = getattr(caps, "plan", None)
+        # default=8 MUST match models/async_ggnn.py's max_rc fallback:
+        # the model re-derives the dump row from the batch's segment
+        # shapes, and a divergent degenerate default (edgeless corpora,
+        # empty plans) would bake out-of-bounds dump indices that only
+        # "work" through XLA's gather clamping.
         max_rc_seg = max((seg[3] for segs in (plan or ()) for seg in segs),
-                         default=caps.receiving_nodes)
+                         default=8)
         m_dump = i_cap + caps.nodes + max_rc_seg
         node_to_compact = np.full((R, caps.nodes + 1), m_dump, np.int32)
         recv_base = np.zeros((R, S), np.int32)

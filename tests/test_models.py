@@ -425,3 +425,67 @@ def test_combined_lane_matches_typed_lanes():
             lambda x, y: np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6),
             g_a, g_c)
+
+
+def test_async_out_of_plan_schedule_falls_back_to_plain_path():
+    """Caps planned on SHALLOW graphs must not silently zero out a
+    DEEPER graph's states: the segment builder raises on schedule steps
+    outside the planned segments, the batch falls back to the plain
+    path (seg_rounds=None), and the forward matches caps planned on the
+    deep graph itself. (Regression: the fast path used to drop
+    out-of-plan steps, returning zeros for arbitrary predict inputs.)"""
+    H = 8
+
+    def chain(n):
+        return {"targets": [[0.1]],
+                "graph": [[i, 1, i + 1] for i in range(n - 1)],
+                "node_features": [[1, 0] for _ in range(n)]}
+
+    shallow = [chain(3) for _ in range(4)]
+    deep = [chain(9)]
+    proc_shallow = preprocess_async(shallow, 1, True, 2, 12, [0], {}, False)
+    caps = plan_async_capacities(proc_shallow, 1, 100, 2)
+    proc_deep = preprocess_async(deep, 1, True, 2, 12, [0], {}, False)
+    batch = next(pack_async_batches(proc_deep, 1, 100, caps, 2, 12, H, 2,
+                                    False, None))
+    assert batch.seg_rounds is None  # plain-path fallback engaged
+
+    caps_deep = plan_async_capacities(proc_deep, 1, 100, 2)
+    batch_ok = next(pack_async_batches(proc_deep, 1, 100, caps_deep, 2, 12,
+                                       H, 2, False, None))
+    cfg = {"hidden_size": H, "propagation_rounds": 2,
+           "propagation_substeps": 12, "use_edge_bias": False,
+           "graph_rnn_cell": "GRU", "graph_rnn_activation": "tanh",
+           "graph_state_dropout_keep_prob": 1.0}
+    model = AsyncGGNN(cfg, 1)
+    params = model.init_params(jax.random.PRNGKey(0))
+    got = np.asarray(model.forward(params, batch))[:9]
+    want = np.asarray(model.forward(params, batch_ok))[:9]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert not np.allclose(want, 0.0)
+
+
+def test_async_self_loop_drop_matches_reference_quirk():
+    """Self-loop edges are excluded from the async schedule — matching
+    the reference (async.py:330 asserts v == w for equal-depth edges
+    and schedules neither direction). Pinned so the deliberate
+    divergence from the sparse variant stays documented behavior."""
+    sched = graph_to_propagation_schedules(
+        [[0, 1, 1], [0, 1, 0]], 1, True, 2, 5)
+    total_sends = 0
+    for (initial, sending, _m, _r) in sched:
+        for step in sending:
+            for t_arr in step:
+                total_sends += len(t_arr)
+    # 1 real edge x fwd+bwd over 1 round pair; the self-loop adds none.
+    assert total_sends == 2
+
+
+def test_async_rejects_out_of_range_edge_types():
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        preprocess_async([{"targets": [[0.0]],
+                           "graph": [[0, 7, 1]],
+                           "node_features": [[1, 0], [0, 1]]}],
+                         4, True, 2, 5, [0], {}, False)
