@@ -97,15 +97,31 @@ def _mlp_from_tf1(weights, scope: str) -> List[Dict]:
 
 
 def heads_from_tf1(weights: Dict[str, np.ndarray],
-                   task_ids: Sequence[int]) -> Dict:
+                   task_ids: Sequence[int],
+                   fallback: Dict = None, log=None) -> Dict:
+    """Output heads by task id. Tasks absent from the checkpoint keep
+    their `fallback` (freshly initialized) head — the reference's
+    partial-restore semantics (chem_tensorflow.py:330-359 exempts
+    task_ids from the config check precisely so new task heads can be
+    trained on top of a restored model)."""
     weights = _norm(weights)
-    return {
-        f"task{k}": {
-            "gate": _mlp_from_tf1(weights, f"out_layer_task{k}/regression_gate"),
-            "transform": _mlp_from_tf1(weights, f"out_layer_task{k}/regression"),
-        }
-        for k in task_ids
-    }
+    heads = {}
+    for k in task_ids:
+        try:
+            heads[f"task{k}"] = {
+                "gate": _mlp_from_tf1(
+                    weights, f"out_layer_task{k}/regression_gate"),
+                "transform": _mlp_from_tf1(
+                    weights, f"out_layer_task{k}/regression"),
+            }
+        except KeyError:
+            if fallback is None or f"task{k}" not in fallback:
+                raise
+            if log is not None:
+                log(f"Freshly initializing task{k} head (not in the TF1 "
+                    "checkpoint).")
+            heads[f"task{k}"] = fallback[f"task{k}"]
+    return heads
 
 
 def sparse_graph_params_from_tf1(weights: Dict[str, np.ndarray],
@@ -166,14 +182,20 @@ _GRAPH_CONVERTERS = {
 
 
 def params_from_tf1_weights(variant: str, weights: Dict[str, np.ndarray],
-                            config: Dict, num_edge_types: int) -> Dict:
+                            config: Dict, num_edge_types: int,
+                            fallback_heads: Dict = None, log=None) -> Dict:
     """Full params pytree {'graph': ..., 'heads': ...} from a TF1
-    name->ndarray dict (e.g. the 'weights' entry of a reference pickle)."""
+    name->ndarray dict (e.g. the 'weights' entry of a reference pickle).
+
+    `fallback_heads` (the skeleton's freshly initialized heads) covers
+    task ids missing from the checkpoint — the reference's new-task
+    partial-restore semantics."""
     if variant not in _GRAPH_CONVERTERS:
         raise ValueError(f"no TF1 converter for variant '{variant}'")
     return {
         "graph": _GRAPH_CONVERTERS[variant](weights, config, num_edge_types),
-        "heads": heads_from_tf1(weights, config["task_ids"]),
+        "heads": heads_from_tf1(weights, config["task_ids"],
+                                fallback=fallback_heads, log=log),
     }
 
 

@@ -99,7 +99,10 @@ class PredictionServer:
         """Compile the serving executable before accepting traffic (one
         tiny self-loop graph through the full pack->forward path)."""
         annotation = self.predictor.meta.annotation_size
-        g = {"targets": [[0.0] for _ in self.predictor.task_ids],
+        # targets are indexed BY task id (reference _extract_labels
+        # semantics), so size the list to the largest id, not the count.
+        n_targets = max(self.predictor.task_ids) + 1
+        g = {"targets": [[0.0] for _ in range(n_targets)],
              "graph": [[0, 1, 1]],
              "node_features": [[1.0] + [0.0] * (annotation - 1)] * 2}
         self.predict([g])
@@ -114,15 +117,22 @@ class PredictionServer:
 
     def start(self):
         """Serve in a background thread (returns immediately)."""
+        self._serving = True
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
 
     def serve_forever(self):
+        self._serving = True
         self._httpd.serve_forever()
 
     def shutdown(self):
-        self._httpd.shutdown()
+        # socketserver.shutdown() BLOCKS until serve_forever
+        # acknowledges — calling it on a server that was never started
+        # (e.g. warmup-only) would hang forever.
+        if getattr(self, "_serving", False):
+            self._httpd.shutdown()
+            self._serving = False
         self._httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)

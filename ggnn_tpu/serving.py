@@ -32,9 +32,9 @@ import jax
 from ggnn_tpu.data import async_schedule, native_pack, packing
 from ggnn_tpu.data.loader import DatasetMeta
 from ggnn_tpu.models.base import init_output_heads
-from ggnn_tpu.native import native_available
-from ggnn_tpu.training.checkpoint import _load_payload, restore_checkpoint
-from ggnn_tpu.training.variants import make_adapter
+from ggnn_tpu.training.checkpoint import (_load_payload, _looks_tf1,
+                                           restore_checkpoint)
+from ggnn_tpu.training.variants import _use_native, make_adapter
 
 _DENSE_FAMILY = ("dense", "blocked")
 
@@ -131,7 +131,7 @@ class Predictor:
                         ) -> "Predictor":
         payload = _load_payload(path)
         config = dict(payload["params"])
-        if any("/" in str(k) for k in payload.get("weights", {})):
+        if _looks_tf1(payload):
             # TF1 reference pickle: tolerate a partial saved config by
             # filling this variant's defaults underneath it.
             from ggnn_tpu.training.config import default_params_for
@@ -167,26 +167,31 @@ class Predictor:
 
     def _batches(self, raw_graphs: Sequence, annotation_size: int):
         cfg = self.config
+        # The packers' fit check is strict (`offset + n < budget`,
+        # reference semantics), so budget = envelope + 1 lets a request
+        # graph of exactly max_nodes through — the arrays are sized by
+        # caps.nodes either way.
+        node_budget = self.caps.nodes + 1
         if self.variant in ("sparse", "rgcn"):
-            if native_available():
+            if _use_native(cfg):
                 processed = native_pack.preprocess_sparse_native(
                     raw_graphs, self.meta.num_edge_types,
                     cfg["tie_fwd_bkwd"], self.task_ids, {}, False)
                 return native_pack.pack_sparse_batches_native(
                     processed, self.meta.num_edge_types, cfg["tie_fwd_bkwd"],
-                    self.caps.nodes, self.caps, cfg["hidden_size"],
+                    node_budget, self.caps, cfg["hidden_size"],
                     annotation_size, False, None)
             processed = packing.preprocess_sparse(
                 raw_graphs, self.meta.num_edge_types, cfg["tie_fwd_bkwd"],
                 self.task_ids, {}, False)
             return packing.pack_sparse_batches(
-                processed, self.meta.num_edge_types, self.caps.nodes,
+                processed, self.meta.num_edge_types, node_budget,
                 self.caps, cfg["hidden_size"], annotation_size, False, None)
         if self.variant == "gcn":
             processed = packing.preprocess_gcn(raw_graphs, self.task_ids,
                                                {}, False)
             return packing.pack_gcn_batches(
-                processed, self.caps.nodes, self.caps, cfg["hidden_size"],
+                processed, node_budget, self.caps, cfg["hidden_size"],
                 annotation_size, False, None)
         if self.variant == "async":
             processed = async_schedule.preprocess_async(
@@ -194,18 +199,13 @@ class Predictor:
                 cfg["propagation_rounds"], cfg["propagation_substeps"],
                 self.task_ids, {}, False)
             return async_schedule.pack_async_batches(
-                processed, self.meta.num_edge_types, self.caps.nodes,
+                processed, self.meta.num_edge_types, node_budget,
                 self.caps, cfg["propagation_rounds"],
                 cfg["propagation_substeps"], cfg["hidden_size"],
                 annotation_size, False, None)
-        # dense family: the adapter already holds the bucket table and
-        # remainder-free packing; annotation width rides through meta.
-        self.adapter.meta = DatasetMeta(
-            max_num_vertices=self.meta.max_num_vertices,
-            num_edge_types=self.meta.num_edge_types,
-            annotation_size=annotation_size)
-        processed = self.adapter.preprocess(list(raw_graphs), False)
-        return self.adapter.batches(processed, False)
+        raise ValueError(
+            f"_batches does not serve variant '{self.variant}' "
+            "(dense family routes through _call_dense)")
 
     # ------------------------------------------------------------- call
 
@@ -217,7 +217,16 @@ class Predictor:
         are re-ordered internally by bucket, and the result is scattered
         back to request order.
         """
+        if not raw_graphs:
+            raise ValueError("empty prediction request")
         annotation_size = len(raw_graphs[0]["node_features"][0])
+        for i, g in enumerate(raw_graphs):
+            if (not g.get("node_features")
+                    or len(g["node_features"][0]) != annotation_size):
+                raise ValueError(
+                    f"graph {i}: node_features must be non-empty with a "
+                    f"consistent width ({annotation_size}) across the "
+                    "request")
         if self.variant in _DENSE_FAMILY:
             return self._call_dense(raw_graphs, annotation_size)
         outs: List[np.ndarray] = []

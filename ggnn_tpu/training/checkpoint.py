@@ -57,7 +57,14 @@ def save_checkpoint(path: str, config: Dict, state_tree,
     """
     weights = _flatten_named(state_tree)
     if _is_orbax_path(path):
-        import orbax.checkpoint as ocp
+        try:
+            import orbax.checkpoint as ocp
+        except ImportError as exc:  # clear routing error, not a stack
+            raise ImportError(
+                f"'{path}' has no .pickle/.pkl extension, which selects "
+                "the Orbax checkpoint format, but orbax-checkpoint is "
+                "not installed — use a .pickle path or install orbax"
+            ) from exc
         path = os.path.abspath(path)
         meta = {"params": config, "train_step": train_step,
                 "valid_step": valid_step, "sanitized_keys": True}
@@ -70,10 +77,20 @@ def save_checkpoint(path: str, config: Dict, state_tree,
             ckptr.save(tmp, weights, force=True)
         with open(os.path.join(tmp, "ggnn_meta.json"), "w") as f:
             json.dump(meta, f)
+        # Two renames instead of rmtree-then-replace: a crash between
+        # them leaves either the old checkpoint (at .tmp_old) or the
+        # complete new one (at .tmp_new), never nothing — and
+        # _load_payload knows to fall back to .tmp_new. (os.replace
+        # cannot swap onto a non-empty directory.)
+        old = path + ".tmp_old"
+        import shutil
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(path):
-            import shutil
-            shutil.rmtree(path)
+            os.replace(path, old)
         os.replace(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         return
     payload = {
         "params": config,
@@ -113,12 +130,22 @@ def _decode_iterator_state(it: Dict) -> Dict:
 
 def load_iterator_state(path: str):
     """The saved mid-epoch iterator state, or None."""
+    if os.path.isdir(path):
+        # Orbax: the state lives in the JSON sidecar — don't restore
+        # the full weight tree just to read it.
+        with open(os.path.join(path, "ggnn_meta.json")) as f:
+            it = json.load(f).get("iterator_state")
+        return _decode_iterator_state(it) if it else None
     payload = _load_payload(path)
     it = payload.get("iterator_state")
     return _decode_iterator_state(it) if it else None
 
 
 def _load_payload(path: str) -> Dict:
+    if not os.path.exists(path) and os.path.isdir(path + ".tmp_new"):
+        # Crash-window recovery: the staged Orbax checkpoint is
+        # complete (meta written last); the final rename didn't run.
+        path = path + ".tmp_new"
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
         with open(os.path.join(path, "ggnn_meta.json")) as f:
@@ -169,8 +196,10 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
                 f"config mismatch on '{par}': {par_value!r} != "
                 f"{saved_config[par]!r}")
         new_state = dict(state_tree)
+        skeleton_heads = state_tree.get("params", {}).get("heads")
         new_state["params"] = params_from_tf1_weights(
-            variant, payload["weights"], config, num_edge_types)
+            variant, payload["weights"], config, num_edge_types,
+            fallback_heads=skeleton_heads, log=log)
         log(f"Imported TF1 reference checkpoint {path}")
         return (new_state, payload.get("train_step", 0),
                 payload.get("valid_step", 0))

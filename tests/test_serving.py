@@ -250,3 +250,56 @@ def test_predictor_from_tf1_reference_pickle(tmp_path):
     ref_out = np.asarray(data["output"], np.float32)
     np.testing.assert_allclose(out[-1], ref_out.reshape(-1), rtol=2e-5,
                                atol=2e-5)
+
+
+def test_predictor_envelope_accepts_exactly_max_nodes(trained):
+    """A request graph with exactly max_nodes nodes is inside the
+    advertised envelope (the packers' strict fit check is offset by
+    one internally)."""
+    n = 32
+    p = Predictor.from_checkpoint(trained.best_model_file, "sparse",
+                                  max_nodes=n, max_graphs=4)
+    g = {"targets": [[0.0]],
+         "graph": [[i, 1, i + 1] for i in range(n - 1)],
+         "node_features": [[1, 0, 0, 0, 0] for _ in range(n)]}
+    out = p([g])
+    assert out.shape == (1, 1) and np.isfinite(out).all()
+
+
+def test_predictor_validates_requests(trained):
+    p = Predictor.from_checkpoint(trained.best_model_file, "sparse",
+                                  max_nodes=64, max_graphs=4)
+    with pytest.raises(ValueError, match="empty"):
+        p([])
+    bad = [{"targets": [[0.0]], "graph": [[0, 1, 1]],
+            "node_features": [[1, 0, 0, 0, 0], [0, 1, 0, 0, 0]]},
+           {"targets": [[0.0]], "graph": [[0, 1, 1]],
+            "node_features": [[1, 0], [0, 1]]}]  # width 2 != 5
+    with pytest.raises(ValueError, match="consistent width"):
+        p(bad)
+
+
+def test_server_warmup_with_non_zero_task_ids(tmp_path):
+    """Warmup must build a valid probe graph when task_ids are not
+    0..K-1 (targets are indexed BY task id)."""
+    from ggnn_tpu.server import PredictionServer
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 1, "hidden_size": 8, "batch_size": 200,'
+        ' "layer_timesteps": [1], "residual_connections": {},'
+        ' "task_ids": [1]}')
+    runner = Runner("sparse", cfg, log_dir=str(tmp_path),
+                    train_data=synthetic_molecules(30, seed=0,
+                                                   num_targets=2),
+                    valid_data=synthetic_molecules(8, seed=1,
+                                                   num_targets=2),
+                    quiet=True, tensorboard=False)
+    runner.train()
+    p = Predictor.from_checkpoint(runner.best_model_file, "sparse",
+                                  max_nodes=64, max_graphs=4)
+    server = PredictionServer(p, port=0)
+    server.warmup()  # used to IndexError: targets list sized by count
+    server.shutdown()

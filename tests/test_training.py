@@ -394,3 +394,55 @@ def test_mid_epoch_resume_continues_batch_stream(tmp_path):
     for a, b in zip(ref_leaves, res_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_tf1_heads_fallback_for_new_task_ids():
+    """Reference partial-restore semantics: task ids absent from a TF1
+    checkpoint keep their freshly initialized heads instead of raising
+    (chem_tensorflow.py:330-359 exempts task_ids from the config check
+    so new heads can be trained on a restored model)."""
+    import pytest
+
+    from ggnn_tpu.compat.tf1 import heads_from_tf1
+
+    w = {
+        "out_layer_task0/regression_gate/MLP_W_layer0:0":
+            np.ones((4, 1), np.float32),
+        "out_layer_task0/regression_gate/MLP_b_layer0:0":
+            np.zeros((1,), np.float32),
+        "out_layer_task0/regression/MLP_W_layer0:0":
+            np.ones((2, 1), np.float32),
+        "out_layer_task0/regression/MLP_b_layer0:0":
+            np.zeros((1,), np.float32),
+    }
+    sentinel = {"gate": "fresh_gate", "transform": "fresh_transform"}
+    heads = heads_from_tf1(w, [0, 1], fallback={"task1": sentinel},
+                           log=lambda *a: None)
+    assert heads["task1"] is sentinel
+    assert len(heads["task0"]["gate"]) == 1
+    with pytest.raises(KeyError):
+        heads_from_tf1(w, [0, 1])  # no fallback -> loud
+
+
+def test_orbax_crash_window_recovery(tmp_path):
+    """A crash between the staged save and the final rename must not
+    lose the checkpoint: _load_payload falls back to the complete
+    .tmp_new staging directory."""
+    import pytest
+
+    pytest.importorskip("orbax.checkpoint")
+    import os
+
+    from ggnn_tpu.training.checkpoint import (_load_payload,
+                                              save_checkpoint)
+
+    state = {"params": {"w": np.arange(6, dtype=np.float32)}}
+    cfg = {"hidden_size": 4}
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint(path, cfg, state, 3, 1)
+    # Simulate the crash window: the final rename never happened.
+    os.rename(path, path + ".tmp_new")
+    payload = _load_payload(path)
+    assert payload["train_step"] == 3
+    got = [np.asarray(v) for v in payload["weights"].values()]
+    np.testing.assert_array_equal(got[0], np.arange(6, dtype=np.float32))
