@@ -55,12 +55,17 @@ class FlatCorpus:
         node_offsets = np.zeros(g_count + 1, np.int64)
         np.cumsum(node_counts, out=node_offsets[1:])
         edges = np.empty((int(edge_offsets[-1]), 3), np.int32)
-        feats = np.empty((int(node_offsets[-1]),
-                          len(raw_data[0]["node_features"][0])), np.float32)
+        # Feature width from the first NON-empty graph (a zero-node
+        # entry must not crash the width probe).
+        feat_w = next((len(d["node_features"][0]) for d in raw_data
+                       if d["node_features"]), 0)
+        feats = np.empty((int(node_offsets[-1]), feat_w), np.float32)
         for i, d in enumerate(raw_data):
             if d["graph"]:
                 edges[edge_offsets[i]:edge_offsets[i + 1]] = d["graph"]
-            feats[node_offsets[i]:node_offsets[i + 1]] = d["node_features"]
+            if d["node_features"]:
+                feats[node_offsets[i]:node_offsets[i + 1]] = \
+                    d["node_features"]
         targets = np.zeros((g_count, len(task_ids)), np.float32)
         target_mask = np.ones((g_count, len(task_ids)), np.float32)
         for i, d in enumerate(raw_data):
@@ -83,7 +88,11 @@ class FlatCorpus:
             raise ValueError(
                 "edge type must be a positive 1-based integer "
                 "(the C packers index [T,...] slabs with type-1)")
-        bad = np.nonzero(max_vertex >= node_counts)[0]
+        # Only graphs that HAVE edges can reference a vertex (an
+        # empty graph leaves max_vertex at its 0 init, which would
+        # spuriously fail against node_counts == 0).
+        bad = np.nonzero((max_vertex >= node_counts)
+                         & (edge_counts > 0))[0]
         if len(bad):
             raise ValueError(
                 f"graph {bad[0]}: edge references vertex "
@@ -131,6 +140,24 @@ def _validate_edge_types(corpus: FlatCorpus, num_fwd: int) -> None:
             raise ValueError(
                 f"edge type {worst} exceeds the model's {num_fwd} "
                 f"forward edge types")
+
+
+def _validate_feature_geometry(corpus: FlatCorpus, hidden_size: int,
+                               annotation_size: int) -> None:
+    """The C kernels memcpy `annotation_size` floats per node row into
+    `hidden_size`-strided output rows — a mismatch with the corpus'
+    actual feature width (or hidden < annotation) is a heap overflow,
+    not an exception (the python packers raise instead)."""
+    feat_w = int(corpus.feats.shape[1]) if corpus.feats.size else annotation_size
+    if annotation_size != feat_w:
+        raise ValueError(
+            f"annotation_size {annotation_size} != corpus feature "
+            f"width {feat_w}")
+    if hidden_size < annotation_size:
+        raise ValueError(
+            f"hidden_size {hidden_size} < annotation_size "
+            f"{annotation_size} (annotations are zero-padded UP to the "
+            "hidden width)")
 
 
 def apply_task_sample_ratios(target_mask: np.ndarray, order: np.ndarray,
@@ -210,6 +237,12 @@ def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
                               ) -> Iterator[DenseGraphBatch]:
     lib = require_lib()
     corpus = processed.corpus
+    # The preprocess-time check is optional (num_edge_types may be
+    # unknown there); the pack call always knows it, and an unvalidated
+    # out-of-range type would write past the C [B,T,V,V] slab.
+    _validate_edge_types(
+        corpus, num_edge_types if tie_fwd_bkwd else num_edge_types // 2)
+    _validate_feature_geometry(corpus, hidden_size, annotation_size)
     bwd_offset = 0 if tie_fwd_bkwd else num_edge_types // 2
     orders = [ids.copy() for ids in processed.bucket_order]
     div = ((len(ids) // batch_size) if drop_remainder
@@ -295,36 +328,15 @@ def preprocess_sparse_native(raw_data, num_edge_types, tie_fwd_bkwd,
 
 def plan_capacities_native(processed: SparseProcessed, node_budget: int,
                            margin: float = None) -> PackCapacities:
-    """Same walk as packing.plan_capacities over the flat arrays."""
-    if margin is None:
-        from ggnn_tpu.data.packing import DEFAULT_PACK_MARGIN
-        margin = DEFAULT_PACK_MARGIN
-    from ggnn_tpu.utils.padding import round_up
+    """Same walk as packing.plan_capacities over the flat arrays (the
+    walk itself is shared — packing.plan_capacities_from_walk — so the
+    two pipelines cannot drift)."""
+    from ggnn_tpu.data.packing import plan_capacities_from_walk
     t_dim = processed.edge_type_counts.shape[1]
-    max_graphs, max_edges = 1, np.zeros(t_dim, np.int64)
-    max_all = 0
-    cur_nodes, cur_graphs = 0, 0
-    cur_edges = np.zeros(t_dim, np.int64)
-    for g in processed.order:
-        n = int(processed.corpus.num_nodes[g])
-        if cur_nodes + n >= node_budget and cur_graphs > 0:
-            max_graphs = max(max_graphs, cur_graphs)
-            max_edges = np.maximum(max_edges, cur_edges)
-            max_all = max(max_all, int(cur_edges.sum()))
-            cur_nodes, cur_graphs = 0, 0
-            cur_edges = np.zeros(t_dim, np.int64)
-        cur_nodes += n
-        cur_graphs += 1
-        cur_edges += processed.edge_type_counts[g]
-    max_graphs = max(max_graphs, cur_graphs)
-    max_edges = np.maximum(max_edges, cur_edges)
-    max_all = max(max_all, int(cur_edges.sum()))
-    return PackCapacities(
-        nodes=round_up(node_budget, 8),
-        edges_per_type=round_up(int(np.ceil(max_edges.max() * margin)), 8),
-        graphs=round_up(int(np.ceil(max_graphs * margin)), 8),
-        edges_all=round_up(int(np.ceil(max_all * margin)), 8),
-    )
+    return plan_capacities_from_walk(
+        ((int(processed.corpus.num_nodes[g]),
+          processed.edge_type_counts[g]) for g in processed.order),
+        t_dim, node_budget, margin)
 
 
 def pack_sparse_batches_native(processed: SparseProcessed,
@@ -339,6 +351,7 @@ def pack_sparse_batches_native(processed: SparseProcessed,
                                ) -> Iterator[GraphBatch]:
     lib = require_lib()
     corpus = processed.corpus
+    _validate_feature_geometry(corpus, hidden_size, annotation_size)
     order = processed.order.copy()
     if is_training and rng is not None:
         rng.shuffle(order)

@@ -106,6 +106,12 @@ def graph_to_adjacency_lists(edges, num_edge_types: int, tie_fwd_bkwd: bool):
         in_deg[etype][dst] += 1
 
     for src, e, dst in edges:
+        if not 1 <= e <= num_fwd:
+            # 0-based or oversized raw types would negative-index-wrap
+            # into the LAST type's lanes/in-degrees (silently wrong
+            # training data); reject loudly like the native path.
+            raise ValueError(
+                f"edge type {e} out of range [1, {num_fwd}]")
         fwd_type = e - 1
         add(fwd_type, src, dst)
         if tie_fwd_bkwd:
@@ -167,6 +173,18 @@ def plan_capacities(processed: Sequence[dict], num_edge_types: int,
     node-budget-only batch composition is preserved at any margin >= 1.
     Config key `pack_margin` overrides.
     """
+    return plan_capacities_from_walk(
+        ((len(g["init"]), _graph_edge_counts(g, num_edge_types))
+         for g in processed),
+        num_edge_types, node_budget, margin)
+
+
+def plan_capacities_from_walk(sizes, num_edge_types: int, node_budget: int,
+                              margin: float = None) -> PackCapacities:
+    """The ONE batch-composition walk both sparse planners (python and
+    native) share: `sizes` yields (n_nodes, per-type edge-count vector)
+    per graph in pack order. Any change to the composition policy or a
+    new capacity field lands here once."""
     if margin is None:
         margin = DEFAULT_PACK_MARGIN
     max_graphs = 1
@@ -174,8 +192,7 @@ def plan_capacities(processed: Sequence[dict], num_edge_types: int,
     max_edges = np.zeros(num_edge_types, dtype=np.int64)
     cur_nodes, cur_graphs = 0, 0
     cur_edges = np.zeros(num_edge_types, dtype=np.int64)
-    for g in processed:
-        n = len(g["init"])
+    for n, edge_counts in sizes:
         if cur_nodes + n >= node_budget and cur_graphs > 0:
             max_graphs = max(max_graphs, cur_graphs)
             max_edges = np.maximum(max_edges, cur_edges)
@@ -184,7 +201,7 @@ def plan_capacities(processed: Sequence[dict], num_edge_types: int,
             cur_edges = np.zeros(num_edge_types, dtype=np.int64)
         cur_nodes += n
         cur_graphs += 1
-        cur_edges += _graph_edge_counts(g, num_edge_types)
+        cur_edges += edge_counts
     max_graphs = max(max_graphs, cur_graphs)
     max_edges = np.maximum(max_edges, cur_edges)
     max_all = max(max_all, cur_edges.sum())
@@ -370,9 +387,13 @@ def build_dense_adjacency(edges, max_n_vertices: int, num_edge_types: int,
     the same type slice; untied ones in slice `t + num_edge_types // 2`.
     """
     bwd_offset = 0 if tie_fwd_bkwd else num_edge_types // 2
+    num_fwd = num_edge_types if tie_fwd_bkwd else num_edge_types // 2
     amat = np.zeros((num_edge_types, max_n_vertices, max_n_vertices),
                     dtype=np.float32)
     for src, e, dst in edges:
+        if not 1 <= e <= num_fwd:
+            raise ValueError(
+                f"edge type {e} out of range [1, {num_fwd}]")
         amat[e - 1, dst, src] = 1
         amat[e - 1 + bwd_offset, src, dst] = 1
     return amat

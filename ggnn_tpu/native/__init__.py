@@ -41,7 +41,7 @@ def _build_and_load() -> ctypes.CDLL:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     lib_path = os.path.join(_HERE, f"libpacker_{digest}_{_host_salt()}.so")
     if not os.path.exists(lib_path):
-        tmp = lib_path + ".tmp"
+        tmp = f"{lib_path}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
              "-o", tmp, _SRC],

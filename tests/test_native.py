@@ -173,3 +173,37 @@ def test_ell_overflow_falls_back_to_xla_batch():
     assert all(not isinstance(b, ELLGraphBatch) or b.ell_fwd_src is not None
                for b in batches)
     assert any(type(b) is GraphBatch for b in batches)
+
+
+def test_native_feature_geometry_validated():
+    """annotation_size/hidden_size mismatches must raise BEFORE the C
+    memcpy (a mismatch is a heap overflow, not an exception, in C)."""
+    import pytest
+
+    from ggnn_tpu.data import native_pack
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    data = synthetic_molecules(4, seed=0)  # 5-wide annotations
+    proc = native_pack.preprocess_sparse_native(data, 4, True, [0], {},
+                                                False)
+    caps = native_pack.plan_capacities_native(proc, 100)
+    with pytest.raises(ValueError, match="corpus feature width"):
+        list(native_pack.pack_sparse_batches_native(
+            proc, 4, True, 100, caps, 16, 3, False, None))  # A=3 != 5
+    with pytest.raises(ValueError, match="hidden_size"):
+        list(native_pack.pack_sparse_batches_native(
+            proc, 4, True, 100, caps, 4, 5, False, None))  # H=4 < A=5
+
+
+def test_native_accepts_empty_graph_rows():
+    """A zero-node zero-edge corpus entry must not trip the vertex-range
+    validation (max_vertex inits to 0 against node_counts == 0)."""
+    from ggnn_tpu.data.native_pack import FlatCorpus
+
+    corpus = FlatCorpus.from_raw(
+        [{"targets": [[0.5]], "graph": [], "node_features": []},
+         {"targets": [[0.1]], "graph": [[0, 1, 1]],
+          "node_features": [[1, 0], [0, 1]]}], [0])
+    assert corpus.num_graphs == 2

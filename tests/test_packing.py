@@ -290,3 +290,16 @@ def test_dfs_reorder_is_pure_relabeling_and_cuts_boundary():
 
     assert cut_edges(b_re) < 0.7 * cut_edges(b_raw), (
         cut_edges(b_re), cut_edges(b_raw))
+
+
+def test_zero_based_edge_types_rejected_loudly():
+    """0-based (or oversized) raw edge types used to negative-index-wrap
+    into the LAST type's lanes on the python path (silently wrong
+    training data) while the native path raised — both now raise."""
+    import pytest
+
+    with pytest.raises(ValueError, match="out of range"):
+        graph_to_adjacency_lists([[0, 0, 1]], num_edge_types=2,
+                                 tie_fwd_bkwd=True)
+    with pytest.raises(ValueError, match="out of range"):
+        build_dense_adjacency([[0, 5, 1]], 3, 4, tie_fwd_bkwd=True)
