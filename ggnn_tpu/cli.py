@@ -125,7 +125,6 @@ def main(argv=None) -> int:
             if valid_data is not None:
                 runner.example_evaluation(example_molecules=valid_data[:10])
             else:
-                import os
                 runner.example_evaluation(
                     valid_file=os.path.join(args.data_dir,
                                             config["valid_file"]))

@@ -68,6 +68,7 @@ class Runner:
         self.variant = variant
         self.config = config
         self.quiet = quiet
+        self.data_dir = data_dir
         self.task_ids = list(config["task_ids"])
 
         # Run management (chem_tensorflow.py:48-54).
@@ -629,6 +630,10 @@ class Runner:
                 "Resumed (validation)", self.valid_processed, False)
             best_val_acc = float(np.sum(valid_accs))
             best_val_acc_epoch = 0
+            # The resumed-validation epoch consumed TB global steps;
+            # advance the counter or the next validation epoch would
+            # overwrite its scalars at identical steps.
+            self.valid_step_id += steps
             if not self.quiet:
                 print(f"\r\x1b[KResumed operation, initial cum. val. acc: "
                       f"{best_val_acc:.5f}")
@@ -638,12 +643,36 @@ class Runner:
         start_epoch = 1
         if self.restored and self._resume_iter is not None:
             start_epoch = int(self._resume_iter["epoch"])
+            # Patience counts epochs since the last improvement; a
+            # resumed run must get the full window from where it
+            # restarts, not epoch-number - 0.
+            best_val_acc_epoch = start_epoch - 1
             self.np_rng.set_state(self._resume_iter["np_rng_state"])
             self._skip_steps = int(self._resume_iter["steps_done"])
             if self._resume_iter.get("key") is not None:
                 self.key = jnp.asarray(self._resume_iter["key"],
                                        dtype=jnp.uint32)
-            if not self.quiet:
+            # A rolling checkpoint can land exactly on the epoch
+            # boundary (checkpoint_every_steps divides the step count):
+            # replaying the epoch would skip every batch and die with
+            # 'no batches produced'. Count the epoch's stream with a
+            # CLONE of the epoch-start rng; if it is fully consumed,
+            # advance to the next epoch with the post-shuffle rng state
+            # (exactly what the uninterrupted run would have used).
+            clone = np.random.RandomState()
+            clone.set_state(self._resume_iter["np_rng_state"])
+            total_steps = sum(1 for _ in self.adapter.batches(
+                self.train_processed, True, clone))
+            if self._skip_steps >= total_steps:
+                self.np_rng = clone
+                start_epoch += 1
+                best_val_acc_epoch = start_epoch - 1
+                self._skip_steps = 0
+                self._resume_iter = None
+                if not self.quiet:
+                    print(f"Resume checkpoint completed its epoch; "
+                          f"continuing at epoch {start_epoch}")
+            elif not self.quiet:
                 print(f"Resuming mid-epoch: epoch {start_epoch}, "
                       f"skipping {self._skip_steps} consumed batches")
         for epoch in range(start_epoch, self.config["num_epochs"] + 1):
@@ -776,13 +805,15 @@ class Runner:
         The forward+readout is jitted once per Runner (per packed batch
         shape); repeated predict calls reuse the compiled executable.
         """
-        # Mesh-trained models contain edge-axis collectives that only
-        # exist inside shard_map; inference runs single-device on a
-        # collective-free copy of the model (params are replicated).
-        model = self.model
-        if self.mesh is not None and getattr(model, "edge_axis", None):
-            model = self.adapter.build_model()
         if getattr(self, "_predict_fn", None) is None:
+            # Mesh-trained models contain edge-axis collectives that
+            # only exist inside shard_map; inference runs single-device
+            # on a collective-free copy (params are replicated). Built
+            # once — the jitted closure captures it.
+            model = self.model
+            if self.mesh is not None and getattr(model, "edge_axis", None):
+                model = self.adapter.build_model()
+
             def _predict(params, batch):
                 final = model.forward(params["graph"], batch)
                 return model.readout(params["heads"], self.task_ids,
@@ -812,7 +843,12 @@ class Runner:
                            example_molecules: Optional[List] = None):
         """Reference example_evaluation (sparse.py:364-376)."""
         if example_molecules is None:
-            with open(valid_file or self.config["valid_file"], "r") as f:
+            if valid_file is None:
+                # Same path resolution as training data loading
+                # (chem_tensorflow.py:104): valid_file lives in data_dir.
+                valid_file = os.path.join(self.data_dir,
+                                          self.config["valid_file"])
+            with open(valid_file, "r") as f:
                 example_molecules = json.load(f)[:n_example_molecules]
         for mol in example_molecules:
             print(mol["targets"])

@@ -446,3 +446,82 @@ def test_orbax_crash_window_recovery(tmp_path):
     assert payload["train_step"] == 3
     got = [np.asarray(v) for v in payload["weights"].values()]
     np.testing.assert_array_equal(got[0], np.arange(6, dtype=np.float32))
+
+
+def test_resume_from_epoch_boundary_checkpoint(tmp_path):
+    """A rolling checkpoint that lands exactly on the last step of an
+    epoch must resume into the NEXT epoch (with the post-shuffle rng),
+    not replay an all-skipped epoch and die with 'no batches produced'.
+    Patience also restarts from the resumed epoch, not from 0."""
+    import shutil
+
+    import jax
+
+    from ggnn_tpu.training import runner as runner_mod
+
+    data = synthetic_molecules(60, seed=0)
+    valid = synthetic_molecules(12, seed=1)
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 2, "hidden_size": 16, "batch_size": 120,'
+        ' "patience": 1,'
+        ' "edge_weight_dropout_keep_prob": 1.0,'
+        ' "graph_state_dropout_keep_prob": 1.0}')
+
+    ref = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "ref"),
+                 train_data=data, valid_data=valid, quiet=True,
+                 tensorboard=False)
+    ref.train()
+
+    runner = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "a"),
+                    train_data=data, valid_data=valid, quiet=True,
+                    tensorboard=False, checkpoint_every_steps=1)
+    boundary = {}
+    orig_save = runner_mod.save_checkpoint
+
+    def capture_save(path, config, state, ts, vs, iterator_state=None):
+        orig_save(path, config, state, ts, vs, iterator_state=iterator_state)
+        if iterator_state and iterator_state["epoch"] == 1:
+            # keep overwriting: the LAST capture of epoch 1 is the
+            # boundary checkpoint (steps_done == total steps).
+            shutil.copy(path, str(tmp_path / "boundary.pickle"))
+            boundary["steps"] = iterator_state["steps_done"]
+
+    runner_mod.save_checkpoint = capture_save
+    try:
+        runner.train()
+    finally:
+        runner_mod.save_checkpoint = orig_save
+
+    ckpt = tmp_path / "boundary.pickle"
+    assert ckpt.exists() and boundary["steps"] >= 1
+
+    resumed = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "b"),
+                     train_data=data, valid_data=valid, quiet=True,
+                     tensorboard=False, restore=str(ckpt))
+    log = resumed.train()  # used to raise RuntimeError
+    assert len(log) >= 1
+    ref_leaves = jax.tree_util.tree_leaves(ref.state["params"])
+    res_leaves = jax.tree_util.tree_leaves(resumed.state["params"])
+    for a, b in zip(ref_leaves, res_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_threaded_iterator_survives_abandoned_consumption():
+    """Abandoning the consuming loop early (an exception mid-epoch) must
+    retire the worker thread instead of leaving it parked on a full
+    queue holding packed batches."""
+    import threading
+
+    from ggnn_tpu.utils.prefetch import ThreadedIterator
+
+    before = threading.active_count()
+    it = ThreadedIterator(iter(range(1, 100)), max_queue_size=2)
+    for x in it:
+        if x >= 3:
+            break  # abandon: generator finally -> close()
+    it.close()
+    it._thread.join(timeout=5)
+    assert not it._thread.is_alive()
+    assert threading.active_count() <= before + 1
