@@ -37,16 +37,22 @@ def padded_node_count(node_capacity: int, block_nodes: int) -> int:
     return -(-node_capacity // block_nodes) * block_nodes
 
 
-def plan_ell_k(edge_targets, edge_mask, node_capacity: int,
-               block_nodes: int) -> int:
-    """Max edges per (type, node-block) for one batch, rounded up to 8."""
-    t_dim = edge_targets.shape[0]
+def plan_ell_k(edge_targets, edge_mask, block_nodes: int,
+               edge_sources=None) -> int:
+    """Max edges per (type, node-block), rounded up to 8.
+
+    The layout packs edges TWICE — target-block-major forward arrays
+    and source-block-major backward arrays — so when `edge_sources` is
+    given the plan covers BOTH key distributions (a target-only plan
+    could overflow the backward pack of the very batch it measured)."""
     ke = 1
-    for t in range(t_dim):
-        real = edge_targets[t][edge_mask[t] > 0]
-        if len(real):
-            counts = np.bincount(real // block_nodes)
-            ke = max(ke, int(counts.max()))
+    for keys in ([edge_targets] if edge_sources is None
+                 else [edge_targets, edge_sources]):
+        for t in range(keys.shape[0]):
+            real = keys[t][edge_mask[t] > 0]
+            if len(real):
+                counts = np.bincount(real // block_nodes)
+                ke = max(ke, int(counts.max()))
     return -(-ke // 8) * 8
 
 
@@ -85,8 +91,8 @@ def build_ell_layout(edge_sources, edge_targets, edge_mask,
     np_total = padded_node_count(node_capacity, block_nodes)
     nb_count = np_total // block_nodes
     if ell_k is None:
-        ell_k = plan_ell_k(edge_targets, edge_mask, node_capacity,
-                           block_nodes)
+        ell_k = plan_ell_k(edge_targets, edge_mask, block_nodes,
+                           edge_sources=edge_sources)
     t_dim = edge_sources.shape[0]
     fwd_src = np.zeros((t_dim, nb_count, ell_k), dtype=np.int32)
     fwd_tgt = np.full((t_dim, nb_count, ell_k), np_total, dtype=np.int32)

@@ -25,13 +25,20 @@ class DatasetMeta:
     annotation_size: int = 0
 
     def update_from(self, data: Sequence[Any], tie_fwd_bkwd: bool) -> "DatasetMeta":
+        if not data:
+            raise ValueError("cannot infer metadata from an empty dataset")
         num_fwd_edge_types = 0
         for g in data:
+            # default=: edgeless graphs (single-atom molecules) are
+            # valid everywhere downstream and must not crash the scan.
             self.max_num_vertices = max(
                 self.max_num_vertices,
-                max(v for e in g["graph"] for v in (e[0], e[2])),
+                max((v for e in g["graph"] for v in (e[0], e[2])),
+                    default=0),
             )
-            num_fwd_edge_types = max(num_fwd_edge_types, max(e[1] for e in g["graph"]))
+            num_fwd_edge_types = max(
+                num_fwd_edge_types,
+                max((e[1] for e in g["graph"]), default=0))
         self.num_edge_types = max(
             self.num_edge_types,
             num_fwd_edge_types * (1 if tie_fwd_bkwd else 2),

@@ -167,7 +167,8 @@ class DenseGGNN:
         adjacency = batch.adjacency                          # [B,T,V,W]
         b, t, v, _ = adjacency.shape
         d = self.hidden_size
-        in_deg = jnp.sum(adjacency, axis=(1, 3))             # [B,V]
+        indeg_t = jnp.sum(adjacency, axis=3)                 # [B,T,V]
+        in_deg = jnp.sum(indeg_t, axis=1)                    # [B,V]
         node_states_per_layer = [batch.node_features]
 
         for layer_idx, num_timesteps in enumerate(self.layer_timesteps):
@@ -201,7 +202,6 @@ class DenseGGNN:
                 if self.use_edge_bias:
                     # sum_t indeg_t[v] * bias_t — identical to the
                     # sparse num_incoming_edges_per_type @ edge_biases.
-                    indeg_t = jnp.sum(adjacency, axis=3)     # [B,T,V]
                     incoming = incoming + jnp.einsum(
                         "btv,th->bvh", indeg_t, layer["edge_biases"],
                         preferred_element_type=jnp.float32)

@@ -162,6 +162,15 @@ class SparseGGNN:
             layer = params["layers"][layer_idx]
             if rng is not None:
                 rng, rng_w = jax.random.split(rng)
+                if self.edge_axis is not None:
+                    # Type-TP: each shard holds a DISJOINT [T/P, H, H]
+                    # weight block — the dropout masks must be
+                    # independent per block (a shared key would draw
+                    # identical masks for type t and t+T/P). The cell's
+                    # state-dropout key stays shared: node states are
+                    # replicated across the edge axis.
+                    rng_w = jax.random.fold_in(
+                        rng_w, jax.lax.axis_index(self.edge_axis))
             else:
                 rng_w = None
             edge_weights = layer["edge_weights"]

@@ -731,6 +731,7 @@ class Runner:
             })
             with open(self.log_file, "w") as f:
                 json.dump(log_to_save, f, indent=4)
+            self.summaries.flush()  # TB scalars reach disk per epoch
             if self.save_every_epoch:
                 save_checkpoint(self.last_model_file, self.config,
                                 self.state, self.train_step_id,

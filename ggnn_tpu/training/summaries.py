@@ -42,6 +42,13 @@ class SummarySink:
         for task_id, acc in zip(ids, accuracies):
             w.add_scalar(f"accuracy{task_id}", float(acc), step)
 
+    def flush(self) -> None:
+        """tensorboardX buffers with a 120s interval and NO atexit hook
+        (daemon writer thread) — without explicit flushes a short run's
+        scalars never reach disk. Called once per epoch by the Runner."""
+        for w in self._writers.values():
+            w.flush()
+
     def close(self) -> None:
         for w in self._writers.values():
             w.close()

@@ -94,7 +94,8 @@ def test_ell_on_real_packed_batch_matches_edge_list_path():
                                          caps, 16, meta.annotation_size,
                                          False, None))
     n_cap = b.node_capacity
-    ell_k = plan_ell_k(b.edge_targets, b.edge_mask, n_cap, BN)
+    ell_k = plan_ell_k(b.edge_targets, b.edge_mask, BN,
+                   edge_sources=b.edge_sources)
     layout = build_ell_layout(b.edge_sources, b.edge_targets, b.edge_mask,
                               n_cap, BN, ell_k)
     np_total = padded_node_count(n_cap, BN)
@@ -141,8 +142,8 @@ def test_sparse_model_ell_path_matches_xla_path():
     for b in packing.pack_sparse_batches(proc, meta.num_edge_types, 250,
                                          caps, 16, meta.annotation_size,
                                          False, None):
-        ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask, caps.nodes, BN))
-        ke = max(ke, plan_ell_k(b.edge_sources, b.edge_mask, caps.nodes, BN))
+        ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask, BN,
+                                edge_sources=b.edge_sources))
     cfg = {**SPARSE_DEFAULTS, "hidden_size": 16, "layer_timesteps": [2, 1],
            "residual_connections": {}, "use_edge_bias": True,
            "edge_weight_dropout_keep_prob": 1.0}
@@ -185,8 +186,8 @@ def test_sorted_vjp_ell_path_matches_xla_path():
     for b in packing.pack_sparse_batches(proc, meta.num_edge_types, 250,
                                          caps, 16, meta.annotation_size,
                                          False, None):
-        ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask, caps.nodes, BN))
-        ke = max(ke, plan_ell_k(b.edge_sources, b.edge_mask, caps.nodes, BN))
+        ke = max(ke, plan_ell_k(b.edge_targets, b.edge_mask, BN,
+                                edge_sources=b.edge_sources))
     cfg = {**SPARSE_DEFAULTS, "hidden_size": 16, "layer_timesteps": [2, 1],
            "residual_connections": {}, "use_edge_bias": True,
            "edge_weight_dropout_keep_prob": 1.0}
