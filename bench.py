@@ -91,10 +91,14 @@ def run_bench(jax, smoke: bool = False, overrides=None):
         f"{len(groups)} shapes in {time.time() - t0:.1f}s")
 
     model = DenseGGNN(cfg, meta.num_edge_types)
-    key = jax.random.PRNGKey(0)
+    # Independent subkeys per consumer (threefry split(key, n) shares
+    # prefix counters across different n, so reusing the root key would
+    # correlate the graph/head init streams).
+    key, k_graph, k_heads = jax.random.split(jax.random.PRNGKey(0), 3)
     params = {
-        "graph": model.init_params(key),
-        "heads": init_output_heads(key, cfg["hidden_size"], cfg["task_ids"]),
+        "graph": model.init_params(k_graph),
+        "heads": init_output_heads(k_heads, cfg["hidden_size"],
+                                   cfg["task_ids"]),
     }
     optimizer = make_optimizer(cfg["learning_rate"],
                                cfg["clamp_gradient_norm"])
@@ -136,7 +140,10 @@ def run_bench(jax, smoke: bool = False, overrides=None):
     log(f"pilot: epoch ~{per_epoch * 1e3:.2f}ms "
         f"(compile+pilot {time.time() - t0:.1f}s)")
     target_s = 3.0 if smoke else 15.0
-    n2 = int(np.clip(target_s / max(per_epoch, 1e-6), 26, 20000))
+    if per_epoch <= 0:  # jitter ate the short pilot: size conservatively
+        log("pilot differenced time nonpositive; falling back to 26 epochs")
+        per_epoch = (time.time() - t0) / 27
+    n2 = int(np.clip(target_s / per_epoch, 26, 20000))
     per_epoch, loss = time_epochs(epochs_fn, state, stacked, group_keys,
                                   1, n2)
     instances_per_sec = total_graphs / per_epoch

@@ -16,7 +16,7 @@ a reference quirk kept as-is (JSON configs always produce string keys, so
 the rescale is effectively 1.0 for them, exactly like upstream).
 """
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +71,7 @@ def pool_nodes_to_graphs(gated: jax.Array, node_graph_ids: jax.Array,
 
 def masked_regression_loss(computed: jax.Array, targets: jax.Array,
                            target_mask: jax.Array, task_ids: Sequence[int],
-                           task_sample_ratios: Dict) -> (jax.Array, jax.Array):
+                           task_sample_ratios: Dict) -> Tuple[jax.Array, jax.Array]:
     """Total loss and per-task masked MAE over a [K, G] prediction block."""
     diff = (computed - targets) * target_mask
     task_target_num = jnp.sum(target_mask, axis=1) + SMALL_NUMBER

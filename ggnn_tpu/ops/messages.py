@@ -15,7 +15,6 @@ kernel in ops/pallas/ell_spmm.py fuses 1+2+4 over a blocked-ELL layout to
 avoid materialising the [T,E,H] message tensor in HBM.
 """
 
-import functools
 from typing import Optional
 
 import jax
@@ -120,64 +119,6 @@ def aggregate_then_transform(node_states: jax.Array,
                       preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def aggregate_sorted_both_ways(h, edge_sources, edge_targets, bwd_gather,
-                               bwd_scatter, node_capacity, ell_block):
-    """Per-type aggregation [T, N, H] with SORTED scatters in BOTH
-    directions.
-
-    Forward: segment-sum of gathered source rows keyed by the (packer-
-    sorted) targets. Backward: autodiff's transpose of the gather is a
-    scatter keyed by SOURCE — unsorted in the forward layout, and XLA's
-    unsorted scatter is ~1.5x slower than its sorted path. The ELL
-    backward arrays (data/ell.py [T, NB, KE]: `bwd_tgt` = gather
-    indices, `bwd_src` = source-block-major scatter keys) relist the
-    same edges grouped by source block, sorted WITHIN each block with
-    out-of-block padding keys — so the transpose runs as per-(type,
-    block) sorted segment-sums into [BN+1] local slots (pad lands in
-    the local dump), reshaped back to [NP, H] and summed over types.
-    """
-    gathered = h[edge_sources]
-    return jax.vmap(
-        lambda data, seg: segment_sum(data, seg, node_capacity + 1,
-                                      indices_are_sorted=True)
-    )(gathered, edge_targets)[:, :node_capacity]
-
-
-def _agg_sorted_fwd(h, edge_sources, edge_targets, bwd_gather, bwd_scatter,
-                    node_capacity, ell_block):
-    out = aggregate_sorted_both_ways(h, edge_sources, edge_targets,
-                                     bwd_gather, bwd_scatter,
-                                     node_capacity, ell_block)
-    return out, (bwd_gather, bwd_scatter, jnp.zeros((0,), h.dtype))
-
-
-def _agg_sorted_bwd(node_capacity, ell_block, res, g):
-    bwd_gather, bwd_scatter, dtype_witness = res
-    h_dtype = dtype_witness.dtype
-    t_dim, nb_count, ke = bwd_gather.shape
-    np_total = nb_count * ell_block
-    # dh[n] = sum over edges with source n of g[t, target]. Gather the
-    # cotangent rows by target (pad slots gather row 0 — harmless, they
-    # scatter into the local dump), then per-(type, block) SORTED
-    # segment-sum over block-local source keys.
-    rows = jax.vmap(lambda gt, idx: gt[idx.reshape(-1)])(
-        g, bwd_gather.reshape(t_dim, -1))
-    rows = rows.reshape(t_dim * nb_count, ke, -1)
-    base = (jnp.arange(nb_count, dtype=bwd_scatter.dtype)
-            * ell_block)[None, :, None]
-    rel = jnp.minimum(bwd_scatter - base, ell_block)   # pad -> BN (dump)
-    rel = rel.reshape(t_dim * nb_count, ke)
-    per_block = jax.vmap(
-        lambda data, seg: segment_sum(data, seg, ell_block + 1,
-                                      indices_are_sorted=True)
-    )(rows, rel)                                       # [T*NB, BN+1, H]
-    dh = per_block[:, :ell_block].reshape(t_dim, np_total, -1).sum(axis=0)
-    return (dh[:node_capacity].astype(h_dtype), None, None, None, None)
-
-
-aggregate_sorted_both_ways.defvjp(_agg_sorted_fwd, _agg_sorted_bwd)
-
 
 def propagation_attention_weights_combined(node_states: jax.Array,
                                            src_all: jax.Array,
@@ -250,7 +191,10 @@ def propagation_attention(messages: jax.Array, node_states: jax.Array,
     # scores are masked anyway.
     safe_targets = jnp.minimum(edge_targets, node_capacity - 1)
     tgt_states = node_states[safe_targets]                     # [T, E, H]
-    scores = jnp.sum(src_states * tgt_states, axis=-1)         # [T, E]
+    # f32 reduction even under a bf16 compute dtype (same contract as
+    # the *_weights variants above).
+    scores = jnp.sum((src_states * tgt_states).astype(jnp.float32),
+                     axis=-1)                                  # [T, E]
     scores = scores * type_factors[:, None]
     flat_scores = scores.reshape(t * e)
     flat_targets = edge_targets.reshape(t * e)

@@ -31,9 +31,14 @@ def repad_edges(batch: GraphBatch, edge_capacity: int) -> GraphBatch:
     if edge_capacity == e:
         return batch
     pad = edge_capacity - e
-    return GraphBatch(
-        node_features=batch.node_features,
-        node_graph_ids=batch.node_graph_ids,
+    # dataclasses.replace keeps the batch's exact type and any extra
+    # leaves (combined *_all lanes — unaffected by per-type capacity —
+    # and ELL arrays, which encode real edges only): constructing a
+    # plain GraphBatch here used to silently drop them, making padded
+    # and unpadded batches pytree-incompatible for stacking.
+    import dataclasses
+    return dataclasses.replace(
+        batch,
         edge_sources=np.concatenate(
             [batch.edge_sources, np.zeros((t, pad), np.int32)], axis=1),
         edge_targets=np.concatenate(
@@ -41,23 +46,32 @@ def repad_edges(batch: GraphBatch, edge_capacity: int) -> GraphBatch:
              np.full((t, pad), batch.node_capacity, np.int32)], axis=1),
         edge_mask=np.concatenate(
             [batch.edge_mask, np.zeros((t, pad), np.float32)], axis=1),
-        in_degrees=batch.in_degrees,
-        targets=batch.targets,
-        target_mask=batch.target_mask,
-        num_graphs=batch.num_graphs,
-        num_nodes=batch.num_nodes,
     )
 
 
 def empty_batch_like(batch: GraphBatch) -> GraphBatch:
     """An all-padding batch with the same capacities: zero graphs, zero
     masked targets — a no-op under the masked loss and metrics."""
+    import dataclasses
     n_cap = batch.node_capacity
     g_cap = batch.graph_capacity
     t, e = batch.edge_sources.shape
     k = batch.targets.shape[0]
     h = batch.node_features.shape[1]
-    return GraphBatch(
+    extra = {}
+    if getattr(batch, "edge_sources_all", None) is not None:
+        # Combined-lane padding conventions (graph.py): filler batches
+        # must carry the same leaves or stacking with real batches
+        # fails on pytree structure.
+        ea = batch.edge_sources_all.shape[0]
+        extra = {
+            "edge_sources_all": np.zeros((ea,), np.int32),
+            "edge_types_all": np.zeros((ea,), np.int32),
+            "edge_targets_all": np.full((ea,), n_cap, np.int32),
+            "edge_mask_all": np.zeros((ea,), np.float32),
+        }
+    return dataclasses.replace(
+        batch,
         node_features=np.zeros((n_cap, h), np.float32),
         node_graph_ids=np.full((n_cap,), g_cap, np.int32),
         edge_sources=np.zeros((t, e), np.int32),
@@ -68,6 +82,7 @@ def empty_batch_like(batch: GraphBatch) -> GraphBatch:
         target_mask=np.zeros((k, g_cap), np.float32),
         num_graphs=np.int32(0),
         num_nodes=np.int32(0),
+        **extra,
     )
 
 

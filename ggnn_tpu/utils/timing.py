@@ -30,21 +30,30 @@ def make_epochs_fn(step_fn: Callable):
     every run length.
     """
 
-    def one_epoch(state, groups, key_groups):
+    def one_epoch(state, groups, key_groups, epoch):
+        if len(groups) != len(key_groups):
+            raise ValueError(
+                f"{len(groups)} batch groups but {len(key_groups)} key "
+                "groups")
+        if not groups:
+            raise ValueError("no batch groups to run")
         loss = None
         for batches, keys in zip(groups, key_groups):
             def body(s, bk):
                 b, k = bk
-                s, l = step_fn(s, b, k)
+                # Fresh dropout draws every epoch: replaying the same
+                # per-batch keys each fori_loop iteration would train a
+                # FIXED thinned network per batch.
+                s, l = step_fn(s, b, jax.random.fold_in(k, epoch))
                 return s, l
             state, losses = jax.lax.scan(body, state, (batches, keys))
             loss = losses[-1]
         return state, loss
 
     def epochs(state, groups, key_groups, n_epochs):
-        def body(_, carry):
+        def body(epoch, carry):
             state, _ = carry
-            return one_epoch(state, groups, key_groups)
+            return one_epoch(state, groups, key_groups, epoch)
         return jax.lax.fori_loop(0, n_epochs, body,
                                  (state, jax.numpy.zeros(())))
 
