@@ -70,7 +70,10 @@ def test_make_epochs_fn_runs_epochs():
         return state + jnp.sum(batch), jnp.sum(batch)
 
     batches = jnp.arange(6, dtype=jnp.float32).reshape(3, 2)
-    keys = jnp.zeros((3, 2))
+    # real PRNG keys: the harness folds the epoch index into each one
+    # (fresh dropout draws per epoch), which requires uint32 key data
+    import jax
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
     epochs_fn = make_epochs_fn(step)
     state, last_loss = epochs_fn(jnp.zeros(()), [batches], [keys], 4)
     # 4 epochs x sum over all batches (0+1)+(2+3)+(4+5) = 15 -> 60
