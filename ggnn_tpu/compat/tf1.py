@@ -30,7 +30,6 @@ Variable naming observed from the reference graphs:
 """
 
 import pickle
-import re
 from typing import Dict, List, Sequence
 
 import jax.numpy as jnp
@@ -107,20 +106,23 @@ def heads_from_tf1(weights: Dict[str, np.ndarray],
     weights = _norm(weights)
     heads = {}
     for k in task_ids:
-        try:
-            heads[f"task{k}"] = {
-                "gate": _mlp_from_tf1(
-                    weights, f"out_layer_task{k}/regression_gate"),
-                "transform": _mlp_from_tf1(
-                    weights, f"out_layer_task{k}/regression"),
-            }
-        except KeyError:
-            if fallback is None or f"task{k}" not in fallback:
-                raise
+        # A head is "absent" only when its first gate weight is missing
+        # entirely; a PARTIALLY present head (truncated/renamed save)
+        # must raise, not be silently swapped for fresh weights.
+        present = (f"out_layer_task{k}/regression_gate/MLP_W_layer0"
+                   in weights)
+        if not present and fallback is not None and f"task{k}" in fallback:
             if log is not None:
                 log(f"Freshly initializing task{k} head (not in the TF1 "
                     "checkpoint).")
             heads[f"task{k}"] = fallback[f"task{k}"]
+            continue
+        heads[f"task{k}"] = {
+            "gate": _mlp_from_tf1(
+                weights, f"out_layer_task{k}/regression_gate"),
+            "transform": _mlp_from_tf1(
+                weights, f"out_layer_task{k}/regression"),
+        }
     return heads
 
 
@@ -172,11 +174,23 @@ def gcn_graph_params_from_tf1(weights: Dict[str, np.ndarray],
     return {"layers": layers}
 
 
+def _dense_family_from_tf1(weights, cfg, t):
+    """The dense-path models pick their params tree by mode:
+    reference dense mode ({'edge_weights','cell',...}) vs extended mode
+    ({'layers': [...]} — the sparse structure, selected whenever the
+    config carries layer_timesteps, which BLOCKED_DEFAULTS always does;
+    see models/dense_ggnn.py:54). The converter must match, or the
+    restored tree is silently incompatible with the model's forward."""
+    if "layer_timesteps" in cfg:
+        return sparse_graph_params_from_tf1(weights, cfg, t)
+    return dense_graph_params_from_tf1(weights, cfg)
+
+
 _GRAPH_CONVERTERS = {
     "sparse": lambda w, cfg, t: sparse_graph_params_from_tf1(w, cfg, t),
     "rgcn": lambda w, cfg, t: sparse_graph_params_from_tf1(w, cfg, t),
-    "dense": lambda w, cfg, t: dense_graph_params_from_tf1(w, cfg),
-    "blocked": lambda w, cfg, t: dense_graph_params_from_tf1(w, cfg),
+    "dense": _dense_family_from_tf1,
+    "blocked": _dense_family_from_tf1,
     "gcn": lambda w, cfg, t: gcn_graph_params_from_tf1(w, cfg),
 }
 

@@ -135,8 +135,11 @@ def propagation_attention_weights_combined(node_states: jax.Array,
     tgt_states = node_states[safe_targets]
     scores = jnp.sum((src_states * tgt_states).astype(jnp.float32), axis=-1)
     scores = scores * type_factors[type_all]
+    # The combined lane is (target, type)-sorted (packer contract), so
+    # target ids are monotone: XLA's sorted-scatter path applies to the
+    # softmax's two segment reductions too.
     return segment_softmax(scores, tgt_all, node_capacity + 1, mask_all,
-                           SMALL_NUMBER)
+                           SMALL_NUMBER, indices_are_sorted=True)
 
 
 def aggregate_then_transform_combined(node_states: jax.Array,

@@ -34,7 +34,8 @@ def segment_max(data: jax.Array, segment_ids: jax.Array, num_segments: int,
 def segment_softmax(scores: jax.Array, segment_ids: jax.Array,
                     num_segments: int, mask: jax.Array,
                     epsilon: float,
-                    axis_name: Optional[str] = None) -> jax.Array:
+                    axis_name: Optional[str] = None,
+                    indices_are_sorted: bool = False) -> jax.Array:
     """Softmax over ragged incoming-message groups, log-sum-exp shifted.
 
     Reproduces the reference's manual segment softmax
@@ -51,7 +52,8 @@ def segment_softmax(scores: jax.Array, segment_ids: jax.Array,
     """
     neg_inf = jnp.finfo(scores.dtype).min
     masked_scores = jnp.where(mask > 0, scores, neg_inf)
-    seg_max = segment_max(masked_scores, segment_ids, num_segments)
+    seg_max = segment_max(masked_scores, segment_ids, num_segments,
+                          indices_are_sorted=indices_are_sorted)
     # The reference differentiates through unsorted_segment_max
     # (chem_tensorflow_sparse.py:180), but a softmax is invariant to the
     # shift, so that gradient path contributes exactly zero (up to the
@@ -64,7 +66,8 @@ def segment_softmax(scores: jax.Array, segment_ids: jax.Array,
     seg_max = jnp.maximum(seg_max, neg_inf / 2)
     shifted = masked_scores - seg_max[segment_ids]
     exped = jnp.exp(shifted) * mask
-    seg_sum = segment_sum(exped, segment_ids, num_segments)
+    seg_sum = segment_sum(exped, segment_ids, num_segments,
+                          indices_are_sorted=indices_are_sorted)
     if axis_name is not None:
         seg_sum = jax.lax.psum(seg_sum, axis_name)
     return exped / (seg_sum[segment_ids] + epsilon)

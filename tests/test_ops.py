@@ -87,3 +87,14 @@ def test_propagation_attention_uniform_when_scores_equal():
                                 jnp.ones(1), n_cap)
     np.testing.assert_allclose(np.asarray(out), 0.5 * np.asarray(msgs),
                                rtol=1e-5)
+
+
+def test_dropout_rejects_nonpositive_keep_prob():
+    """tf.nn.dropout semantics: keep_prob must be in (0, 1] — a config
+    typo of 0.0 must fail fast, not train a zeroed network."""
+    import pytest
+
+    from ggnn_tpu.ops.dropout import dropout
+
+    with pytest.raises(ValueError, match="keep_prob"):
+        dropout(jax.random.PRNGKey(0), jnp.ones((3, 3)), 0.0)

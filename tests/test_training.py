@@ -525,3 +525,52 @@ def test_threaded_iterator_survives_abandoned_consumption():
     it._thread.join(timeout=5)
     assert not it._thread.is_alive()
     assert threading.active_count() <= before + 1
+
+
+def test_tf1_converter_matches_dense_family_mode():
+    """The blocked variant (and extended dense) uses the sparse-style
+    {'layers': [...]} params tree, so its TF1 converter must route by
+    mode — a dense-mode tree would be silently incompatible with the
+    model's forward."""
+    from ggnn_tpu.compat.tf1 import _dense_family_from_tf1
+    from ggnn_tpu.training.config import default_params_for
+
+    h = 4
+    sparse_w = {}
+    cfg_blocked = default_params_for("blocked")
+    cfg_blocked["hidden_size"] = h
+    t = 2
+    for i in range(len(cfg_blocked["layer_timesteps"])):
+        scope = f"graph_model/gnn_layer_{i}"
+        sparse_w[f"{scope}/gnn_edge_weights_{i}"] = np.zeros((t * h, h),
+                                                             np.float32)
+        sparse_w[f"{scope}/timestep_0/gru_cell/gates/kernel"] = np.zeros(
+            (2 * h, 2 * h), np.float32)
+        sparse_w[f"{scope}/timestep_0/gru_cell/gates/bias"] = np.zeros(
+            (2 * h,), np.float32)
+        sparse_w[f"{scope}/timestep_0/gru_cell/candidate/kernel"] = \
+            np.zeros((2 * h, h), np.float32)
+        sparse_w[f"{scope}/timestep_0/gru_cell/candidate/bias"] = np.zeros(
+            (h,), np.float32)
+    out = _dense_family_from_tf1(sparse_w, cfg_blocked, t)
+    assert "layers" in out and len(out["layers"]) == len(
+        cfg_blocked["layer_timesteps"])
+
+
+def test_tf1_heads_partial_presence_raises():
+    """A PARTIALLY saved head (gate present, transform missing) must
+    raise, not be silently replaced by fresh weights."""
+    import pytest
+
+    from ggnn_tpu.compat.tf1 import heads_from_tf1
+
+    w = {
+        "out_layer_task0/regression_gate/MLP_W_layer0:0":
+            np.ones((4, 1), np.float32),
+        "out_layer_task0/regression_gate/MLP_b_layer0:0":
+            np.zeros((1,), np.float32),
+        # transform MLP entirely missing
+    }
+    with pytest.raises(KeyError):
+        heads_from_tf1(w, [0], fallback={"task0": {"gate": 0}},
+                       log=lambda *a: None)
