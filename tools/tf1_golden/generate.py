@@ -23,6 +23,7 @@ import io
 import json
 import os
 import sys
+import shutil
 import tempfile
 
 import numpy as np
@@ -149,6 +150,14 @@ def generate_case(name: str, spec: dict) -> None:
     config.update(spec["config"])
 
     workdir = tempfile.mkdtemp(prefix=f"tf1_golden_{name}_")
+    try:
+        _generate_case_in(workdir, name, spec, corpus, config)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _generate_case_in(workdir: str, name: str, spec: dict, corpus: dict,
+                      config: dict) -> None:
     train = synthetic_molecules(corpus["n_train"], seed=corpus["seed"],
                                 num_targets=corpus["num_targets"])
     valid = synthetic_molecules(corpus["n_valid"], seed=corpus["seed"] + 1,
@@ -234,6 +243,10 @@ def generate_case(name: str, spec: dict) -> None:
 
 def main():
     wanted = sys.argv[1:] or list(CASES)
+    unknown = [n for n in wanted if n not in CASES]
+    if unknown:
+        raise SystemExit(
+            f"unknown case(s) {unknown}; available: {sorted(CASES)}")
     for name in wanted:
         generate_case(name, CASES[name])
 

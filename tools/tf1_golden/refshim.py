@@ -29,10 +29,16 @@ def install_tf1_shim():
     mode, placeholders) with a minimal tf.contrib for the reference's
     two contrib uses (contrib.rnn.GRUCell; cudnn_rnn is not shimmed —
     CudnnCompatibleGRUCell configs are generated from formula instead)."""
+    if not os.path.isdir(REFERENCE_DIR):
+        raise FileNotFoundError(
+            f"reference checkout not found at '{REFERENCE_DIR}' — set "
+            "GGNN_REFERENCE_DIR to the "
+            "gated-graph-neural-network-samples directory (a missing "
+            "path would otherwise surface as a cryptic ModuleNotFound "
+            "or patch an unrelated top-level `utils` module)")
     import tensorflow as tf2
     v1 = tf2.compat.v1
-    v1.disable_v2_behavior()
-    v1.disable_eager_execution()
+    v1.disable_v2_behavior()  # includes disabling eager execution
 
     contrib = types.ModuleType("tensorflow.contrib")
     contrib.rnn = v1.nn.rnn_cell  # TF1.3 tf.contrib.rnn.GRUCell == nn.rnn_cell.GRUCell
