@@ -70,11 +70,11 @@ def generate(name, spec):
                              spec["input_size"])).astype(np.float32)
     state = rng.uniform(-1, 1, (spec["batch"], h)).astype(np.float32)
 
+    import tensorflow as tf  # deferred like tf_keras (env setdefaults)
     outputs = []
     cur = state
     for t in range(spec["steps"]):
-        import tensorflow as tf
-        out, [cur] = cell(tf.constant(xs[t]), [tf.constant(cur)])
+        _, [cur] = cell(tf.constant(xs[t]), [tf.constant(cur)])
         cur = cur.numpy()
         outputs.append(cur)
 
