@@ -216,6 +216,23 @@ def test_runner_trains_on_mesh():
     assert log[1]["train_results"][0] < log[0]["train_results"][0] * 1.5
     assert np.isfinite(log[1]["valid_results"][0])
 
+    # Inference after node-sharded mesh training: predict must run the
+    # collective-free forward on the replicated params and match a
+    # single-device Runner fed the same weights.
+    mols = synthetic_molecules(5, seed=2)
+    got = np.concatenate([np.asarray(o) for o in runner.predict(mols)],
+                         axis=1)
+    assert got.shape[1] == 5 and np.isfinite(got).all()
+    single = Runner("sparse", cfg, log_dir="/tmp/mesh_runner_test_single",
+                    train_data=synthetic_molecules(8, seed=0),
+                    valid_data=synthetic_molecules(4, seed=1),
+                    quiet=True, tensorboard=False)
+    single.state["params"] = jax.tree_util.tree_map(
+        np.asarray, runner.state["params"])
+    want = np.concatenate([np.asarray(o) for o in single.predict(mols)],
+                          axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
 
 def test_node_shard_overflow_regrows_caps_mid_epoch():
     """A shuffled epoch whose group exceeds the planned per-shard lane
@@ -632,3 +649,20 @@ def test_type_tp_runner_end_to_end():
     log = runner.train()
     assert len(log) == 2
     assert np.isfinite(log[1]["valid_results"][0])
+
+    # Inference after TP mesh training: predict must assemble the
+    # type-sharded edge weights into the collective-free forward and
+    # match a single-device Runner fed the same (gathered) params.
+    mols = synthetic_molecules(5, seed=2)
+    got = np.concatenate([np.asarray(o) for o in runner.predict(mols)],
+                         axis=1)
+    assert got.shape[1] == 5 and np.isfinite(got).all()
+    single = Runner("sparse", cfg, log_dir="/tmp/mesh_tp_test_single",
+                    train_data=synthetic_molecules(8, seed=0),
+                    valid_data=synthetic_molecules(4, seed=1),
+                    quiet=True, tensorboard=False)
+    single.state["params"] = jax.tree_util.tree_map(
+        np.asarray, runner.state["params"])
+    want = np.concatenate([np.asarray(o) for o in single.predict(mols)],
+                          axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

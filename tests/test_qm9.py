@@ -93,6 +93,57 @@ def test_preprocess_split_and_train_only_normalization(tmp_path, monkeypatch):
         assert item["graph"] == [[0, 1, 1]]
 
 
+def test_xyz_to_training_end_to_end(tmp_path, monkeypatch):
+    """The full reference workflow — get_data.py extraction followed by
+    a training run consuming its outputs (README.md usage) — wired
+    through this framework: .xyz corpus -> qm9.preprocess ->
+    molecules_{train,valid}.json -> Runner(data_dir=...) epoch ->
+    predict. rdkit itself is stubbed (unavailable here); everything
+    else (parsing, split, normalization, schema, loader, packer,
+    training, inference) is the real path.
+    """
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    raw = tmp_path / "qm9_raw"
+    raw.mkdir()
+    rng = np.random.RandomState(7)
+    for i in range(1, 25):
+        _write_xyz(str(raw / f"dsgdb9nsd_{i:06d}.xyz"), 3,
+                   float(rng.uniform(-2, 8)), f"SMI{i:06d}")
+    split = tmp_path / "valid_idx.json"
+    split.write_text(json.dumps(
+        {"valid_idxs": [f"{i:06d}" for i in range(19, 25)]}))
+
+    def fake_graph(smiles):
+        # Deterministic per-molecule shape variety: a path graph of
+        # 3..8 atoms with alternating bond types.
+        n = 3 + int(smiles[-2:]) % 6
+        nodes = [[1 if j == (i % 5) else 0 for j in range(5)]
+                 for i in range(n)]
+        edges = [(i, 1 + i % 3, i + 1) for i in range(n - 1)]
+        return nodes, edges
+
+    monkeypatch.setattr(qm9, "smiles_to_graph", fake_graph)
+    qm9.preprocess(str(raw), valid_idx_path=str(split),
+                   out_dir=str(tmp_path))
+
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 1, "hidden_size": 8, "patience": 2}')
+    runner = Runner("sparse", cfg, data_dir=str(tmp_path),
+                    log_dir=str(tmp_path / "logs"),
+                    quiet=True, tensorboard=False)
+    log = runner.train()
+    assert len(log) == 1
+    assert np.isfinite(log[0]["train_results"][0])
+    assert np.isfinite(log[0]["valid_results"][0])
+    outs = runner.predict(json.loads(
+        (tmp_path / "molecules_valid.json").read_text())[:3])
+    total = np.concatenate([np.asarray(o) for o in outs], axis=1)
+    assert total.shape == (1, 3) and np.isfinite(total).all()
+
+
 def test_smiles_to_graph_requires_rdkit_gracefully():
     pytest.importorskip("rdkit", reason="rdkit not installed here")
 
