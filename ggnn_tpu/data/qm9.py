@@ -3,13 +3,15 @@
 Downloads the QM9 xyz tarball (figshare id 3195389), parses SMILES and the
 dipole moment mu (property column 4), splits by `valid_idx.json`
 (13,082 validation molecule ids), normalizes mu by the TRAIN mean/std, and
-converts SMILES to graphs with rdkit: explicit hydrogens, bonds typed
+converts SMILES to graphs: explicit hydrogens, bonds typed
 {SINGLE:1, DOUBLE:2, TRIPLE:3, AROMATIC:4}, nodes one-hot over
 [H, C, N, O, F]. Output schema matches get_data.py:82-86.
 
 rdkit and network access are optional dependencies of this module only —
 everything else in the framework consumes the JSON output (or the
-synthetic generator in data/synthetic.py).
+synthetic generator in data/synthetic.py). When rdkit is absent the
+SMILES conversion falls back to the dependency-free parser in
+data/smiles.py (QM9's chemistry is small enough to parse exactly).
 """
 
 import glob
@@ -46,20 +48,36 @@ def read_xyz(file_path: str) -> Dict:
     return {"smiles": smiles, "mu": mu}
 
 
-def smiles_to_graph(smiles: str):
-    from rdkit import Chem  # optional dependency, extraction-only
-
-    mol = Chem.MolFromSmiles(smiles)
-    mol = Chem.AddHs(mol)
-    edges = [
-        (b.GetBeginAtomIdx(), BOND_DICT[str(b.GetBondType())], b.GetEndAtomIdx())
-        for b in mol.GetBonds()
-    ]
-    nodes = [
-        [1 if i == ATOM_SYMBOLS.index(a.GetSymbol()) else 0 for i in range(5)]
-        for a in mol.GetAtoms()
-    ]
-    return nodes, edges
+def smiles_to_graph(smiles: str, backend: str = "auto"):
+    """SMILES -> (one-hot nodes over [H,C,N,O,F], (begin,type,end) edges),
+    matching get_data.py:63-73. `backend`: "rdkit", "builtin", or "auto"
+    (rdkit when importable, else the dependency-free parser in
+    data/smiles.py — same bond typing and AddHs materialisation,
+    hand-verified chemistry oracle in tests/test_smiles.py)."""
+    if backend not in ("auto", "rdkit", "builtin"):
+        raise ValueError(f"unknown smiles backend {backend!r}")
+    if backend != "builtin":
+        try:
+            from rdkit import Chem  # optional dependency, extraction-only
+        except ImportError:
+            if backend == "rdkit":
+                raise
+        else:
+            mol = Chem.MolFromSmiles(smiles)
+            mol = Chem.AddHs(mol)
+            edges = [
+                (b.GetBeginAtomIdx(), BOND_DICT[str(b.GetBondType())],
+                 b.GetEndAtomIdx())
+                for b in mol.GetBonds()
+            ]
+            nodes = [
+                [1 if i == ATOM_SYMBOLS.index(a.GetSymbol()) else 0
+                 for i in range(5)]
+                for a in mol.GetAtoms()
+            ]
+            return nodes, edges
+    from ggnn_tpu.data.smiles import smiles_to_graph as builtin
+    return builtin(smiles, tuple(ATOM_SYMBOLS))
 
 
 VALID_IDX_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1,0 +1,280 @@
+"""Dependency-free SMILES -> molecular-graph parser (rdkit fallback).
+
+The reference's QM9 extraction (get_data.py:63-73) needs exactly one
+thing from rdkit: `MolFromSmiles` + `AddHs` + the bond/atom iteration
+that yields `(begin, bond_type, end)` edges and one-hot [H,C,N,O,F]
+nodes. This module implements that capability surface for the SMILES
+subset QM9 uses (neutral organic molecules, atoms H/C/N/O/F, up to 9
+heavy atoms, aromatic rings), so `ggnn-tpu-get-data` runs with zero
+third-party chemistry dependencies. When rdkit IS installed,
+data/qm9.py prefers it; this parser is the fallback.
+
+Semantics follow the OpenSMILES specification:
+
+  * organic-subset atoms (`B C N O S P F Cl Br I` and aromatic
+    `b c n o s p`) receive implicit hydrogens up to the smallest
+    "normal valence" >= the sum of their bond orders; for AROMATIC
+    atoms each aromatic bond counts 1 plus one unit for the π system,
+    capped at the lowest normal valence with no promotion — rdkit's
+    model (aromatic C with two ring bonds carries one H, with three
+    ring bonds or any substituent none; `Cn1cccc1`'s N carries none);
+  * bracket atoms (`[nH]`, `[C@@H]`, `[13C]`, `[O-]`) carry EXACTLY
+    the hydrogen count written in the bracket (default 0); isotopes,
+    tetrahedral stereo marks and charges are parsed and ignored for
+    the graph topology (charge shifts the valence table by its sign,
+    matching rdkit's H-count for e.g. `[NH4+]` written without an
+    explicit count — canonical SMILES always writes the count, so
+    this is belt-and-braces);
+  * an unspecified bond is aromatic when both endpoints are aromatic,
+    single otherwise; `/` and `\\` are single bonds (cis/trans marks
+    do not change topology); ring-closure bonds may carry their bond
+    symbol on either (or both, consistently) ends;
+  * hydrogens are materialised as graph nodes the way rdkit's
+    `AddHs` does: appended after all heavy atoms, grouped by their
+    parent atom in index order, one single bond each.
+
+Bond types match the reference's `bond_dict` (get_data.py:62):
+SINGLE 1, DOUBLE 2, TRIPLE 3, AROMATIC 4.
+
+Verification: rdkit cannot run in this environment, so the test
+oracle (tests/test_smiles.py) is hand-derived chemistry for molecules
+whose structure is unambiguous (methane, ethanol, benzene, pyridine,
+pyrrole, furan, acetic acid, acetonitrile, CO2, cyclopropane, ...),
+plus structural invariants (valence bounds, symmetry) over the whole
+grammar surface.
+"""
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+SINGLE, DOUBLE, TRIPLE, AROMATIC = 1, 2, 3, 4
+
+_BOND_CHARS = {"-": SINGLE, "=": DOUBLE, "#": TRIPLE, ":": AROMATIC,
+               "/": SINGLE, "\\": SINGLE}
+_BOND_ORDER = {SINGLE: 1.0, DOUBLE: 2.0, TRIPLE: 3.0, AROMATIC: 1.5}
+
+# OpenSMILES "normal valences" for the organic subset.
+_NORMAL_VALENCES = {
+    "B": (3,), "C": (4,), "N": (3, 5), "O": (2,), "P": (3, 5),
+    "S": (2, 4, 6), "F": (1,), "Cl": (1,), "Br": (1,), "I": (1,),
+    "H": (1,),
+}
+_ORGANIC_ALIPHATIC = ("Cl", "Br", "B", "C", "N", "O", "S", "P", "F", "I")
+_ORGANIC_AROMATIC = ("b", "c", "n", "o", "s", "p")
+_BRACKET_SYMBOLS = tuple(sorted(
+    list(_NORMAL_VALENCES) + list(_ORGANIC_AROMATIC) + ["*"],
+    key=len, reverse=True))
+
+
+class SmilesError(ValueError):
+    pass
+
+
+class _Atom:
+    __slots__ = ("symbol", "aromatic", "explicit_h", "charge")
+
+    def __init__(self, symbol: str, aromatic: bool,
+                 explicit_h: Optional[int], charge: int):
+        self.symbol = symbol          # canonical capitalisation ("C", "Cl")
+        self.aromatic = aromatic
+        self.explicit_h = explicit_h  # None => implicit (organic subset)
+        self.charge = charge
+
+
+def _parse_bracket(s: str, i: int) -> Tuple[_Atom, int]:
+    """Parse a bracket atom starting at s[i] == '['; return (atom, next i)."""
+    j = s.index("]", i)
+    body, k = s[i + 1:j], 0
+    # isotope
+    while k < len(body) and body[k].isdigit():
+        k += 1
+    sym = None
+    for cand in _BRACKET_SYMBOLS:
+        if body[k:k + len(cand)] == cand:
+            sym = cand
+            k += len(cand)
+            break
+    if sym is None:
+        raise SmilesError(f"unknown atom symbol in [{body}]")
+    aromatic = sym.islower()
+    symbol = sym.capitalize() if sym != "*" else "*"
+    # tetrahedral stereo
+    while k < len(body) and body[k] == "@":
+        k += 1
+    if body[k:k + 2] in ("TH", "AL", "SP", "TB", "OH"):  # extended chirality
+        k += 2
+        while k < len(body) and body[k].isdigit():
+            k += 1
+    h_count = 0
+    if k < len(body) and body[k] == "H":
+        k += 1
+        h_count = 1
+        if k < len(body) and body[k].isdigit():
+            h_count = int(body[k])
+            k += 1
+    charge = 0
+    while k < len(body) and body[k] in "+-":
+        sign = 1 if body[k] == "+" else -1
+        k += 1
+        if k < len(body) and body[k].isdigit():
+            charge += sign * int(body[k])
+            k += 1
+        else:
+            charge += sign
+    if k < len(body) and body[k] == ":":  # atom-map number
+        k += 1
+        while k < len(body) and body[k].isdigit():
+            k += 1
+    if k != len(body):
+        raise SmilesError(f"trailing characters in [{body}]")
+    return _Atom(symbol, aromatic, h_count, charge), j + 1
+
+
+def _implicit_h(atom: _Atom, plain_sum: float, n_aromatic: int) -> int:
+    """`plain_sum` is the integer bond-order sum of the atom's
+    NON-aromatic bonds; `n_aromatic` its aromatic-bond count."""
+    if atom.explicit_h is not None:
+        return atom.explicit_h
+    valences = _NORMAL_VALENCES.get(atom.symbol)
+    if valences is None:
+        return 0
+    # Charge shifts the effective valence (N+ behaves like C, O- like F).
+    shift = atom.charge if atom.symbol in ("N", "P") else -abs(atom.charge)
+    if atom.aromatic and n_aromatic > 0:
+        # rdkit's aromatic model: each aromatic bond counts 1 plus ONE
+        # unit for the π system, capped at the LOWEST normal valence —
+        # no promotion (so `Cn1cccc1`'s nitrogen gets 0 H, not the
+        # N(V) answer the 1.5-per-bond accounting would give).
+        need = math.ceil(plain_sum - 1e-9) + n_aromatic + 1
+        return max(0, valences[0] + shift - need)
+    need = math.ceil(plain_sum - 1e-9) + n_aromatic
+    for v in valences:
+        if v + shift >= need:
+            return v + shift - need
+    return 0
+
+
+def parse_smiles(smiles: str) -> Tuple[List[str], List[Tuple[int, int, int]]]:
+    """Parse SMILES into (atom symbols incl. materialised H,
+    edges as (begin, bond_type, end)); see module docstring."""
+    atoms: List[_Atom] = []
+    bonds: List[Tuple[int, int, Optional[int]]] = []  # (a, b, type|None)
+    branch_stack: List[int] = []
+    ring_open: Dict[str, Tuple[int, Optional[int]]] = {}
+    prev: Optional[int] = None
+    pending_bond: Optional[int] = None
+    i, n = 0, len(smiles)
+
+    def add_atom(atom: _Atom):
+        nonlocal prev, pending_bond
+        atoms.append(atom)
+        idx = len(atoms) - 1
+        if prev is not None:
+            bonds.append((prev, idx, pending_bond))
+        prev = idx
+        pending_bond = None
+
+    def close_ring(label: str):
+        nonlocal pending_bond
+        if prev is None:
+            raise SmilesError(f"ring bond {label} before any atom")
+        if label in ring_open:
+            a, b1 = ring_open.pop(label)
+            b2 = pending_bond
+            if b1 is not None and b2 is not None and b1 != b2:
+                raise SmilesError(f"conflicting bond orders on ring {label}")
+            if a == prev:
+                raise SmilesError(f"ring {label} closes on its own atom")
+            bonds.append((a, prev, b1 if b1 is not None else b2))
+        else:
+            ring_open[label] = (prev, pending_bond)
+        pending_bond = None
+
+    while i < n:
+        c = smiles[i]
+        if c == "[":
+            atom, i = _parse_bracket(smiles, i)
+            add_atom(atom)
+        elif c == "(":
+            if prev is None:
+                raise SmilesError("branch before any atom")
+            branch_stack.append(prev)
+            i += 1
+        elif c == ")":
+            if not branch_stack:
+                raise SmilesError("unmatched ')'")
+            prev = branch_stack.pop()
+            i += 1
+        elif c in _BOND_CHARS:
+            pending_bond = _BOND_CHARS[c]
+            i += 1
+        elif c == ".":
+            prev = None
+            pending_bond = None
+            i += 1
+        elif c.isdigit():
+            close_ring(c)
+            i += 1
+        elif c == "%":
+            close_ring(smiles[i + 1:i + 3])
+            i += 3
+        else:
+            matched = False
+            for sym in _ORGANIC_ALIPHATIC:
+                if smiles[i:i + len(sym)] == sym:
+                    add_atom(_Atom(sym, False, None, 0))
+                    i += len(sym)
+                    matched = True
+                    break
+            if not matched and c in _ORGANIC_AROMATIC:
+                add_atom(_Atom(c.capitalize(), True, None, 0))
+                i += 1
+                matched = True
+            if not matched:
+                raise SmilesError(f"unexpected character {c!r} at {i} "
+                                  f"in {smiles!r}")
+    if ring_open:
+        raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
+    if branch_stack:
+        raise SmilesError("unclosed branch")
+
+    # Resolve unspecified bonds: aromatic iff both endpoints aromatic.
+    edges: List[Tuple[int, int, int]] = []
+    for a, b, t in bonds:
+        if t is None:
+            t = AROMATIC if atoms[a].aromatic and atoms[b].aromatic else SINGLE
+        edges.append((a, t, b))
+
+    # Implicit hydrogens, then AddHs-style materialisation (appended
+    # after the heavy atoms, grouped by parent in index order).
+    plain_sum = [0.0] * len(atoms)
+    n_aromatic = [0] * len(atoms)
+    for a, t, b in edges:
+        if t == AROMATIC:
+            n_aromatic[a] += 1
+            n_aromatic[b] += 1
+        else:
+            plain_sum[a] += _BOND_ORDER[t]
+            plain_sum[b] += _BOND_ORDER[t]
+    symbols = [a.symbol for a in atoms]
+    for idx, atom in enumerate(atoms):
+        for _ in range(_implicit_h(atom, plain_sum[idx], n_aromatic[idx])):
+            symbols.append("H")
+            edges.append((idx, SINGLE, len(symbols) - 1))
+    return symbols, edges
+
+
+def smiles_to_graph(smiles: str,
+                    atom_symbols: Tuple[str, ...] = ("H", "C", "N", "O", "F")):
+    """get_data.py:63-73-shaped output from the built-in parser:
+    (one-hot nodes over `atom_symbols`, edges (begin, type, end))."""
+    symbols, edges = parse_smiles(smiles)
+    nodes = []
+    for s in symbols:
+        if s not in atom_symbols:
+            raise SmilesError(
+                f"atom {s!r} outside the supported set {atom_symbols} "
+                f"(QM9 contains only H/C/N/O/F; install rdkit for "
+                f"general chemistry)")
+        nodes.append([1 if s == a else 0 for a in atom_symbols])
+    return nodes, [list(e) for e in edges]
