@@ -154,6 +154,121 @@ def _implicit_h(atom: _Atom, plain_sum: float, n_aromatic: int) -> int:
     return 0
 
 
+def _simple_cycles(adj: List[List[int]], n: int, max_len: int,
+                   cap: int = 5000) -> List[List[int]]:
+    """All simple cycles up to max_len, each reported once (anchored at
+    its smallest vertex, direction fixed)."""
+    cycles: List[List[int]] = []
+    for s in range(n):
+        stack = [(s, [s])]
+        while stack and len(cycles) < cap:
+            v, path = stack.pop()
+            for u in adj[v]:
+                if u == s and len(path) >= 3:
+                    if path[1] < path[-1]:
+                        cycles.append(path)
+                elif u > s and u not in path and len(path) < max_len:
+                    stack.append((u, path + [u]))
+    return cycles
+
+
+def _perceive_aromaticity(atoms: List[_Atom],
+                          edges: List[Tuple[int, int, int]],
+                          h_counts: List[int]) -> List[Tuple[int, int, int]]:
+    """Retype Kekulé-form aromatic rings to AROMATIC bonds, the way
+    rdkit's sanitization would before the reference reads GetBondType()
+    (get_data.py:64-69). Hückel electron counting per simple ring:
+
+      * an atom double-bonded to another atom of the ring contributes 1;
+      * a lone-pair donor with only single bonds (N/P with 3 total
+        connections incl. implicit H, O/S with 2) contributes 2;
+      * an exocyclic double bond to an atom of ANOTHER ring (fused
+        systems) or to a non-ring O/N (2-pyridone-style) contributes 0;
+        to a non-ring carbon (fulvene) it disqualifies the ring;
+      * saturated or triple-bonded ring atoms disqualify the ring;
+      * aromatic iff the count is 4n+2.
+
+    A second pass marks ring bonds between two perceived-aromatic atoms
+    (the fusion bond of a bicyclic whose envelope, not its sub-rings,
+    satisfied Hückel). Rings already written in aromatic form pass
+    through untouched. Deliberately NOT a full rdkit aromaticity model
+    — it covers the neutral H/C/N/O/F chemistry QM9 contains; rdkit
+    stays authoritative for exotic rings when installed."""
+    n = len(atoms)
+    if not any(t == DOUBLE for _, t, _ in edges):
+        return edges
+    adj: List[List[int]] = [[] for _ in range(n)]
+    etype: Dict[Tuple[int, int], int] = {}
+    double_partners: List[List[int]] = [[] for _ in range(n)]
+    triple_at = [False] * n
+    degree = [0] * n
+    for a, t, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+        etype[(min(a, b), max(a, b))] = t
+        degree[a] += 1
+        degree[b] += 1
+        if t == DOUBLE:
+            double_partners[a].append(b)
+            double_partners[b].append(a)
+        elif t == TRIPLE:
+            triple_at[a] = triple_at[b] = True
+
+    rings = _simple_cycles(adj, n, max_len=min(n, 12))
+    in_any_ring = set()
+    for ring in rings:
+        in_any_ring.update(ring)
+
+    aromatic_atoms = {i for i in range(n) if atoms[i].aromatic}
+    new_aromatic: set = set()
+    for ring in rings:
+        ring_set = set(ring)
+        ring_bonds = [(min(a, b), max(a, b))
+                      for a, b in zip(ring, ring[1:] + ring[:1])]
+        # only perceive fully Kekulé-written rings
+        if any(etype[e] not in (SINGLE, DOUBLE) for e in ring_bonds):
+            continue
+        pi, ok = 0, True
+        for v in ring:
+            if triple_at[v]:
+                ok = False
+                break
+            partners = double_partners[v]
+            if any(u in ring_set for u in partners):
+                pi += 1
+            elif partners:
+                exo = partners[0]
+                if exo in in_any_ring or atoms[exo].symbol in ("O", "N", "S"):
+                    pass                      # contributes 0, stays eligible
+                else:
+                    ok = False                # fulvene-style exocyclic C=C
+                    break
+            else:
+                sym = atoms[v].symbol
+                conn = degree[v] + h_counts[v]
+                if sym in ("N", "P") and conn == 3:
+                    pi += 2
+                elif sym in ("O", "S") and conn == 2:
+                    pi += 2
+                else:
+                    ok = False                # saturated ring atom
+                    break
+        if ok and pi % 4 == 2:
+            new_aromatic.update(ring_bonds)
+            aromatic_atoms.update(ring_set)
+    if not new_aromatic:
+        return edges
+    # fusion bonds between two perceived-aromatic atoms
+    for ring in rings:
+        for e in ((min(a, b), max(a, b))
+                  for a, b in zip(ring, ring[1:] + ring[:1])):
+            if (etype[e] in (SINGLE, DOUBLE)
+                    and e[0] in aromatic_atoms and e[1] in aromatic_atoms):
+                new_aromatic.add(e)
+    return [(a, AROMATIC if (min(a, b), max(a, b)) in new_aromatic else t, b)
+            for a, t, b in edges]
+
+
 def parse_smiles(smiles: str) -> Tuple[List[str], List[Tuple[int, int, int]]]:
     """Parse SMILES into (atom symbols incl. materialised H,
     edges as (begin, bond_type, end)); see module docstring."""
@@ -245,8 +360,9 @@ def parse_smiles(smiles: str) -> Tuple[List[str], List[Tuple[int, int, int]]]:
             t = AROMATIC if atoms[a].aromatic and atoms[b].aromatic else SINGLE
         edges.append((a, t, b))
 
-    # Implicit hydrogens, then AddHs-style materialisation (appended
-    # after the heavy atoms, grouped by parent in index order).
+    # Implicit hydrogens from the WRITTEN bond orders (Kekulé pyrrole's
+    # N earns its H from the two written single bonds; rdkit likewise
+    # fixes H counts at parse time, before aromaticity perception).
     plain_sum = [0.0] * len(atoms)
     n_aromatic = [0] * len(atoms)
     for a, t, b in edges:
@@ -256,9 +372,18 @@ def parse_smiles(smiles: str) -> Tuple[List[str], List[Tuple[int, int, int]]]:
         else:
             plain_sum[a] += _BOND_ORDER[t]
             plain_sum[b] += _BOND_ORDER[t]
+    h_counts = [_implicit_h(atom, plain_sum[i], n_aromatic[i])
+                for i, atom in enumerate(atoms)]
+
+    # Kekulé-form aromatic rings -> AROMATIC bond type (what rdkit's
+    # sanitization does to the reference's graphs, get_data.py:64-69).
+    edges = _perceive_aromaticity(atoms, edges, h_counts)
+
+    # AddHs-style materialisation: hydrogens appended after the heavy
+    # atoms, grouped by parent in index order.
     symbols = [a.symbol for a in atoms]
-    for idx, atom in enumerate(atoms):
-        for _ in range(_implicit_h(atom, plain_sum[idx], n_aromatic[idx])):
+    for idx in range(len(atoms)):
+        for _ in range(h_counts[idx]):
             symbols.append("H")
             edges.append((idx, SINGLE, len(symbols) - 1))
     return symbols, edges

@@ -176,6 +176,65 @@ def test_ring_bond_symbol_on_either_end():
         assert sum(1 for e in edges if e[1] == 2) == 1, s
 
 
+# ------------------------------------------------- Kekulé-form perception
+
+
+def bond_types(edges):
+    return sorted(t for _, t, _ in edges)
+
+
+def test_kekule_benzene_matches_aromatic_form():
+    ksym, kedges = parse_smiles("C1=CC=CC=C1")
+    asym, aedges = parse_smiles("c1ccccc1")
+    assert formula(ksym) == formula(asym) == {"C": 6, "H": 6}
+    assert bond_types(kedges) == bond_types(aedges)
+    assert sum(1 for t in bond_types(kedges) if t == 4) == 6
+
+
+def test_kekule_heteroaromatics():
+    # pyrrole: N keeps the H earned from its written single bonds
+    symbols, edges = parse_smiles("C1=CC=CN1")
+    assert formula(symbols) == {"C": 4, "N": 1, "H": 5}
+    assert sum(1 for t in bond_types(edges) if t == 4) == 5
+    # pyridine: N has an in-ring double, no H
+    symbols, edges = parse_smiles("C1=CC=CC=N1")
+    assert formula(symbols) == {"C": 5, "N": 1, "H": 5}
+    assert sum(1 for t in bond_types(edges) if t == 4) == 6
+    # furan
+    symbols, edges = parse_smiles("C1=CC=CO1")
+    assert formula(symbols) == {"C": 4, "O": 1, "H": 4}
+    assert sum(1 for t in bond_types(edges) if t == 4) == 5
+    # imidazole: donor N keeps its H, pyridine-type N does not
+    symbols, edges = parse_smiles("C1=CN=CN1")
+    assert formula(symbols) == {"C": 3, "N": 2, "H": 4}
+    assert sum(1 for t in bond_types(edges) if t == 4) == 5
+
+
+def test_kekule_naphthalene_including_fusion_bond():
+    symbols, edges = parse_smiles("C1=CC=CC2=CC=CC=C12")
+    assert formula(symbols) == {"C": 10, "H": 8}
+    assert sum(1 for t in bond_types(edges) if t == 4) == 11
+    assert all(t != 2 for t in bond_types(edges))
+
+
+def test_kekule_2_pyridone_ring_aromatic_carbonyl_stays_double():
+    symbols, edges = parse_smiles("O=C1C=CC=CN1")
+    assert formula(symbols) == {"C": 5, "N": 1, "O": 1, "H": 5}
+    assert sum(1 for t in bond_types(edges) if t == 4) == 6
+    assert (0, 2, 1) in edges or (1, 2, 0) in edges  # exocyclic C=O kept
+
+
+def test_antiaromatic_and_saturated_rings_stay_kekule():
+    # cyclobutadiene: 4 pi electrons, not 4n+2
+    assert 4 not in bond_types(parse_smiles("C1=CC=C1")[1])
+    # cyclohexene: saturated ring atoms
+    assert 4 not in bond_types(parse_smiles("C1=CCCCC1")[1])
+    # fulvene: exocyclic C=C disqualifies
+    assert 4 not in bond_types(parse_smiles("C=C1C=CC=C1")[1])
+    # acyclic dienes untouched
+    assert 4 not in bond_types(parse_smiles("C=CC=C")[1])
+
+
 # ---------------------------------------------------------------- invariants
 
 
