@@ -58,8 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ggnn_tpu",
                                 description="TPU-native GGNN framework")
     p.add_argument("variant",
-                   choices=["sparse", "dense", "blocked", "gcn", "rgcn",
-                            "async"])
+                   choices=["sparse", "dense", "blocked", "gcn",
+                            "gcn_blocked", "rgcn", "async"])
     p.add_argument("--config-file", dest="config_file", default=None,
                    help="Hyperparameter configuration file path (JSON).")
     p.add_argument("--config", default=None,

@@ -192,6 +192,8 @@ _GRAPH_CONVERTERS = {
     "dense": _dense_family_from_tf1,
     "blocked": _dense_family_from_tf1,
     "gcn": lambda w, cfg, t: gcn_graph_params_from_tf1(w, cfg),
+    # Same params tree as gcn (models/gcn.py:BlockedGCN subclasses GCN).
+    "gcn_blocked": lambda w, cfg, t: gcn_graph_params_from_tf1(w, cfg),
 }
 
 

@@ -289,6 +289,71 @@ def pack_dense_batches_native(processed: DenseProcessed, batch_size: int,
     yield from _map_ordered(assemble, compositions, workers)
 
 
+def preprocess_gcn_dense_native(raw_data, task_ids, task_sample_ratios,
+                                is_training: bool,
+                                rng: Optional[np.random.RandomState] = None,
+                                bucket_sizes: Optional[np.ndarray] = None
+                                ) -> DenseProcessed:
+    """gcn_blocked preprocessing: identical bucketing to the dense path
+    (edge types are discarded by the GCN family, so no type
+    validation); normalization happens inside the C assembly."""
+    return preprocess_dense_native(
+        raw_data, task_ids, task_sample_ratios, is_training, rng,
+        bucket_sizes=bucket_sizes)
+
+
+def pack_gcn_dense_batches_native(processed: DenseProcessed,
+                                  batch_size: int, hidden_size: int,
+                                  annotation_size: int, is_training: bool,
+                                  rng: Optional[np.random.RandomState] = None,
+                                  drop_remainder: bool = False,
+                                  workers: int = 4
+                                  ) -> Iterator[DenseGraphBatch]:
+    """gcn_blocked batches: [B,1,V,V] normalized dense adjacency
+    (native/packer.cpp:pack_gcn_dense_batch), bit-identical in eval
+    mode to packing.preprocess_gcn_dense + pack_dense_batches."""
+    lib = require_lib()
+    corpus = processed.corpus
+    _validate_feature_geometry(corpus, hidden_size, annotation_size)
+    orders = [ids.copy() for ids in processed.bucket_order]
+    div = ((len(ids) // batch_size) if drop_remainder
+           else -(-len(ids) // batch_size) for ids in orders)
+    bucket_at_step = [bi for bi, n in enumerate(div) for _ in range(n)]
+    if is_training and rng is not None:
+        rng.shuffle(bucket_at_step)
+        for ids in orders:
+            rng.shuffle(ids)
+    counters = [0] * len(orders)
+    compositions = []
+    for bi in bucket_at_step:
+        start = counters[bi] * batch_size
+        counters[bi] += 1
+        compositions.append((orders[bi][start:start + batch_size],
+                             processed.bucket_v[bi]))
+
+    def assemble(comp):
+        ids, v = comp
+        b_real = len(ids)
+        init = np.zeros((batch_size, v, hidden_size), np.float32)
+        adj = np.zeros((batch_size, 1, v, v), np.float32)
+        mask = np.zeros((batch_size, v), np.float32)
+        lib.pack_gcn_dense_batch(
+            corpus.edges, corpus.edge_offsets, corpus.feats,
+            corpus.node_offsets, np.ascontiguousarray(ids, np.int32),
+            b_real, v, annotation_size, hidden_size, init, adj, mask)
+        targets = np.zeros((corpus.targets.shape[1], batch_size), np.float32)
+        t_mask = np.zeros_like(targets)
+        targets[:, :b_real] = corpus.targets[ids].T
+        t_mask[:, :b_real] = corpus.target_mask[ids].T
+        return DenseGraphBatch(
+            node_features=init, adjacency=adj, node_mask=mask,
+            targets=targets, target_mask=t_mask,
+            num_graphs=np.int32(b_real),
+        )
+
+    yield from _map_ordered(assemble, compositions, workers)
+
+
 # ------------------------------------------------------------- sparse
 
 @dataclasses.dataclass

@@ -512,13 +512,11 @@ def pack_dense_batches(bucketed: Dict[int, List[dict]],
 # GCN (normalized single-type COO) preprocessing + packing
 # --------------------------------------------------------------------
 
-def graph_to_normalized_adjacency(edges, num_nodes: int):
-    """Symmetrized, self-looped, D^{-1/2}(A+I)D^{-1/2}-normalized COO.
-
-    Mirrors chem_tensorflow_gcn.py:116-142 exactly, including the +1e-7
-    added to the D^{-1/2} diagonal and the row-major edge ordering. Edge
-    types are discarded.
-    """
+def _normalized_dense_adjacency(edges, num_nodes: int) -> np.ndarray:
+    """Symmetrized, self-looped, D^{-1/2}(A+I)D^{-1/2}-normalized dense
+    [num_nodes, num_nodes] matrix — chem_tensorflow_gcn.py:116-142
+    exactly, including the +1e-7 added to the D^{-1/2} diagonal. Edge
+    types are discarded."""
     adj = np.zeros((num_nodes, num_nodes))
     for src, _, dst in edges:
         adj[src, dst] = 1
@@ -526,7 +524,13 @@ def graph_to_normalized_adjacency(edges, num_nodes: int):
     adj += np.eye(num_nodes)
     row_sum = np.sum(adj, axis=-1)
     d_inv_sqrt = np.diag(np.power(row_sum, -0.5).flatten() + 1e-7)
-    adj = d_inv_sqrt.dot(adj).dot(d_inv_sqrt)
+    return d_inv_sqrt.dot(adj).dot(d_inv_sqrt)
+
+
+def graph_to_normalized_adjacency(edges, num_nodes: int):
+    """Normalized adjacency as row-major COO (the edge-list GCN's
+    layout; row-major matches the reference's i/j loop ordering)."""
+    adj = _normalized_dense_adjacency(edges, num_nodes)
     idx = np.nonzero(adj)
     order = np.lexsort((idx[1], idx[0]))  # row-major, like the i/j loops
     coo = np.stack([idx[0][order], idx[1][order]], axis=1).astype(np.int32)
@@ -552,6 +556,53 @@ def preprocess_gcn(raw_data: Sequence[Any], task_ids: Sequence[int],
             rng.shuffle(processed)
         _apply_task_sample_ratios(processed, task_ids, task_sample_ratios)
     return processed
+
+
+def preprocess_gcn_dense(raw_data: Sequence[Any], task_ids: Sequence[int],
+                         task_sample_ratios: Dict, is_training: bool,
+                         rng: Optional[np.random.RandomState] = None,
+                         bucket_sizes: Optional[np.ndarray] = None):
+    """Bucket graphs and densify the NORMALIZED adjacency for the
+    `gcn_blocked` variant (models/gcn.py:BlockedGCN): same
+    D^{-1/2}(A+I)D^{-1/2} math as preprocess_gcn, stored as a dense
+    [1, V, V] float block (single "type" axis so pack_dense_batches is
+    reused unchanged). Padding rows/cols are zero — padded nodes
+    neither send nor receive, and the readout masks them."""
+    if bucket_sizes is None:
+        bucket_sizes = DENSE_BUCKET_SIZES
+    bucketed: Dict[int, List[dict]] = {}
+    x_dim = len(raw_data[0]["node_features"][0])
+    for graph_id, d in enumerate(raw_data):
+        max_vertex = max((v for e in d["graph"] for v in (e[0], e[2])),
+                         default=-1)
+        n_active = len(d["node_features"])
+        needed = max(max_vertex + 1, n_active)
+        if needed > int(bucket_sizes[-1]):
+            raise ValueError(
+                f"graph with {needed} vertices exceeds the largest "
+                f"bucket ({int(bucket_sizes[-1])})")
+        chosen_bucket_idx = int(np.argmax(bucket_sizes >= needed))
+        v = int(bucket_sizes[chosen_bucket_idx])
+        adj = np.zeros((1, v, v), dtype=np.float32)
+        adj[0, :n_active, :n_active] = _normalized_dense_adjacency(
+            d["graph"], n_active)
+        init = np.zeros((v, x_dim), dtype=np.float32)
+        init[:n_active] = np.asarray(d["node_features"], dtype=np.float32)
+        mask = np.zeros(v, dtype=np.float32)
+        mask[:n_active] = 1.0
+        bucketed.setdefault(chosen_bucket_idx, []).append({
+            "adj_mat": adj,
+            "init": init,
+            "labels": _extract_labels(d, task_ids),
+            "mask": mask,
+            "graph_id": graph_id,
+        })
+    if is_training:
+        for bucket in bucketed.values():
+            if rng is not None:
+                rng.shuffle(bucket)
+            _apply_task_sample_ratios(bucket, task_ids, task_sample_ratios)
+    return bucketed, bucket_sizes
 
 
 def plan_gcn_capacities(processed: Sequence[dict], node_budget: int,

@@ -137,3 +137,68 @@ class GCN:
         if node_sharded and self.edge_axis is not None:
             out = jax.lax.psum(out, self.edge_axis)
         return out
+
+
+class BlockedGCN(GCN):
+    """GCN over bucketed dense normalized adjacency (the `gcn_blocked`
+    variant — this framework's TPU-first addition, same spirit as the
+    `blocked` GGNN variant).
+
+    Identical math to the edge-list GCN above (same pre-normalized
+    D^{-1/2}(A+I)D^{-1/2} matrix, chem_tensorflow_gcn.py:116-142), but
+    the per-layer Â·H runs as a batched [B,V,V]@[B,V,H] matmul over
+    block-diagonal per-graph buckets instead of a weighted
+    gather/segment-sum over the packed COO list. Rationale (measured in
+    benchmarks/roofline.py): the edge-list GCN step is
+    scatter-latency-bound at 1.8% of the MXU rate; for bucketable
+    molecular graphs (V <= 32) the dense contraction is MXU food.
+    Consumes DenseGraphBatch with adjacency [B, 1, V, V] (single type,
+    float normalization weights) from packing.preprocess_gcn_dense.
+    """
+
+    def __init__(self, config: Dict):
+        super().__init__(config, edge_axis=None)
+        self.compute_dtype = jnp.dtype(config.get("compute_dtype",
+                                                  "float32"))
+
+    def forward(self, params: Dict, batch, *, rng=None,
+                is_training: bool = False) -> jax.Array:
+        adj = batch.adjacency[:, 0]          # [B, V, V] (dst, src)
+        h = batch.node_features              # [B, V, H]
+        cdt = self.compute_dtype
+        for layer_idx, layer in enumerate(params["layers"]):
+            mixed = jnp.einsum("bvw,bwh->bvh", adj.astype(cdt),
+                               h.astype(cdt),
+                               preferred_element_type=jnp.float32)
+            new_h = jnp.einsum("bvh,hd->bvd", mixed.astype(cdt),
+                               layer["W"].astype(cdt),
+                               preferred_element_type=jnp.float32)
+            if self.use_bias:
+                new_h = new_h + layer["b"]
+            if layer_idx < self.num_layers - 1:
+                new_h = jax.nn.relu(new_h)
+                if is_training and self.state_keep_prob < 1.0:
+                    rng, sub = jax.random.split(rng)
+                    new_h = dropout(sub, new_h, self.state_keep_prob)
+            h = new_h
+        return h
+
+    def readout(self, heads: Dict, task_ids, last_h: jax.Array,
+                batch, *, keep_prob: float = 1.0, rng=None) -> jax.Array:
+        """Gated per-node outputs, masked by node_mask, summed per graph
+        (dense-path form of the segment-sum pooling above)."""
+        b, v, d = last_h.shape
+        flat_last = last_h.reshape(b * v, d)
+        flat_init = batch.node_features.reshape(b * v, d)
+        outs = []
+        for task_id in task_ids:
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            else:
+                sub = None
+            gated = base.gated_regression_nodes(
+                heads[f"task{task_id}"], flat_last, flat_init,
+                keep_prob=keep_prob, rng=sub)
+            outs.append(jnp.sum(gated.reshape(b, v) * batch.node_mask,
+                                axis=1))
+        return jnp.stack(outs, axis=0)

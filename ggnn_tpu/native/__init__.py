@@ -60,6 +60,12 @@ def _build_and_load() -> ctypes.CDLL:
         i32, i32, i32, i32, i32, i32,
         p_f32, p_f32, p_f32,
     ]
+    lib.pack_gcn_dense_batch.restype = None
+    lib.pack_gcn_dense_batch.argtypes = [
+        p_i32, p_i64, p_f32, p_i64, p_i32,
+        i32, i32, i32, i32,
+        p_f32, p_f32, p_f32,
+    ]
     lib.pack_sparse_batch.restype = i32
     lib.pack_sparse_batch.argtypes = [
         p_i32, p_i64, p_f32, p_i64, p_i32,

@@ -10,8 +10,10 @@
 // Built as a plain C-ABI shared library (no pybind11); see
 // ggnn_tpu/native/__init__.py for the ctypes bindings and build rule.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -51,6 +53,64 @@ void pack_dense_batch(
     float* init = init_out + (int64_t)b * v * hidden_size;
     float* mask = mask_out + (int64_t)b * v;
     for (int32_t i = 0; i < n; ++i) {
+      std::memcpy(init + (int64_t)i * hidden_size,
+                  feats + (n0 + i) * annotation_size,
+                  sizeof(float) * annotation_size);
+      mask[i] = 1.0f;
+    }
+  }
+}
+
+// Fill a bucketed GCN dense batch (the gcn_blocked variant): per graph,
+// adjacency = D^{-1/2}(sym(A)+I)D^{-1/2} over its n nodes, computed in
+// double precision with the same association order as the numpy
+// pipeline (packing._normalized_dense_adjacency: row sums of the
+// integer-valued symmetrized+self-looped matrix are order-exact in
+// double; each output entry is fl(fl(d_i*a)*d_j)) so eval batches are
+// bit-identical to the python packer. Edge types are discarded
+// (chem_tensorflow_gcn.py:116-142 semantics). Outputs must be
+// zero-initialised by the caller.
+void pack_gcn_dense_batch(
+    const int32_t* edges,        // [E_tot, 3] (src, type, dst)
+    const int64_t* edge_offsets, // [G+1]
+    const float* feats,          // [N_tot, A]
+    const int64_t* node_offsets, // [G+1]
+    const int32_t* graph_ids,    // [b_real]
+    int32_t b_real,
+    int32_t v,
+    int32_t annotation_size,
+    int32_t hidden_size,
+    float* init_out,             // [B, V, H]
+    float* adj_out,              // [B, 1, V, V]
+    float* mask_out) {           // [B, V]
+  std::vector<double> a;
+  std::vector<double> d;
+  for (int32_t b = 0; b < b_real; ++b) {
+    const int32_t g = graph_ids[b];
+    const int64_t n0 = node_offsets[g];
+    const int32_t n = (int32_t)(node_offsets[g + 1] - n0);
+    a.assign((size_t)n * n, 0.0);
+    d.resize(n);
+    for (int64_t e = edge_offsets[g]; e < edge_offsets[g + 1]; ++e) {
+      const int32_t src = edges[e * 3 + 0];
+      const int32_t dst = edges[e * 3 + 2];
+      a[(size_t)src * n + dst] = 1.0;
+      a[(size_t)dst * n + src] = 1.0;
+    }
+    for (int32_t i = 0; i < n; ++i) a[(size_t)i * n + i] += 1.0;
+    for (int32_t i = 0; i < n; ++i) {
+      double row = 0.0;  // integer-valued entries: any order is exact
+      for (int32_t j = 0; j < n; ++j) row += a[(size_t)i * n + j];
+      d[i] = std::pow(row, -0.5) + 1e-7;
+    }
+    float* adj = adj_out + (int64_t)b * v * v;
+    float* init = init_out + (int64_t)b * v * hidden_size;
+    float* mask = mask_out + (int64_t)b * v;
+    for (int32_t i = 0; i < n; ++i) {
+      for (int32_t j = 0; j < n; ++j) {
+        adj[(int64_t)i * v + j] =
+            (float)((d[i] * a[(size_t)i * n + j]) * d[j]);
+      }
       std::memcpy(init + (int64_t)i * hidden_size,
                   feats + (n0 + i) * annotation_size,
                   sizeof(float) * annotation_size);

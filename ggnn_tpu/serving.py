@@ -36,7 +36,7 @@ from ggnn_tpu.training.checkpoint import (_load_payload, _looks_tf1,
                                            restore_checkpoint)
 from ggnn_tpu.training.variants import _use_native, make_adapter
 
-_DENSE_FAMILY = ("dense", "blocked")
+_DENSE_FAMILY = ("dense", "blocked", "gcn_blocked")
 
 
 def _infer_geometry(payload: Dict, variant: str, config: Dict):
@@ -44,6 +44,8 @@ def _infer_geometry(payload: Dict, variant: str, config: Dict):
     format. Hidden comes from config; T from the edge-weight tensor."""
     weights = payload["weights"]
     hidden = int(config["hidden_size"])
+    if variant in ("gcn", "gcn_blocked"):
+        return 1, hidden
 
     def probe(*names):
         for n in names:

@@ -126,6 +126,20 @@ BLOCKED_DEFAULTS: Dict = {
     "dense_bucket_sizes": [8, 16, 24, 32],
 }
 
+# TPU-first extra variant: GCN math (models/gcn.py:BlockedGCN) on the
+# bucketed dense path — the edge-list GCN step is scatter-latency-bound
+# (benchmarks/roofline.py: 1.8% of the MXU rate), the dense [B,V,V]
+# contraction is not.
+GCN_BLOCKED_DEFAULTS: Dict = {
+    **BASE_DEFAULTS,
+    "batch_size": 256,  # graphs (dense bucketed batching)
+    "task_sample_ratios": {},
+    "gcn_use_bias": False,
+    "graph_state_dropout_keep_prob": 1.0,
+    # Coarse buckets: same math (padding is masked), 4 compiled shapes.
+    "dense_bucket_sizes": [8, 16, 24, 32],
+}
+
 # README.md:48-52 — R-GCN is the sparse model under this config.
 RGCN_CONFIG: Dict = {
     "use_edge_bias": False,
@@ -141,6 +155,7 @@ _VARIANT_DEFAULTS = {
     "dense": DENSE_DEFAULTS,
     "blocked": BLOCKED_DEFAULTS,
     "gcn": GCN_DEFAULTS,
+    "gcn_blocked": GCN_BLOCKED_DEFAULTS,
     "async": ASYNC_DEFAULTS,
 }
 

@@ -141,10 +141,10 @@ class Runner:
                     self._mesh_kind = "sparse_tp"
                 else:
                     self._mesh_kind = "sparse"
-            elif variant in ("dense", "blocked"):
+            elif variant in ("dense", "blocked", "gcn_blocked"):
                 if n_edge > 1:
                     raise ValueError(
-                        "dense/blocked mesh training is data-parallel "
+                        "dense-family mesh training is data-parallel "
                         "only (use n_edge=1)")
                 self._mesh_kind = "dense"
             elif variant == "gcn":

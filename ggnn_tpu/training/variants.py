@@ -194,6 +194,52 @@ class GCNAdapter:
             is_training, rng)
 
 
+class GcnBlockedAdapter(DenseAdapter):
+    """`gcn_blocked`: GCN math on the bucketed dense path
+    (models/gcn.py:BlockedGCN). Reuses DenseAdapter's batching —
+    preprocess emits the same bucketed dict shape with a [1, V, V]
+    normalized-float adjacency block — with GCN preprocessing and
+    model construction swapped in. Never drops remainders (this is a
+    framework-native variant, not a reference-parity one). The native
+    path (native/packer.cpp:pack_gcn_dense_batch) computes the
+    normalization in C with the numpy pipeline's exact float semantics
+    — eval batches are bit-identical (tests/test_native.py)."""
+    name = "gcn_blocked"
+
+    def __init__(self, config: Dict, meta: DatasetMeta,
+                 drop_remainder: bool = False):
+        super().__init__(config, meta, drop_remainder=drop_remainder)
+
+    def build_model(self):
+        from ggnn_tpu.models.gcn import BlockedGCN
+        return BlockedGCN(self.config)
+
+    def preprocess(self, raw, is_training: bool,
+                   rng: Optional[np.random.RandomState] = None):
+        if _use_native(self.config):
+            return native_pack.preprocess_gcn_dense_native(
+                raw, self.config["task_ids"],
+                self.config["task_sample_ratios"], is_training, rng,
+                bucket_sizes=self._bucket_sizes())
+        bucketed, bucket_sizes = packing.preprocess_gcn_dense(
+            raw, self.config["task_ids"], self.config["task_sample_ratios"],
+            is_training, rng, bucket_sizes=self._bucket_sizes())
+        self.bucket_sizes = bucket_sizes
+        return bucketed
+
+    def batches(self, processed, is_training: bool,
+                rng: Optional[np.random.RandomState] = None) -> Iterator:
+        if isinstance(processed, native_pack.DenseProcessed):
+            return native_pack.pack_gcn_dense_batches_native(
+                processed, self.config["batch_size"],
+                self.config["hidden_size"], self.meta.annotation_size,
+                is_training, rng, drop_remainder=self.drop_remainder)
+        return packing.pack_dense_batches(
+            processed, self.bucket_sizes, self.config["batch_size"],
+            self.config["hidden_size"], self.meta.annotation_size,
+            is_training, rng, drop_remainder=self.drop_remainder)
+
+
 class AsyncAdapter:
     name = "async"
 
@@ -241,6 +287,7 @@ _ADAPTERS = {
     "dense": DenseAdapter,
     "blocked": DenseAdapter,  # sparse feature surface, dense-path compute
     "gcn": GCNAdapter,
+    "gcn_blocked": GcnBlockedAdapter,  # GCN math, dense-path compute
     "async": AsyncAdapter,
 }
 

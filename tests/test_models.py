@@ -128,6 +128,57 @@ def test_gcn_forward_matches_numpy():
     np.testing.assert_allclose(out[:n], h[:n], rtol=1e-4, atol=1e-5)
 
 
+def test_blocked_gcn_matches_edge_list_gcn():
+    """The `gcn_blocked` dense-path variant must compute the SAME math
+    as the edge-list GCN (both implement chem_tensorflow_gcn.py:42-93
+    over the shared D^{-1/2}(A+I)D^{-1/2} normalization): identical
+    params -> allclose per-graph outputs, in both bias modes and across
+    multiple buckets."""
+    from ggnn_tpu.data.packing import preprocess_gcn_dense
+    from ggnn_tpu.models.gcn import BlockedGCN
+    from ggnn_tpu.models.base import init_output_heads
+    from ggnn_tpu.training.config import default_params_for
+
+    data = synthetic_molecules(24, seed=3)
+    from ggnn_tpu.data.loader import infer_metadata
+    meta = infer_metadata([data], True)
+    for bias in (False, True):
+        cfg_s = default_params_for("gcn")
+        cfg_b = default_params_for("gcn_blocked")
+        cfg_s["gcn_use_bias"] = cfg_b["gcn_use_bias"] = bias
+        gcn, blk = GCN(cfg_s), BlockedGCN(cfg_b)
+        params = gcn.init_params(jax.random.PRNGKey(0))  # shared tree
+        heads = init_output_heads(jax.random.PRNGKey(1),
+                                  cfg_s["hidden_size"], [0])
+
+        proc = preprocess_gcn(data, [0], {}, False)
+        caps = plan_gcn_capacities(proc, cfg_s["batch_size"])
+        (batch,) = list(pack_gcn_batches(
+            proc, cfg_s["batch_size"], caps, cfg_s["hidden_size"],
+            meta.annotation_size, False))
+        h = gcn.forward(params, batch)
+        out_s = np.asarray(gcn.readout(heads, [0], h, batch)
+                           )[:, :int(batch.num_graphs)]
+
+        bucketed, sizes = preprocess_gcn_dense(
+            data, [0], {}, False,
+            bucket_sizes=np.asarray(cfg_b["dense_bucket_sizes"]))
+        assert len(bucketed) > 1  # exercise >1 compiled bucket shape
+        order = [g["graph_id"] for b in bucketed.values() for g in b]
+        outs = []
+        for db in pack_dense_batches(bucketed, sizes, cfg_b["batch_size"],
+                                     cfg_b["hidden_size"],
+                                     meta.annotation_size, False,
+                                     drop_remainder=False):
+            hb = blk.forward(params, db)
+            outs.append(np.asarray(blk.readout(heads, [0], hb, db)
+                                   )[:, :int(db.num_graphs)])
+        packed = np.concatenate(outs, axis=1)
+        out_b = np.empty_like(packed)
+        out_b[:, np.asarray(order)] = packed
+        np.testing.assert_allclose(out_s, out_b, rtol=1e-5, atol=1e-6)
+
+
 def test_async_schedule_invariants_and_coverage():
     for g in synthetic_molecules(20, seed=3):
         schedules = graph_to_propagation_schedules(g["graph"], 4, True, 4, 40)

@@ -43,6 +43,27 @@ def test_dense_native_matches_python(tie):
         _assert_batches_equal(a, b)
 
 
+def test_gcn_dense_native_matches_python():
+    """The C normalization (pack_gcn_dense_batch) replicates the numpy
+    pipeline's float semantics exactly — eval batches bit-identical,
+    including the D^{-1/2}(A+I)D^{-1/2} weights."""
+    data = synthetic_molecules(120, seed=2)
+    meta = infer_metadata([data], True)
+    bs = np.array([16, 32])
+    bucketed, bsz = packing.preprocess_gcn_dense(
+        data, [0], {}, False, bucket_sizes=bs)
+    py_batches = list(packing.pack_dense_batches(
+        bucketed, bsz, 16, 24, meta.annotation_size, False,
+        drop_remainder=False))
+    proc = native_pack.preprocess_gcn_dense_native(
+        data, [0], {}, False, bucket_sizes=bs)
+    nat_batches = list(native_pack.pack_gcn_dense_batches_native(
+        proc, 16, 24, meta.annotation_size, False))
+    assert len(py_batches) == len(nat_batches)
+    for a, b in zip(py_batches, nat_batches):
+        _assert_batches_equal(a, b)
+
+
 @pytest.mark.parametrize("tie", [True, False])
 def test_sparse_native_matches_python(tie):
     data = synthetic_molecules(100, seed=4)

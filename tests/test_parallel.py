@@ -303,6 +303,7 @@ def test_dense_mesh_rejects_edge_axis():
 
 @pytest.mark.parametrize("variant,extra", [
     ("gcn", '{"batch_size": 150}'),
+    ("gcn_blocked", '{"batch_size": 8, "dense_bucket_sizes": [32]}'),
     ("async", '{"num_nodes": 150, "propagation_substeps": 40}'),
 ])
 def test_gcn_and_async_train_on_mesh(variant, extra):

@@ -74,6 +74,7 @@ def _train_tiny(variant, tmp, extra_cfg=None, n=40):
     ("dense", {"batch_size": 2}),
     ("blocked", {"batch_size": 4}),
     ("gcn", {"batch_size": 300}),
+    ("gcn_blocked", {"batch_size": 4}),
     ("async", {"num_nodes": 300, "propagation_substeps": 24}),
 ])
 def test_predictor_all_variants(variant, extra, tmp_path):

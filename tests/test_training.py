@@ -20,7 +20,7 @@ def small_config(variant, **overrides):
     cfg.update({"hidden_size": 16, "num_epochs": 2, "random_seed": 0})
     if variant in ("sparse", "rgcn", "gcn"):
         cfg["batch_size"] = 600
-    if variant == "dense":
+    if variant in ("dense", "gcn_blocked"):
         cfg["batch_size"] = 16
     if variant == "async":
         cfg["num_nodes"] = 600
@@ -71,7 +71,8 @@ def test_runner_async_batches_carry_segment_plan(tmp_path):
             assert batch.seg_rounds is not None
 
 
-@pytest.mark.parametrize("variant", ["sparse", "dense", "gcn", "rgcn"])
+@pytest.mark.parametrize("variant",
+                         ["sparse", "dense", "gcn", "gcn_blocked", "rgcn"])
 def test_training_reduces_loss(variant, tmp_path):
     epochs = 4 if variant == "rgcn" else 2  # 8-layer ReLU-RNN learns slowly
     runner = make_runner(variant, tmp_path, num_epochs=epochs,
