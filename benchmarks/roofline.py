@@ -50,6 +50,7 @@ VARIANT_OVERRIDES = {
     "blocked": '{"num_epochs": 1}',
     "sparse": '{"num_epochs": 1, "batch_size": 20000}',
     "gcn": '{"num_epochs": 1, "batch_size": 20000}',
+    "gcn_blocked": '{"num_epochs": 1, "dense_bucket_sizes": [16, 32]}',
     # propagation_substeps 40: the synthetic corpus contains graphs whose
     # BFS schedule is deeper than the reference's 15-substep cap (the
     # reference would assert too, chem_tensorflow_async.py:315).
