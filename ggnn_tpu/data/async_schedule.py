@@ -258,6 +258,93 @@ def check_schedule_invariants(schedule, num_edge_types: int) -> None:
         initialised.update(int(v) for v in receiving[step])
 
 
+@dataclasses.dataclass(frozen=True)
+class _FlatSchedules:
+    """A graph's whole schedule as flat arrays (preprocess-time): the
+    packer's per-(round, step, type) list appends collapse into grouped
+    numpy scatters, and its fits() check into four vectorized compares
+    over the stacked count tables (pack_async_batches fast path — the
+    legacy nested loop was ~45x slower than the device epoch at QM9
+    scale). Per-round row order: step-major, type-major within step,
+    original edge order within (step, type) — exactly the legacy
+    concatenation order, so emitted batches are bit-identical."""
+    # Per-round tuples, each entry an int32 array for that round:
+    key: tuple         # [E_r], s * T + t
+    key_s: tuple       # [E_r], s (= key // T, precomputed)
+    send: tuple        # [E_r] graph-local sender ids
+    tgt: tuple         # [E_r] graph-local per-step target idx
+    recv_s: tuple      # [RC_r] step per receiver
+    recv_node: tuple   # [RC_r] graph-local receiver ids
+    initial: tuple     # [I_r]
+    # Stacked count tables (the fits() operands):
+    counts_st: np.ndarray    # [R, S, T] int32 sends per (r, step, type)
+    counts_r: np.ndarray     # [R, S] int32 receivers per (r, step)
+    counts_init: np.ndarray  # [R] int32 initial nodes per round
+    depth: np.ndarray        # [R] int32 schedule length per round
+
+
+def _flatten_schedules(prop_schedules, substeps: int, num_edge_types: int):
+    S, T = substeps, num_edge_types
+    R = len(prop_schedules)
+    counts_st = np.zeros((R, S, T), np.int32)
+    counts_r = np.zeros((R, S), np.int32)
+    counts_init = np.zeros((R,), np.int32)
+    depth = np.zeros((R,), np.int32)
+    key_r, key_s_r, send_r, tgt_r = [], [], [], []
+    recv_s_r, recv_node_r, initial_r = [], [], []
+    for r, (initial, sending, msg_targets, receiving) in enumerate(
+            prop_schedules):
+        keys, sends, tgts, recv_s, recv_node = [], [], [], [], []
+        depth[r] = len(receiving)
+        counts_init[r] = len(initial)
+        for s in range(len(receiving)):
+            counts_r[r, s] = len(receiving[s])
+            if len(receiving[s]):
+                recv_s.append(np.full(len(receiving[s]), s, np.int32))
+                recv_node.append(np.asarray(receiving[s], np.int32))
+            for t in range(T):
+                e = len(sending[s][t])
+                counts_st[r, s, t] = e
+                if e:
+                    keys.append(np.full(e, s * T + t, np.int32))
+                    sends.append(np.asarray(sending[s][t], np.int32))
+                    tgts.append(np.asarray(msg_targets[s][t], np.int32))
+
+        def cat(lst):
+            return (np.concatenate(lst) if lst
+                    else np.zeros(0, np.int32))
+
+        key = cat(keys)
+        key_r.append(key)
+        key_s_r.append(key // T)
+        send_r.append(cat(sends))
+        tgt_r.append(cat(tgts))
+        recv_s_r.append(cat(recv_s))
+        recv_node_r.append(cat(recv_node))
+        initial_r.append(np.asarray(initial, np.int32))
+    return _FlatSchedules(
+        key=tuple(key_r), key_s=tuple(key_s_r), send=tuple(send_r),
+        tgt=tuple(tgt_r), recv_s=tuple(recv_s_r),
+        recv_node=tuple(recv_node_r), initial=tuple(initial_r),
+        counts_st=counts_st, counts_r=counts_r, counts_init=counts_init,
+        depth=depth)
+
+
+def _grouped_cumcount(key: np.ndarray) -> np.ndarray:
+    """Per-row rank within its key group, preserving row order (the
+    scatter position inside each fixed-capacity lane)."""
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    n = len(sk)
+    starts = np.nonzero(np.r_[True, sk[1:] != sk[:-1]])[0]
+    lengths = np.diff(np.r_[starts, n])
+    grp = np.repeat(np.arange(len(starts)), lengths)
+    pos_sorted = np.arange(n) - starts[grp]
+    pos = np.empty(n, np.int64)
+    pos[order] = pos_sorted
+    return pos
+
+
 def preprocess_async(raw_data: Sequence, num_edge_types: int,
                      tie_fwd_bkwd: bool, propagation_rounds: int,
                      propagation_substeps: int, task_ids: Sequence[int],
@@ -265,12 +352,15 @@ def preprocess_async(raw_data: Sequence, num_edge_types: int,
                      rng: Optional[np.random.RandomState] = None) -> List[dict]:
     processed = []
     for d in raw_data:
+        schedules = graph_to_propagation_schedules(
+            d["graph"], num_edge_types, tie_fwd_bkwd,
+            propagation_rounds, propagation_substeps,
+            num_nodes=len(d["node_features"]))
         processed.append({
             "init": np.asarray(d["node_features"], dtype=np.float32),
-            "prop_schedules": graph_to_propagation_schedules(
-                d["graph"], num_edge_types, tie_fwd_bkwd,
-                propagation_rounds, propagation_substeps,
-                num_nodes=len(d["node_features"])),
+            "prop_schedules": schedules,
+            "flat_schedules": _flatten_schedules(
+                schedules, propagation_substeps, num_edge_types),
             "labels": _extract_labels(d, task_ids),
         })
     if is_training:
@@ -296,6 +386,13 @@ def plan_async_capacities_multi(processed_lists, num_edge_types: int,
     if margin is None:
         from ggnn_tpu.data.packing import DEFAULT_PACK_MARGIN
         margin = DEFAULT_PACK_MARGIN
+    first = next((g for p in processed_lists for g in p), None)
+    flat0 = first.get("flat_schedules") if first is not None else None
+    if (flat0 is not None and flat0.counts_st.shape[0] == propagation_rounds
+            and flat0.counts_st.shape[2] == num_edge_types):
+        return _plan_async_capacities_flat(
+            processed_lists, node_budget, propagation_rounds, margin,
+            flat0.counts_st.shape[1])
     max_graphs = 1
     max_init, max_send, max_recv = 1, 1, 1
 
@@ -344,6 +441,62 @@ def plan_async_capacities_multi(processed_lists, num_edge_types: int,
         for (r, s), v in combined.items():
             send_prof[r, s] = max(send_prof[r, s], v)
     plan = tuple(plan_segments(send_prof[r], recv_prof[r], margin)
+                 for r in range(propagation_rounds))
+    return AsyncCapacities(
+        nodes=round_up(node_budget, 8),
+        graphs=round_up(int(np.ceil(max_graphs * margin)), 8),
+        initial_nodes=round_up(int(np.ceil(max_init * margin)), 8),
+        sending_edges=round_up(int(np.ceil(max_send * margin)), 8),
+        receiving_nodes=round_up(int(np.ceil(max_recv * margin)), 8),
+        plan=plan,
+    )
+
+
+def _plan_async_capacities_flat(processed_lists, node_budget: int,
+                                propagation_rounds: int, margin: float,
+                                substeps: int) -> AsyncCapacities:
+    """Vectorized planner over the preprocess-time stacked count tables
+    — same greedy budget walk and the same maxima/profiles as the
+    legacy accumulation (identical resulting plan)."""
+    R, S = propagation_rounds, substeps
+    max_graphs, max_init, max_send, max_recv = 1, 1, 1, 1
+    max_depth = 0
+    send_prof = np.zeros((R, S), np.int64)
+    recv_prof = np.zeros((R, S), np.int64)
+
+    def flush(cur_graphs, cur_send, cur_recv, cur_init):
+        nonlocal max_graphs, max_init, max_send, max_recv
+        nonlocal send_prof, recv_prof
+        max_graphs = max(max_graphs, cur_graphs)
+        max_init = max(max_init, int(cur_init.max(initial=0)))
+        max_send = max(max_send, int(cur_send.max(initial=0)))
+        max_recv = max(max_recv, int(cur_recv.max(initial=0)))
+        send_prof = np.maximum(send_prof, cur_send.sum(axis=2))
+        recv_prof = np.maximum(recv_prof, cur_recv)
+
+    for processed in processed_lists:
+        cur_graphs, cur_nodes = 0, 0
+        cur_send = np.zeros((R, S, len(processed[0]["flat_schedules"]
+                                       .counts_st[0, 0])), np.int64)
+        cur_recv = np.zeros((R, S), np.int64)
+        cur_init = np.zeros((R,), np.int64)
+        for g in processed:
+            n = len(g["init"])
+            if cur_nodes + n >= node_budget and cur_graphs > 0:
+                flush(cur_graphs, cur_send, cur_recv, cur_init)
+                cur_graphs, cur_nodes = 0, 0
+                cur_send[:], cur_recv[:], cur_init[:] = 0, 0, 0
+            flat = g["flat_schedules"]
+            cur_graphs += 1
+            cur_nodes += n
+            cur_send += flat.counts_st
+            cur_recv += flat.counts_r
+            cur_init += flat.counts_init
+            max_depth = max(max_depth, int(flat.depth.max(initial=0)))
+        flush(cur_graphs, cur_send, cur_recv, cur_init)
+    s_dim = max(max_depth, 1)
+    plan = tuple(plan_segments(send_prof[r, :s_dim], recv_prof[r, :s_dim],
+                               margin)
                  for r in range(propagation_rounds))
     return AsyncCapacities(
         nodes=round_up(node_budget, 8),
@@ -430,8 +583,153 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                        propagation_rounds: int, propagation_substeps: int,
                        hidden_size: int, annotation_size: int,
                        is_training: bool,
-                       rng: Optional[np.random.RandomState] = None
+                       rng: Optional[np.random.RandomState] = None,
+                       use_flat: Optional[bool] = None
                        ) -> Iterator[AsyncGraphBatch]:
+    """Packed async batches. Dispatches to the vectorized fast path
+    (grouped scatters over preprocess-time flat tables — emits
+    bit-identical batches, tests/test_packing.py) whenever the
+    processed graphs carry matching `flat_schedules`; the legacy
+    per-(graph, step, type) loop remains as the fallback/oracle."""
+    flat_ok = (
+        use_flat is not False
+        and processed
+        and processed[0].get("flat_schedules") is not None
+        and processed[0]["flat_schedules"].counts_st.shape
+            == (propagation_rounds, propagation_substeps, num_edge_types))
+    packer = _pack_async_batches_flat if flat_ok else _pack_async_batches_loop
+    return packer(processed, num_edge_types, node_budget, caps,
+                  propagation_rounds, propagation_substeps, hidden_size,
+                  annotation_size, is_training, rng)
+
+
+def _pack_async_batches_flat(processed: List[dict], num_edge_types: int,
+                             node_budget: int, caps: AsyncCapacities,
+                             propagation_rounds: int,
+                             propagation_substeps: int, hidden_size: int,
+                             annotation_size: int, is_training: bool,
+                             rng: Optional[np.random.RandomState] = None
+                             ) -> Iterator[AsyncGraphBatch]:
+    if is_training and rng is not None:
+        processed = list(processed)  # copy: epoch shuffles must not compose
+        rng.shuffle(processed)
+    num_tasks = len(processed[0]["labels"])
+    R, S, T = propagation_rounds, propagation_substeps, num_edge_types
+    _plan = getattr(caps, "plan", None)
+    seg_sea_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
+    seg_rc_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
+    if _plan is not None:
+        for r in range(R):
+            for (lo, hi, sea, rc) in _plan[r]:
+                seg_sea_cap[r, lo:hi] = sea
+                seg_rc_cap[r, lo:hi] = rc
+    rc_eff = np.minimum(seg_rc_cap, caps.receiving_nodes)  # [R, S]
+    idx = 0
+    while idx < len(processed):
+        g_inits, node_counts, values, masks = [], [], [], []
+        keys = [[] for _ in range(R)]
+        sends = [[] for _ in range(R)]
+        tgts = [[] for _ in range(R)]
+        recv_ss = [[] for _ in range(R)]
+        recv_nodes = [[] for _ in range(R)]
+        inits = [[] for _ in range(R)]
+        send_type_totals = np.zeros((R, S, T), np.int64)
+        recv_totals = np.zeros((R, S), np.int64)
+        init_totals = np.zeros((R,), np.int64)
+        node_offset, graphs_in_batch = 0, 0
+        while idx < len(processed):
+            g = processed[idx]
+            flat = g["flat_schedules"]
+            n = len(g["init"])
+            new_st = send_type_totals + flat.counts_st
+            fits = (node_offset + n < node_budget
+                    and graphs_in_batch + 1 <= caps.graphs
+                    and not np.any(init_totals + flat.counts_init
+                                   > caps.initial_nodes)
+                    and not np.any(recv_totals + flat.counts_r > rc_eff)
+                    and new_st.max(initial=0) <= caps.sending_edges
+                    and not np.any(new_st.sum(axis=2) > seg_sea_cap))
+            if not fits:
+                if graphs_in_batch == 0:
+                    raise ValueError(f"graph exceeds async capacities {caps}")
+                break
+            g_inits.append(g["init"])
+            node_counts.append(n)
+            for r in range(R):
+                if len(flat.key[r]):
+                    keys[r].append(flat.key[r])
+                    sends[r].append(flat.send[r] + node_offset)
+                    # All types share the step's receiver offset (the
+                    # fixed version of async.py:399-401); the offset is
+                    # the batch's receiver count at (r, s) BEFORE this
+                    # graph, looked up per edge row.
+                    tgts[r].append(flat.tgt[r]
+                                   + recv_totals[r][flat.key_s[r]])
+                if len(flat.recv_s[r]):
+                    recv_ss[r].append(flat.recv_s[r])
+                    recv_nodes[r].append(flat.recv_node[r] + node_offset)
+                if len(flat.initial[r]):
+                    inits[r].append(flat.initial[r] + node_offset)
+            send_type_totals = new_st
+            recv_totals += flat.counts_r
+            init_totals += flat.counts_init
+            v, m = _labels_to_values_and_mask(g["labels"])
+            values.append(v)
+            masks.append(m)
+            idx += 1
+            graphs_in_batch += 1
+            node_offset += n
+
+        # Batch node features / graph ids assembled directly into the
+        # capacity-shaped arrays (no per-graph pad + concat).
+        node_features = np.zeros((caps.nodes, hidden_size), np.float32)
+        off = 0
+        for gi, n in zip(g_inits, node_counts):
+            node_features[off:off + n, :annotation_size] = gi
+            off += n
+        node_graph_ids = np.full((caps.nodes,), caps.graphs, np.int32)
+        node_graph_ids[:node_offset] = np.repeat(
+            np.arange(graphs_in_batch, dtype=np.int32), node_counts)
+
+        # Assemble fixed-shape slabs with ONE grouped scatter per array:
+        # _grouped_cumcount gives each row its rank within its lane
+        # (graph-major original order — the legacy append order).
+        initial_nodes = np.full((R, caps.initial_nodes), caps.nodes, np.int32)
+        sending_nodes = np.zeros((R, S, T, caps.sending_edges), np.int32)
+        msg_targets = np.full((R, S, T, caps.sending_edges),
+                              caps.receiving_nodes, np.int32)
+        receiving_nodes = np.full((R, S, caps.receiving_nodes),
+                                  caps.nodes, np.int32)
+        for r in range(R):
+            if inits[r]:
+                arr = np.concatenate(inits[r])
+                initial_nodes[r, :len(arr)] = arr
+            if keys[r]:
+                key = np.concatenate(keys[r])
+                pos = _grouped_cumcount(key)
+                sending_nodes[r].reshape(S * T, -1)[key, pos] = (
+                    np.concatenate(sends[r]))
+                msg_targets[r].reshape(S * T, -1)[key, pos] = (
+                    np.concatenate(tgts[r]))
+            if recv_ss[r]:
+                ks = np.concatenate(recv_ss[r])
+                pos = _grouped_cumcount(ks)
+                receiving_nodes[r][ks, pos] = np.concatenate(recv_nodes[r])
+
+        yield _finalize_async_batch(
+            caps, R, S, T, num_tasks, values, masks,
+            graphs_in_batch, node_offset, initial_nodes, sending_nodes,
+            msg_targets, receiving_nodes, recv_totals,
+            node_features=node_features, node_graph_ids=node_graph_ids)
+
+
+def _pack_async_batches_loop(processed: List[dict], num_edge_types: int,
+                             node_budget: int, caps: AsyncCapacities,
+                             propagation_rounds: int,
+                             propagation_substeps: int, hidden_size: int,
+                             annotation_size: int, is_training: bool,
+                             rng: Optional[np.random.RandomState] = None
+                             ) -> Iterator[AsyncGraphBatch]:
     if is_training and rng is not None:
         processed = list(processed)  # copy: epoch shuffles must not compose
         rng.shuffle(processed)
@@ -542,76 +840,90 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                         tgt = np.concatenate(target_lists[r][s][t])
                         msg_targets[r, s, t, :len(tgt)] = tgt
 
-        # ---- segmented compact-state layout (models/async_ggnn.py fast
-        # path): slot space [0, I_cap) = initial nodes, [I_cap, I_cap +
-        # cum-receivers) = receivers packed by CUMULATIVE real counts,
-        # dump slot M. Steps are grouped into the plan's depth-profiled
-        # segments with type-combined (target, type)-sorted send lanes.
-        from ggnn_tpu.graph import AsyncSegment
-        i_cap = caps.initial_nodes
-        plan = getattr(caps, "plan", None)
-        # default=8 MUST match models/async_ggnn.py's max_rc fallback:
-        # the model re-derives the dump row from the batch's segment
-        # shapes, and a divergent degenerate default (edgeless corpora,
-        # empty plans) would bake out-of-bounds dump indices that only
-        # "work" through XLA's gather clamping.
-        max_rc_seg = max((seg[3] for segs in (plan or ()) for seg in segs),
-                         default=8)
-        m_dump = i_cap + caps.nodes + max_rc_seg
-        node_to_compact = np.full((R, caps.nodes + 1), m_dump, np.int32)
-        recv_base = np.zeros((R, S), np.int32)
-        for r in range(R):
-            real = initial_nodes[r] != caps.nodes
-            node_to_compact[r][initial_nodes[r][real]] = (
-                np.nonzero(real)[0].astype(np.int32))
-            base = 0
-            for s in range(S):
-                cnt = int(recv_offsets[r, s])
-                recv_base[r, s] = base
-                rn = receiving_nodes[r, s, :cnt]
-                node_to_compact[r][rn] = i_cap + base + np.arange(
-                    cnt, dtype=np.int32)
-                base += cnt
-        init_prev = np.empty_like(initial_nodes)
-        for r in range(R):
-            if r == 0:
-                # Round 0 reads previous states straight from the
-                # [N+1, H] feature buffer: keep global ids.
-                init_prev[r] = initial_nodes[r]
-            else:
-                init_prev[r] = node_to_compact[r - 1][initial_nodes[r]]
-        final_compact = node_to_compact[R - 1][:caps.nodes]
-
-        seg_rounds = None
-        if plan is not None:
-            try:
-                seg_rounds = _build_segments(
-                    plan, R, T, caps, i_cap, m_dump, node_to_compact,
-                    recv_base, recv_offsets, sending_nodes, msg_targets,
-                    receiving_nodes)
-            except _SegmentOverflow as e:
-                import logging
-                logging.getLogger(__name__).warning(
-                    "async segment capacity overflow (%s); batch falls "
-                    "back to the plain path", e)
-                seg_rounds = None
-
-        yield AsyncGraphBatch(
+        yield _finalize_async_batch(
+            caps, R, S, T, num_tasks, values, masks,
+            graphs_in_batch, node_offset, initial_nodes, sending_nodes,
+            msg_targets, receiving_nodes, recv_offsets,
             node_features=pad_to(
-                np.concatenate(feats, axis=0).astype(np.float32), caps.nodes),
+                np.concatenate(feats, axis=0).astype(np.float32),
+                caps.nodes),
             node_graph_ids=pad_to(np.concatenate(graph_ids), caps.nodes,
-                                  fill=caps.graphs),
-            initial_nodes=initial_nodes,
-            sending_nodes=sending_nodes,
-            msg_targets=msg_targets,
-            receiving_nodes=receiving_nodes,
-            seg_rounds=seg_rounds,
-            init_prev=init_prev,
-            final_compact=final_compact,
-            targets=pad_to(np.asarray(values, np.float32).T.reshape(
-                num_tasks, graphs_in_batch), caps.graphs, axis=1),
-            target_mask=pad_to(np.asarray(masks, np.float32).T.reshape(
-                num_tasks, graphs_in_batch), caps.graphs, axis=1),
-            num_graphs=np.int32(graphs_in_batch),
-            num_nodes=np.int32(node_offset),
-        )
+                                  fill=caps.graphs))
+
+
+def _finalize_async_batch(caps, R, S, T, num_tasks,
+                          values, masks, graphs_in_batch, node_offset,
+                          initial_nodes, sending_nodes, msg_targets,
+                          receiving_nodes, recv_offsets, *,
+                          node_features, node_graph_ids) -> AsyncGraphBatch:
+    """Shared tail of both packers: segmented compact-state layout
+    (models/async_ggnn.py fast path) — slot space [0, I_cap) = initial
+    nodes, [I_cap, I_cap + cum-receivers) = receivers packed by
+    CUMULATIVE real counts, dump slot M; steps grouped into the plan's
+    depth-profiled segments with type-combined (target, type)-sorted
+    send lanes — then the AsyncGraphBatch assembly."""
+    i_cap = caps.initial_nodes
+    plan = getattr(caps, "plan", None)
+    # default=8 MUST match models/async_ggnn.py's max_rc fallback:
+    # the model re-derives the dump row from the batch's segment
+    # shapes, and a divergent degenerate default (edgeless corpora,
+    # empty plans) would bake out-of-bounds dump indices that only
+    # "work" through XLA's gather clamping.
+    max_rc_seg = max((seg[3] for segs in (plan or ()) for seg in segs),
+                     default=8)
+    m_dump = i_cap + caps.nodes + max_rc_seg
+    node_to_compact = np.full((R, caps.nodes + 1), m_dump, np.int32)
+    recv_base = np.zeros((R, S), np.int32)
+    for r in range(R):
+        real = initial_nodes[r] != caps.nodes
+        node_to_compact[r][initial_nodes[r][real]] = (
+            np.nonzero(real)[0].astype(np.int32))
+        base = 0
+        for s in range(S):
+            cnt = int(recv_offsets[r, s])
+            recv_base[r, s] = base
+            rn = receiving_nodes[r, s, :cnt]
+            node_to_compact[r][rn] = i_cap + base + np.arange(
+                cnt, dtype=np.int32)
+            base += cnt
+    init_prev = np.empty_like(initial_nodes)
+    for r in range(R):
+        if r == 0:
+            # Round 0 reads previous states straight from the
+            # [N+1, H] feature buffer: keep global ids.
+            init_prev[r] = initial_nodes[r]
+        else:
+            init_prev[r] = node_to_compact[r - 1][initial_nodes[r]]
+    final_compact = node_to_compact[R - 1][:caps.nodes]
+
+    seg_rounds = None
+    if plan is not None:
+        try:
+            seg_rounds = _build_segments(
+                plan, R, T, caps, i_cap, m_dump, node_to_compact,
+                recv_base, recv_offsets, sending_nodes, msg_targets,
+                receiving_nodes)
+        except _SegmentOverflow as e:
+            import logging
+            logging.getLogger(__name__).warning(
+                "async segment capacity overflow (%s); batch falls "
+                "back to the plain path", e)
+            seg_rounds = None
+
+    return AsyncGraphBatch(
+        node_features=node_features,
+        node_graph_ids=node_graph_ids,
+        initial_nodes=initial_nodes,
+        sending_nodes=sending_nodes,
+        msg_targets=msg_targets,
+        receiving_nodes=receiving_nodes,
+        seg_rounds=seg_rounds,
+        init_prev=init_prev,
+        final_compact=final_compact,
+        targets=pad_to(np.asarray(values, np.float32).T.reshape(
+            num_tasks, graphs_in_batch), caps.graphs, axis=1),
+        target_mask=pad_to(np.asarray(masks, np.float32).T.reshape(
+            num_tasks, graphs_in_batch), caps.graphs, axis=1),
+        num_graphs=np.int32(graphs_in_batch),
+        num_nodes=np.int32(node_offset),
+    )

@@ -303,3 +303,41 @@ def test_zero_based_edge_types_rejected_loudly():
                                  tie_fwd_bkwd=True)
     with pytest.raises(ValueError, match="out of range"):
         build_dense_adjacency([[0, 5, 1]], 3, 4, tie_fwd_bkwd=True)
+
+
+def test_async_flat_packer_matches_legacy_loop():
+    """The vectorized async packer (grouped scatters over the
+    preprocess-time flat tables) must emit BIT-identical batches to the
+    legacy per-(graph, step, type) loop it replaced — eval AND shuffled
+    training mode — and the vectorized planner must produce the same
+    capacities/plan."""
+    import jax
+    from ggnn_tpu.data import async_schedule as asn
+
+    data = synthetic_molecules(160, seed=11)
+    proc = asn.preprocess_async(data, 4, True, 4, 40, [0], {}, False)
+    caps = asn.plan_async_capacities_multi([proc], 4, 500, 4)
+    # planner parity (legacy path engaged by stripping the flat tables)
+    proc_noflat = [dict(g, flat_schedules=None) for g in proc]
+    caps_legacy = asn.plan_async_capacities_multi([proc_noflat], 4, 500, 4)
+    assert caps == caps_legacy
+
+    def leaves(batches):
+        return [np.asarray(leaf) for b in batches
+                for leaf in jax.tree_util.tree_leaves(b)]
+
+    fast = leaves(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                         16, 5, False))
+    slow = leaves(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                         16, 5, False, use_flat=False))
+    assert len(fast) == len(slow) and len(fast) > 0
+    for x, y in zip(fast, slow):
+        np.testing.assert_array_equal(x, y)
+
+    r1, r2 = np.random.RandomState(3), np.random.RandomState(3)
+    fast = leaves(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                         16, 5, True, r1))
+    slow = leaves(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                         16, 5, True, r2, use_flat=False))
+    for x, y in zip(fast, slow):
+        np.testing.assert_array_equal(x, y)
