@@ -294,19 +294,18 @@ def _flatten_schedules(prop_schedules, substeps: int, num_edge_types: int):
     recv_s_r, recv_node_r, initial_r = [], [], []
     for r, (initial, sending, msg_targets, receiving) in enumerate(
             prop_schedules):
-        keys, sends, tgts, recv_s, recv_node = [], [], [], [], []
-        depth[r] = len(receiving)
+        sends, tgts, recv_node = [], [], []
+        d = len(receiving)
+        depth[r] = d
         counts_init[r] = len(initial)
-        for s in range(len(receiving)):
+        for s in range(d):
             counts_r[r, s] = len(receiving[s])
             if len(receiving[s]):
-                recv_s.append(np.full(len(receiving[s]), s, np.int32))
                 recv_node.append(np.asarray(receiving[s], np.int32))
             for t in range(T):
                 e = len(sending[s][t])
                 counts_st[r, s, t] = e
                 if e:
-                    keys.append(np.full(e, s * T + t, np.int32))
                     sends.append(np.asarray(sending[s][t], np.int32))
                     tgts.append(np.asarray(msg_targets[s][t], np.int32))
 
@@ -314,12 +313,16 @@ def _flatten_schedules(prop_schedules, substeps: int, num_edge_types: int):
             return (np.concatenate(lst) if lst
                     else np.zeros(0, np.int32))
 
-        key = cat(keys)
+        # Lane/step keys come from the count tables (one np.repeat each
+        # instead of a np.full per nonempty (step, type) block).
+        key = np.repeat(np.arange(d * T, dtype=np.int32),
+                        counts_st[r, :d].reshape(-1))
         key_r.append(key)
         key_s_r.append(key // T)
         send_r.append(cat(sends))
         tgt_r.append(cat(tgts))
-        recv_s_r.append(cat(recv_s))
+        recv_s_r.append(np.repeat(np.arange(d, dtype=np.int32),
+                                  counts_r[r, :d]))
         recv_node_r.append(cat(recv_node))
         initial_r.append(np.asarray(initial, np.int32))
     return _FlatSchedules(
