@@ -161,6 +161,41 @@ def dense_graph_params_from_tf1(weights: Dict[str, np.ndarray],
     return params
 
 
+def async_graph_params_from_tf1(weights: Dict[str, np.ndarray],
+                                config: Dict, num_edge_types: int) -> Dict:
+    """Async GGNN weights (chem_tensorflow_async.py:112-129):
+    per-type variables `graph_model/gnn_edge_weights_typ{t}` [H, H]
+    (+ `gnn_edge_biases_typ{t}` [H]) and ONE cell created inside the
+    round-0 scope (`graph_model/prop_round0/gru_cell/...`) and reused
+    across rounds.
+
+    A type slot with no reference variable is filled with ZEROS: the
+    reference's off-by-one type quirk (async.py:264-266 — raw 1-based
+    bond types filtered against range(num_edge_types)) silently drops
+    max-type edges from messages while keeping their targets as
+    receivers; replaying its effective graph here shifts types up by
+    one, so slot T_ref holds the dropped type, and a zero weight makes
+    its messages vanish exactly like the reference's drop."""
+    weights = _norm(weights)
+    h = config["hidden_size"]
+    edge_weights, edge_biases = [], []
+    for t in range(num_edge_types):
+        name = f"graph_model/gnn_edge_weights_typ{t}"
+        edge_weights.append(_a(weights, name) if name in weights
+                            else jnp.zeros((h, h), jnp.float32))
+        bias_name = f"graph_model/gnn_edge_biases_typ{t}"
+        edge_biases.append(_a(weights, bias_name) if bias_name in weights
+                           else jnp.zeros((h,), jnp.float32))
+    params = {
+        "edge_weights": edge_weights,
+        "cell": _cell_from_tf1(weights, "graph_model/prop_round0",
+                               config["graph_rnn_cell"]),
+    }
+    if config["use_edge_bias"]:
+        params["edge_biases"] = edge_biases
+    return params
+
+
 def gcn_graph_params_from_tf1(weights: Dict[str, np.ndarray],
                               config: Dict) -> Dict:
     weights = _norm(weights)
@@ -194,6 +229,7 @@ _GRAPH_CONVERTERS = {
     "gcn": lambda w, cfg, t: gcn_graph_params_from_tf1(w, cfg),
     # Same params tree as gcn (models/gcn.py:BlockedGCN subclasses GCN).
     "gcn_blocked": lambda w, cfg, t: gcn_graph_params_from_tf1(w, cfg),
+    "async": async_graph_params_from_tf1,
 }
 
 

@@ -81,6 +81,64 @@ def synthetic_giant_graph(num_nodes: int, seed: int = 0,
              "node_features": node_features}]
 
 
+def async_fixture_molecules(num_graphs: int, seed: int = 0,
+                            num_targets: int = 1,
+                            n_lo: int = 8, n_hi: int = 11
+                            ) -> List[Dict[str, Any]]:
+    """Corpus for the async TF1 golden fixtures: graphs constructed so
+    the reference's latent schedule bugs are DORMANT, making its
+    execution directly comparable (VERDICT round 2, next-item #1):
+
+      * node n-1 is the UNIQUE minimum-degree node (backbone chain
+        0-1-...-n-1, node 0 closed with an extra edge, extras only among
+        nodes 0..n-2), so the reference's dict-order min
+        (chem_tensorflow_async.py:308) and this repo's (count, node)
+        tie-break pick the SAME DFS seed;
+      * sizes in [n_lo, n_hi] with 2*n_lo >= n_hi+1, so a node budget of
+        n_hi+1 packs exactly ONE graph per batch in both batchers and the
+        reference's per-type msg-target offset bug (async.py:399-401)
+        never engages;
+      * connected, self-loop-free (every node on the backbone), keeping
+        the reference's equal-depth assert (async.py:330) and its
+        unwritten-TensorArray-row zero-state quirk out of play;
+      * edge types span 1..4 INCLUDING the max — the reference silently
+        drops max-type edges from messages but keeps their targets as
+        receivers (async.py:258-266); the replay mirrors that with a
+        zero-weight extra type slot (tests/test_tf1_golden.py).
+
+    Use with propagation_rounds=2 (only round-pair 0 exists, so the
+    tuple-indexing seed bug at async.py:308 is unreachable)."""
+    rng = np.random.default_rng(seed)
+    data = []
+    for _ in range(num_graphs):
+        n = int(rng.integers(n_lo, n_hi + 1))
+        edges = [[i, int(rng.integers(1, 5)), i + 1] for i in range(n - 1)]
+        # close node 0 so node n-1 is the unique degree-1 node
+        edges.append([0, int(rng.integers(1, 5)), int(rng.integers(2, n - 1))])
+        for _ in range(int(rng.integers(1, 4))):
+            a, b = rng.integers(0, n - 1, size=2)
+            if a != b:
+                edges.append([int(a), int(rng.integers(1, 5)), int(b)])
+        atom_types = rng.choice(5, size=n, p=[0.5, 0.35, 0.05, 0.08, 0.02])
+        node_features = [[1 if t == a else 0 for t in range(5)]
+                         for a in atom_types]
+        bond_sum = sum(e[1] for e in edges)
+        targets = [[0.08 * n + 0.5 * float(np.sum(atom_types == 3))
+                    + 0.02 * bond_sum + 0.1 * rng.normal()]]
+        for k in range(1, num_targets):
+            targets.append([0.05 * n + 0.4 * float(np.sum(atom_types == k % 5))
+                            + 0.1 * rng.normal()])
+        data.append({"targets": targets, "graph": edges,
+                     "node_features": node_features})
+    # Normalize like synthetic_molecules / get_data.py:51-56.
+    for k in range(num_targets):
+        vals = np.array([d["targets"][k][0] for d in data])
+        mean, std = vals.mean(), max(vals.std(), 1e-8)
+        for d in data:
+            d["targets"][k][0] = float((d["targets"][k][0] - mean) / std)
+    return data
+
+
 def synthetic_molecules(num_graphs: int, seed: int = 0,
                         normalize: bool = True,
                         num_targets: int = 1) -> List[Dict[str, Any]]:

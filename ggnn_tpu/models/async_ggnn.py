@@ -47,22 +47,51 @@ class AsyncGGNN:
         h = self.hidden_size
         t = self.num_edge_types
         k_w, k_cell = jax.random.split(key)
-        # Per-type [H, H] weights drawn independently (async.py:113-114).
+        # Per-type [H, H] weights as SEPARATE leaves, matching the
+        # reference's per-type tf.Variables (async.py:113-118): the
+        # optimizer's per-leaf clip-by-norm then reproduces the
+        # reference's per-VARIABLE tf.clip_by_norm exactly (pinned by
+        # the async TF1 golden fixtures). Forward stacks them; a legacy
+        # stacked [T, H, H] array still works (jnp.stack is identity).
         keys = jax.random.split(k_w, t)
         params = {
-            "edge_weights": jnp.stack([glorot_init(k, (h, h)) for k in keys]),
+            "edge_weights": [glorot_init(k, (h, h)) for k in keys],
             "cell": self.cell_init(k_cell, h, h),
         }
         if self.use_edge_bias:
-            params["edge_biases"] = jnp.zeros((t, h), jnp.float32)
+            params["edge_biases"] = [jnp.zeros((h,), jnp.float32)
+                                     for _ in range(t)]
         return params
 
+    @staticmethod
+    def _stacked(params: Dict):
+        ew = jnp.stack(params["edge_weights"])
+        eb = (jnp.stack(params["edge_biases"])
+              if "edge_biases" in params else None)
+        return ew, eb
+
     def forward(self, params: Dict, batch: AsyncGraphBatch, *, rng=None,
-                is_training: bool = False) -> jax.Array:
+                is_training: bool = False,
+                return_all_rounds: bool = False):
+        if return_all_rounds:
+            # Per-round states are only exposed by the plain path (the
+            # segmented path's compact buffers don't hold a full
+            # [N, H] per-round view) — used by the TF1 golden replay.
+            return self._forward_plain(params, batch, rng=rng,
+                                       is_training=is_training,
+                                       return_all_rounds=True)
         if (getattr(batch, "seg_rounds", None) is not None
                 and self.config.get("async_compact", True)):
             return self._forward_segmented(params, batch, rng=rng,
                                            is_training=is_training)
+        return self._forward_plain(params, batch, rng=rng,
+                                   is_training=is_training)
+
+    def _forward_plain(self, params: Dict, batch: AsyncGraphBatch, *,
+                       rng=None, is_training: bool = False,
+                       return_all_rounds: bool = False):
+        edge_weights, edge_biases = self._stacked(params)
+        round_states = []
         n_cap = batch.node_capacity
         h_dim = self.hidden_size
         rc_cap = batch.receiving_nodes.shape[-1]
@@ -88,10 +117,10 @@ class AsyncGGNN:
                 # sending/msg_tgt: [T, SE]; receiving: [RC]
                 send_states = new_ext[sending]                  # [T, SE, H]
                 msgs = jnp.einsum(
-                    "teh,thd->ted", send_states, params["edge_weights"],
+                    "teh,thd->ted", send_states, edge_weights,
                     preferred_element_type=jnp.float32)
                 if self.use_edge_bias:
-                    msgs = msgs + params["edge_biases"][:, None, :]
+                    msgs = msgs + edge_biases[:, None, :]
                 t, se, _ = msgs.shape
                 agg = segment_sum(
                     msgs.reshape(t * se, h_dim), msg_tgt.reshape(t * se),
@@ -110,7 +139,11 @@ class AsyncGGNN:
                  batch.receiving_nodes[prop_round],
                  step_rngs))
             cur_ext = new_ext.at[n_cap].set(0.0)
+            if return_all_rounds:
+                round_states.append(cur_ext[:n_cap])
 
+        if return_all_rounds:
+            return round_states
         return cur_ext[:n_cap]
 
     def _forward_segmented(self, params: Dict, batch: AsyncGraphBatch, *,
@@ -136,6 +169,7 @@ class AsyncGGNN:
         along that yields the per-(receiver, type) counts for the edge
         bias at no extra scatter.
         """
+        edge_weights, edge_biases = self._stacked(params)
         n_cap = batch.node_capacity
         h_dim = self.hidden_size
         t_dim = self.num_edge_types
@@ -179,12 +213,12 @@ class AsyncGGNN:
                                       h_dim + 1)[:rc_cap]
                     incoming = jnp.einsum(
                         "rth,thd->rd", agg[:, :, :h_dim],
-                        params["edge_weights"],
+                        edge_weights,
                         preferred_element_type=jnp.float32)
                     if self.use_edge_bias:
                         incoming = incoming + jnp.einsum(
                             "rt,th->rh", agg[:, :, h_dim],
-                            params["edge_biases"],
+                            edge_biases,
                             preferred_element_type=jnp.float32)
                     old = prev_buf[old_idx]                 # [RC, H]
                     new_h = self.cell_apply(

@@ -73,10 +73,25 @@ def _infer_geometry(payload: Dict, variant: str, config: Dict):
     elif variant == "gcn":
         return 1, hidden
     elif variant == "async":
+        # Per-type leaves (models/async_ggnn.py stores a LIST of [H, H]
+        # weights so per-leaf clip == the reference's per-variable clip).
+        if any(k.startswith("['params']['graph']['edge_weights'][")
+               or k.startswith("params.graph.edge_weights.")
+               for k in weights):
+            t = sum(1 for k in weights
+                    if k.startswith("['params']['graph']['edge_weights'][")
+                    or k.startswith("params.graph.edge_weights."))
+            return t, hidden
+        # legacy stacked [T, H, H] checkpoints
         w = probe("['params']['graph']['edge_weights']",
                   "params.graph.edge_weights")
         if w is not None:
             return int(w.shape[0]), hidden
+        # reference TF1 pickles: per-type variables
+        t = sum(1 for k in weights if k.split(":")[0].startswith(
+            "graph_model/gnn_edge_weights_typ"))
+        if t:
+            return t, hidden
     raise ValueError(
         f"cannot infer geometry for variant '{variant}' from checkpoint "
         f"keys {sorted(weights)[:6]}...")

@@ -37,9 +37,17 @@ from refshim import install_tf1_shim  # noqa: E402
 
 tf = install_tf1_shim()
 
-from ggnn_tpu.data.synthetic import synthetic_molecules  # noqa: E402
+from ggnn_tpu.data.synthetic import (  # noqa: E402
+    async_fixture_molecules,
+    synthetic_molecules,
+)
 
 FIXTURE_DIR = os.path.join(REPO, "tests", "fixtures", "tf1")
+
+# Cases that additionally dump weights after TRAJECTORY_STEPS Adam steps
+# on the first valid batch (all keep-probs 1.0, so fully deterministic).
+TRAJECTORY_STEPS = 10
+TRAJECTORY_CASES = ("sparse_default", "dense_default", "async_default")
 
 # keep-probs pinned to 1.0 so every fixture (including the Adam step) is
 # deterministic; everything else is the reference default unless stated.
@@ -117,6 +125,32 @@ CASES = {
         "corpus": dict(n_train=40, n_valid=30, seed=36, num_targets=1),
         "config": {"hidden_size": 16, "batch_size": 4},
     },
+    # Async GGNN on the quirk-dormant corpus (data/synthetic.py:
+    # async_fixture_molecules): propagation_rounds=2 keeps the seed
+    # tuple-indexing bug (chem_tensorflow_async.py:308) unreachable,
+    # num_nodes=12 packs ONE graph per batch so the per-type msg-target
+    # offset bug (async.py:399-401) is inert, and the unique-min-degree
+    # construction makes both schedule compilers pick the same DFS seed.
+    # The replay (tests/test_tf1_golden.py) mirrors the remaining type
+    # off-by-one (async.py:264-266) with a shifted corpus + zero-weight
+    # extra slot.
+    "async_default": {
+        "variant": "async",
+        "corpus": dict(n_train=12, n_valid=8, seed=51, num_targets=1,
+                       kind="async_fixture"),
+        "config": {"hidden_size": 16, "propagation_rounds": 2,
+                   "propagation_substeps": 15, "num_nodes": 12},
+    },
+    # Edge bias + BasicRNN/ReLU cell (the other async weight/cell paths).
+    "async_bias_rnn": {
+        "variant": "async",
+        "corpus": dict(n_train=10, n_valid=6, seed=53, num_targets=1,
+                       kind="async_fixture"),
+        "config": {"hidden_size": 16, "propagation_rounds": 2,
+                   "propagation_substeps": 15, "num_nodes": 12,
+                   "use_edge_bias": True, "graph_rnn_cell": "RNN",
+                   "graph_rnn_activation": "ReLU"},
+    },
     # GCN with and without bias.
     "gcn_default": {
         "variant": "gcn",
@@ -141,7 +175,16 @@ def _model_class(variant):
     if variant == "gcn":
         from chem_tensorflow_gcn import SparseGCNChemModel
         return SparseGCNChemModel
+    if variant == "async":
+        from chem_tensorflow_async import AsyncGGNNChemModel
+        return AsyncGGNNChemModel
     raise ValueError(variant)
+
+
+def _corpus_fn(corpus: dict):
+    if corpus.get("kind") == "async_fixture":
+        return async_fixture_molecules
+    return synthetic_molecules
 
 
 def generate_case(name: str, spec: dict) -> None:
@@ -158,10 +201,11 @@ def generate_case(name: str, spec: dict) -> None:
 
 def _generate_case_in(workdir: str, name: str, spec: dict, corpus: dict,
                       config: dict) -> None:
-    train = synthetic_molecules(corpus["n_train"], seed=corpus["seed"],
-                                num_targets=corpus["num_targets"])
-    valid = synthetic_molecules(corpus["n_valid"], seed=corpus["seed"] + 1,
-                                num_targets=corpus["num_targets"])
+    make = _corpus_fn(corpus)
+    train = make(corpus["n_train"], seed=corpus["seed"],
+                 num_targets=corpus["num_targets"])
+    valid = make(corpus["n_valid"], seed=corpus["seed"] + 1,
+                 num_targets=corpus["num_targets"])
     with open(os.path.join(workdir, "molecules_train.json"), "w") as f:
         json.dump(train, f)
     with open(os.path.join(workdir, "molecules_valid.json"), "w") as f:
@@ -192,19 +236,77 @@ def _generate_case_in(workdir: str, name: str, spec: dict, corpus: dict,
             model.valid_data, False)))
         feed[model.placeholders["out_layer_dropout_keep_prob"]] = 1.0
         fetches = [model.ops["final_node_representations"]]
-        if hasattr(model, "output"):  # gcn never caches self.output
+        if hasattr(model, "output"):  # gcn/async never cache self.output
             fetches.append(model.output)
+        elif spec["variant"] == "async":
+            # async gated_regression's per-graph readout (the LAST
+            # task's, matching the sparse self.output convention).
+            last_task = config.get("task_ids", [0])[-1]
+            fetches.append(model.graph.get_tensor_by_name(
+                f"out_layer_task{last_task}/Squeeze:0"))
         fetched = model.sess.run(fetches, feed_dict=feed)
         final_states = fetched[0]
         output = fetched[1] if len(fetched) > 1 else np.zeros((0,))
         batch_num_graphs = int(feed[model.placeholders["num_graphs"]])
 
+        # Async: also pin the per-round node states (each round's
+        # TensorArray stack, chem_tensorflow_async.py:216).
+        round_states = []
+        if spec["variant"] == "async":
+            round_tensors = [
+                model.graph.get_tensor_by_name(
+                    "graph_model/prop_round%i/state_stack_round%i/"
+                    "state_stack_round%i:0" % (r, r, r))
+                for r in range(config["propagation_rounds"])]
+            round_states = model.sess.run(round_tensors, feed_dict=feed)
+
+        # Pre-clip gradient fetch for the trajectory cases: the recorded
+        # per-step gradients are replayed through this framework's
+        # clip->Adam chain in tests, pinning OPTIMIZER semantics alone
+        # with a tight tolerance (no forward/backward f32 noise, which
+        # Adam's scale-invariant normalization otherwise amplifies to
+        # O(lr) per step on near-zero-gradient elements).
+        grad_ops, tvar_names = None, None
+        if name in TRAJECTORY_CASES:
+            with model.graph.as_default():
+                tvars = tf.trainable_variables()
+                tvar_names = [v.name for v in tvars]
+                grad_ops = tf.gradients(model.ops["loss"], tvars)
+
+        traj_grads = {}
+
+        def fetch_grads(step_idx):
+            if grad_ops is None:
+                return
+            vals = model.sess.run(grad_ops, feed_dict=feed)
+            for vname, g in zip(tvar_names, vals):
+                traj_grads[f"gt{step_idx}/{vname}"] = (
+                    np.zeros((), np.float32) if g is None
+                    else np.asarray(g, np.float32))
+
         # One Adam train step on that same deterministic batch.
+        fetch_grads(1)
         model.sess.run(model.ops["train_step"], feed_dict=feed)
         with model.graph.as_default():
             post = {v.name: model.sess.run(v)
                     for v in tf.global_variables()
                     if "Adam" not in v.name and not v.name.startswith("beta")}
+
+        # Training-TRAJECTORY golden: keep stepping on the same batch to
+        # TRAJECTORY_STEPS total Adam steps. Optimizer-semantics drift
+        # (bias-correction step indexing, epsilon placement, clip order)
+        # that a single step can't expose compounds here
+        # (chem_tensorflow.py:172-193).
+        traj = {}
+        if name in TRAJECTORY_CASES:
+            for k in range(2, TRAJECTORY_STEPS + 1):
+                fetch_grads(k)
+                model.sess.run(model.ops["train_step"], feed_dict=feed)
+            with model.graph.as_default():
+                traj = {v.name: model.sess.run(v)
+                        for v in tf.global_variables()
+                        if "Adam" not in v.name
+                        and not v.name.startswith("beta")}
         model.sess.close()
 
     os.makedirs(FIXTURE_DIR, exist_ok=True)
@@ -225,15 +327,22 @@ def _generate_case_in(workdir: str, name: str, spec: dict, corpus: dict,
                                    for e in np.atleast_1d(error_ratios)],
             "valid_steps": int(steps),
             "batch_num_graphs": batch_num_graphs,
+            "trajectory_steps": (TRAJECTORY_STEPS
+                                 if name in TRAJECTORY_CASES else 0),
             "tf_version": tf.VERSION,
         })),
         "final_states": np.asarray(final_states, np.float32),
         "output": np.asarray(output, np.float32),
     }
+    for r, states in enumerate(round_states):
+        payload[f"round_states_{r}"] = np.asarray(states, np.float32)
     for k, v in variables.items():
         payload["w/" + k] = np.asarray(v)
     for k, v in post.items():
         payload["p/" + k] = np.asarray(v)
+    for k, v in traj.items():
+        payload["t/" + k] = np.asarray(v)
+    payload.update(traj_grads)
     out = os.path.join(FIXTURE_DIR, f"{name}.npz")
     np.savez_compressed(out, **payload)
     print(f"{name}: wrote {out} "
