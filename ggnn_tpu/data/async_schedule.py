@@ -333,6 +333,40 @@ def _flatten_schedules(prop_schedules, substeps: int, num_edge_types: int):
         depth=depth)
 
 
+def nested_schedules_from_flat(flat: "_FlatSchedules"):
+    """Exact inverse of `_flatten_schedules`: rebuild the nested
+    per-round (initial, sending, msg_targets, receiving) tuples from the
+    flat tables. Used so `preprocess_async` only has to store the flat
+    form (halving host memory for the async corpus) while the legacy
+    planner/packer/oracle paths still see nested schedules on demand."""
+    R, _S, T = flat.counts_st.shape
+    rounds = []
+    for r in range(R):
+        d = int(flat.depth[r])
+        st_sizes = flat.counts_st[r, :d].reshape(-1)
+        send_parts = np.split(flat.send[r], np.cumsum(st_sizes)[:-1])
+        tgt_parts = np.split(flat.tgt[r], np.cumsum(st_sizes)[:-1])
+        recv_parts = np.split(flat.recv_node[r],
+                              np.cumsum(flat.counts_r[r, :d])[:-1])
+        sending = [[send_parts[s * T + t] for t in range(T)]
+                   for s in range(d)]
+        msg_targets = [[tgt_parts[s * T + t] for t in range(T)]
+                       for s in range(d)]
+        receiving = [recv_parts[s] for s in range(d)]
+        rounds.append((flat.initial[r], sending, msg_targets, receiving))
+    return rounds
+
+
+def get_prop_schedules(g: dict):
+    """Nested schedules for one processed graph; reconstructed (and
+    cached on the dict) from the flat tables when not stored."""
+    sched = g.get("prop_schedules")
+    if sched is None:
+        sched = nested_schedules_from_flat(g["flat_schedules"])
+        g["prop_schedules"] = sched
+    return sched
+
+
 def _grouped_cumcount(key: np.ndarray) -> np.ndarray:
     """Per-row rank within its key group, preserving row order (the
     scatter position inside each fixed-capacity lane)."""
@@ -359,9 +393,11 @@ def preprocess_async(raw_data: Sequence, num_edge_types: int,
             d["graph"], num_edge_types, tie_fwd_bkwd,
             propagation_rounds, propagation_substeps,
             num_nodes=len(d["node_features"]))
+        # Only the flat form is stored (the nested schedules roughly
+        # double host memory for a 100k-molecule corpus); legacy paths
+        # rebuild them lazily via get_prop_schedules().
         processed.append({
             "init": np.asarray(d["node_features"], dtype=np.float32),
-            "prop_schedules": schedules,
             "flat_schedules": _flatten_schedules(
                 schedules, propagation_substeps, num_edge_types),
             "labels": _extract_labels(d, task_ids),
@@ -392,10 +428,13 @@ def plan_async_capacities_multi(processed_lists, num_edge_types: int,
     first = next((g for p in processed_lists for g in p), None)
     flat0 = first.get("flat_schedules") if first is not None else None
     if (flat0 is not None and flat0.counts_st.shape[0] == propagation_rounds
-            and flat0.counts_st.shape[2] == num_edge_types):
+            and flat0.counts_st.shape[2] == num_edge_types
+            and _all_flat_compatible(processed_lists, propagation_rounds,
+                                     flat0.counts_st.shape[1],
+                                     num_edge_types)):
         return _plan_async_capacities_flat(
             processed_lists, node_budget, propagation_rounds, margin,
-            flat0.counts_st.shape[1])
+            flat0.counts_st.shape[1], num_edge_types)
     max_graphs = 1
     max_init, max_send, max_recv = 1, 1, 1
 
@@ -415,7 +454,7 @@ def plan_async_capacities_multi(processed_lists, num_edge_types: int,
             cur["graphs"] += 1
             cur["nodes"] += n
             for r, (initial, sending, _mt, receiving) in enumerate(
-                    g["prop_schedules"]):
+                    get_prop_schedules(g)):
                 cur["init"][r] += len(initial)
                 for s in range(len(receiving)):
                     cur["recv"][(r, s)] = (cur["recv"].get((r, s), 0)
@@ -455,9 +494,24 @@ def plan_async_capacities_multi(processed_lists, num_edge_types: int,
     )
 
 
+def _all_flat_compatible(processed_lists, rounds: int, substeps: int,
+                         num_edge_types: int) -> bool:
+    """True iff every graph carries a flat table of the expected shape
+    (a heterogeneous corpus — e.g. graphs preprocessed under different
+    configs — must fall back to the legacy per-schedule accumulation)."""
+    for processed in processed_lists:
+        for g in processed:
+            flat = g.get("flat_schedules")
+            if flat is None or flat.counts_st.shape != (rounds, substeps,
+                                                        num_edge_types):
+                return False
+    return True
+
+
 def _plan_async_capacities_flat(processed_lists, node_budget: int,
                                 propagation_rounds: int, margin: float,
-                                substeps: int) -> AsyncCapacities:
+                                substeps: int,
+                                num_edge_types: int) -> AsyncCapacities:
     """Vectorized planner over the preprocess-time stacked count tables
     — same greedy budget walk and the same maxima/profiles as the
     legacy accumulation (identical resulting plan)."""
@@ -478,9 +532,10 @@ def _plan_async_capacities_flat(processed_lists, node_budget: int,
         recv_prof = np.maximum(recv_prof, cur_recv)
 
     for processed in processed_lists:
+        if not processed:  # e.g. an empty validation split
+            continue
         cur_graphs, cur_nodes = 0, 0
-        cur_send = np.zeros((R, S, len(processed[0]["flat_schedules"]
-                                       .counts_st[0, 0])), np.int64)
+        cur_send = np.zeros((R, S, num_edge_types), np.int64)
         cur_recv = np.zeros((R, S), np.int64)
         cur_init = np.zeros((R,), np.int64)
         for g in processed:
@@ -770,7 +825,8 @@ def _pack_async_batches_loop(processed: List[dict], num_edge_types: int,
             n = len(g["init"])
             if node_offset + n >= node_budget or graphs_in_batch + 1 > caps.graphs:
                 return False
-            for r, (initial, sending, _mt, receiving) in enumerate(g["prop_schedules"]):
+            for r, (initial, sending, _mt, receiving) in enumerate(
+                    get_prop_schedules(g)):
                 if init_totals[r] + len(initial) > caps.initial_nodes:
                     return False
                 for s in range(len(receiving)):
@@ -798,7 +854,7 @@ def _pack_async_batches_loop(processed: List[dict], num_edge_types: int,
                                 ((0, 0), (0, hidden_size - annotation_size))))
             graph_ids.append(np.full(n, graphs_in_batch, dtype=np.int32))
             for r, (initial, sending, msg_targets, receiving) in enumerate(
-                    g["prop_schedules"]):
+                    get_prop_schedules(g)):
                 init_lists[r].append(initial + node_offset)
                 init_totals[r] += len(initial)
                 for s in range(len(receiving)):

@@ -576,6 +576,13 @@ def preprocess_gcn_dense(raw_data: Sequence[Any], task_ids: Sequence[int],
         max_vertex = max((v for e in d["graph"] for v in (e[0], e[2])),
                          default=-1)
         n_active = len(d["node_features"])
+        if max_vertex >= n_active:
+            # mirror FlatCorpus.from_raw's validation: an edge that names
+            # a vertex with no node_features row is a malformed graph, not
+            # an IndexError inside the adjacency builder.
+            raise ValueError(
+                f"graph {graph_id}: edge vertex id {max_vertex} >= "
+                f"number of node-feature rows {n_active}")
         needed = max(max_vertex + 1, n_active)
         if needed > int(bucket_sizes[-1]):
             raise ValueError(

@@ -231,8 +231,9 @@ def test_async_single_round_path_graph_oracle():
     cell = {k: np.asarray(v) for k, v in params["cell"].items()}
     cur = np.array(graph[0]["node_features"], dtype=np.float32)
     for r in range(2):
+        from ggnn_tpu.data.async_schedule import get_prop_schedules
         initial, sending, msg_targets, receiving = (
-            processed[0]["prop_schedules"][r])
+            get_prop_schedules(processed[0])[r])
         new = np.zeros_like(cur)
         for v in initial:
             new[v] = cur[v]
@@ -418,8 +419,9 @@ def test_async_edgeless_graph_passes_features_through():
          "node_features": [[1, 0, 0], [0, 0, 1]]},
     ]
     processed = preprocess_async(raw, 2, True, 4, 10, [0], {}, False)
+    from ggnn_tpu.data.async_schedule import get_prop_schedules
     for g in processed:
-        for sch in g["prop_schedules"]:
+        for sch in get_prop_schedules(g):
             check_schedule_invariants(sch, 2)
     caps = plan_async_capacities(processed, 2, 64, 4)
     batch = next(pack_async_batches(processed, 2, 64, caps, 4, 10, H, 3,

@@ -317,8 +317,11 @@ def test_async_flat_packer_matches_legacy_loop():
     data = synthetic_molecules(160, seed=11)
     proc = asn.preprocess_async(data, 4, True, 4, 40, [0], {}, False)
     caps = asn.plan_async_capacities_multi([proc], 4, 500, 4)
-    # planner parity (legacy path engaged by stripping the flat tables)
-    proc_noflat = [dict(g, flat_schedules=None) for g in proc]
+    # planner parity (legacy path engaged by stripping the flat tables;
+    # nested schedules are materialized first since preprocess_async now
+    # stores only the flat form)
+    proc_noflat = [dict(g, prop_schedules=asn.get_prop_schedules(g),
+                        flat_schedules=None) for g in proc]
     caps_legacy = asn.plan_async_capacities_multi([proc_noflat], 4, 500, 4)
     assert caps == caps_legacy
 
@@ -341,3 +344,42 @@ def test_async_flat_packer_matches_legacy_loop():
                                          16, 5, True, r2, use_flat=False))
     for x, y in zip(fast, slow):
         np.testing.assert_array_equal(x, y)
+
+
+def test_async_nested_schedule_roundtrip_and_planner_robustness():
+    """(a) nested_schedules_from_flat is an exact inverse of the
+    flattening done at preprocess time (preprocess_async stores only the
+    flat form); (b) the vectorized planner tolerates an empty split and
+    falls back to the legacy path on a heterogeneous corpus instead of
+    KeyError-ing (ADVICE round 2)."""
+    from ggnn_tpu.data import async_schedule as asn
+
+    data = synthetic_molecules(24, seed=13)
+    proc = asn.preprocess_async(data, 4, True, 4, 40, [0], {}, False)
+    for g in proc:
+        rebuilt = asn.nested_schedules_from_flat(g["flat_schedules"])
+        # re-flattening the rebuilt schedules must reproduce the tables
+        reflat = asn._flatten_schedules(rebuilt, 40, 4)
+        np.testing.assert_array_equal(reflat.counts_st,
+                                      g["flat_schedules"].counts_st)
+        for a, b in zip(reflat.send, g["flat_schedules"].send):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(reflat.tgt, g["flat_schedules"].tgt):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(reflat.recv_node, g["flat_schedules"].recv_node):
+            np.testing.assert_array_equal(a, b)
+        for a, b in zip(reflat.initial, g["flat_schedules"].initial):
+            np.testing.assert_array_equal(a, b)
+
+    # empty validation split must not crash the flat planner
+    caps_empty = asn.plan_async_capacities_multi([proc, []], 4, 500, 4)
+    caps_plain = asn.plan_async_capacities_multi([proc], 4, 500, 4)
+    assert caps_empty == caps_plain
+
+    # heterogeneous corpus (one graph missing its flat table) must fall
+    # back to the legacy planner, producing the same capacities
+    broken = [dict(g) for g in proc]
+    asn.get_prop_schedules(broken[3])  # materialize nested for fallback
+    broken[3]["flat_schedules"] = None
+    caps_fallback = asn.plan_async_capacities_multi([broken], 4, 500, 4)
+    assert caps_fallback == caps_plain
