@@ -28,10 +28,14 @@ ATOM_SYMBOLS = ["H", "C", "N", "O", "F"]
 INDEX_OF_MU = 4
 
 
-def download_qm9(data_dir: str = "data") -> str:
+def download_qm9(data_dir: str = "data", tarball: str = None) -> str:
+    """Fetch (or reuse `tarball`, for air-gapped hosts) and extract the
+    QM9 xyz archive; returns the extraction dir (get_data.py:11-23)."""
     os.makedirs(data_dir, exist_ok=True)
-    tar_path = os.path.join(data_dir, "dsgdb9nsd.xyz.tar.bz2")
+    tar_path = tarball or os.path.join(data_dir, "dsgdb9nsd.xyz.tar.bz2")
     if not os.path.exists(tar_path):
+        if tarball:
+            raise FileNotFoundError(f"--tarball {tarball} does not exist")
         subprocess.run(["wget", "-O", tar_path, QM9_URL], check=True)
     unzip_path = os.path.join(data_dir, "qm9_raw")
     if not os.path.exists(unzip_path):
@@ -118,9 +122,31 @@ def preprocess(unzip_path: str, valid_idx_path: str = VALID_IDX_PATH,
             json.dump(processed, f)
 
 
-def main():
-    unzip_path = download_qm9()
-    preprocess(unzip_path)
+def main(argv=None):
+    """One-command extraction. With network:
+
+        ggnn-tpu-get-data
+
+    Air-gapped, from a pre-fetched archive (figshare id 3195389):
+
+        python -m ggnn_tpu.data.qm9 --tarball /path/dsgdb9nsd.xyz.tar.bz2
+
+    then `ggnn-tpu dense` (etc.) trains on the emitted
+    molecules_{train,valid}.json; tests/test_qm9_parity.py pins the
+    1-epoch numbers against the reference README the moment those files
+    exist."""
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="QM9 extraction (reference get_data.py semantics)")
+    ap.add_argument("--tarball", default=None,
+                    help="pre-downloaded dsgdb9nsd.xyz.tar.bz2 (skips wget)")
+    ap.add_argument("--data-dir", default="data",
+                    help="scratch dir for the download/extraction")
+    ap.add_argument("--out-dir", default=".",
+                    help="where molecules_{train,valid}.json are written")
+    args = ap.parse_args(argv)
+    unzip_path = download_qm9(args.data_dir, tarball=args.tarball)
+    preprocess(unzip_path, out_dir=args.out_dir)
 
 
 if __name__ == "__main__":

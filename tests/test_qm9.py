@@ -144,8 +144,76 @@ def test_xyz_to_training_end_to_end(tmp_path, monkeypatch):
     assert total.shape == (1, 3) and np.isfinite(total).all()
 
 
-def test_smiles_to_graph_requires_rdkit_gracefully():
+def _qm9_like_smiles():
+    """A few hundred deterministic SMILES spanning QM9's chemistry
+    (neutral H/C/N/O/F molecules: chains, branches, carbonyls,
+    nitriles, alkenes/alkynes, saturated and aromatic rings)."""
+    subs = ["C", "CC", "CCC", "O", "OC", "N", "NC", "F", "C#N", "C=C",
+            "C#C", "C(=O)C", "C(=O)O", "C(=O)N", "C(F)(F)F", "CO", "CN",
+            "C(C)O", "C(N)C"]
+    bases = ["C{}", "CC{}", "CCC{}", "CCCC{}", "CC(C){}", "C(C)(C){}",
+             "OC{}", "OCC{}", "NC{}", "NCC{}", "FC{}", "C=CC{}",
+             "C(=O){}", "CC(=O){}", "C1CC1{}", "C1CCC1{}", "C1CCCC1{}",
+             "C1CCCCC1{}", "C1CCOC1{}", "C1CCNC1{}", "C1COC1{}",
+             "c1ccccc1{}", "Cc1ccccc1{}"]
+    named = [
+        "C", "N", "O", "C#N", "C=O", "O=C=O", "C1CC1", "C1CCC1",
+        "C1CCCC1", "C1CCCCC1", "C1CCOC1", "C1CCOCC1", "C1CCNC1",
+        "C1CCNCC1", "C1COC1", "C1CNC1", "C1OCO1", "c1ccccc1",
+        "c1ccncc1", "c1cncnc1", "c1ccoc1", "c1cc[nH]c1", "c1c[nH]cn1",
+        "c1cnco1", "c1cnc[nH]1", "Fc1ccccc1", "Nc1ccccc1", "Oc1ccccc1",
+        "Cc1ccncc1", "CC(N)C(=O)O", "NC(=O)c1ccccc1", "OCC(O)CO",
+        "NCCN", "OCCO", "FC(F)F", "C/C=C/C", "C/C=C\\C", "CC(C)(C)C",
+        "N#CC#N", "OC(=O)C(=O)O", "CN(C)C", "CC(=O)OC", "COC=O",
+        "C1=CC=CC=C1", "C1=CCCCC1", "C1=CNC=C1",
+    ]
+    corpus = [b.format(s) for b in bases for s in subs] + named
+    return list(dict.fromkeys(corpus))  # dedupe, keep order
+
+
+def test_smiles_builtin_matches_rdkit_differential():
+    """Builtin parser vs real rdkit over the generated QM9-like corpus
+    (VERDICT round-3 #4b): identical graphs under get_data.py:63-73
+    semantics. Node indices must agree exactly (MolFromSmiles keeps
+    SMILES atom order; AddHs appends hydrogens — the builtin mirrors
+    both), so node one-hots compare positionally; edges compare as
+    canonical undirected (min, type, max) sets — bond direction is
+    erased downstream by tie_fwd_bkwd and rdkit's begin/end choice is
+    an implementation detail. Skips only where rdkit is absent; the
+    builtin half of every molecule still parses under
+    test_smiles_generated_corpus_parses below."""
     pytest.importorskip("rdkit", reason="rdkit not installed here")
+    for smiles in _qm9_like_smiles():
+        nodes_b, edges_b = qm9.smiles_to_graph(smiles, backend="builtin")
+        nodes_r, edges_r = qm9.smiles_to_graph(smiles, backend="rdkit")
+        assert nodes_b == nodes_r, f"{smiles}: node one-hots differ"
+        canon = lambda es: sorted((min(a, c), t, max(a, c))
+                                  for a, t, c in es)
+        assert canon(edges_b) == canon(edges_r), f"{smiles}: edges differ"
+
+
+def test_smiles_generated_corpus_parses():
+    """The rdkit-free half of the differential, active everywhere: every
+    generated molecule parses, yields one-hot [H,C,N,O,F] nodes, bond
+    types in 1..4, edge endpoints in range, and every hydrogen appended
+    after the heavy atoms with exactly one single bond."""
+    corpus = _qm9_like_smiles()
+    assert len(corpus) >= 300
+    assert len(set(corpus)) == len(corpus)  # generator dedupes
+    for smiles in corpus:
+        nodes, edges = qm9.smiles_to_graph(smiles, backend="builtin")
+        assert nodes and all(sum(n) == 1 for n in nodes), smiles
+        n_heavy = sum(1 for n in nodes if n[0] != 1)
+        assert all(0 <= a < len(nodes) and 0 <= c < len(nodes)
+                   and 1 <= t <= 4 for a, t, c in edges), smiles
+        h_bonds = {}
+        for a, t, c in edges:
+            for v in (a, c):
+                if nodes[v][0] == 1:
+                    assert t == 1, smiles
+                    h_bonds[v] = h_bonds.get(v, 0) + 1
+        assert all(h_bonds.get(v, 0) == 1
+                   for v in range(n_heavy, len(nodes))), smiles
 
 
 def test_smiles_to_graph_bond_and_atom_mapping(monkeypatch):
