@@ -1,0 +1,110 @@
+"""AOT-compile the multi-chip shard_map train steps for a REAL TPU
+topology without owning the chips (VERDICT round 2 → round-3 item #3).
+
+The rest of the suite validates multi-chip numerics on a virtual
+8-device CPU mesh, but XLA:TPU's collective lowering (all_to_all and
+ppermute layouts, sorted scatter inside shard_map) can diverge from
+XLA:CPU's. `jax.experimental.topologies` compiles against a v5e-style
+2x4 topology *description* (compile-only devices, no hardware), turning
+"works on XLA:CPU" into "lowers on XLA:TPU" for:
+
+  * the node-sharded edge-partitioned sparse train step
+    (parallel/node_shard.py, both boundary-exchange transports), and
+  * the type-TP train step over the [T, H, H] edge weights
+    (parallel/tp.py),
+
+asserting the compiled HLO actually contains the expected collective
+(all-to-all / collective-permute), not just that compilation returned.
+Skips (with the reason) when the installed jax/libtpu cannot build AOT
+topologies — e.g. no TPU plugin in the environment.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from test_parallel import _params, _setup, _stack_for
+
+from ggnn_tpu.parallel import make_parallel_steps, stack_batches
+from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
+from ggnn_tpu.training.optimizer import make_optimizer
+
+TOPOLOGY = "v5e:2x4"  # 8 chips, same device count as the CPU mesh tests
+
+
+def _tpu_topology_devices():
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(TOPOLOGY, platform="tpu")
+    except Exception as e:  # no libtpu / no AOT support in this jax
+        pytest.skip(f"AOT TPU topology unavailable: {type(e).__name__}: "
+                    f"{str(e)[:200]}")
+    devices = list(topo.devices)
+    assert len(devices) == 8, devices
+    return devices
+
+
+def _topo_mesh(n_data, n_edge):
+    from jax.sharding import Mesh
+    devices = _tpu_topology_devices()
+    arr = np.asarray(devices).reshape(n_data, n_edge)
+    return Mesh(arr, (DATA_AXIS, EDGE_AXIS))
+
+
+def _abstract(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        tree)
+
+
+def _compile_for_topology(train_step, state, stack, case):
+    key = jax.random.PRNGKey(0)
+    lowered = train_step.lower(_abstract(state), _abstract(stack),
+                               _abstract(key))
+    compiled = lowered.compile()
+    assert compiled is not None, case
+    # One text blob per partition; collectives may appear in any.
+    return "\n".join(compiled.as_text() or [""]) \
+        if isinstance(compiled.as_text(), (list, tuple)) \
+        else compiled.as_text()
+
+
+@pytest.mark.parametrize("n_data,n_edge,exchange",
+                         [(2, 4, "alltoall"), (4, 2, "shift")])
+def test_node_sharded_step_lowers_on_tpu(n_data, n_edge, exchange):
+    cfg, meta, batches = _setup()
+    mesh = _topo_mesh(n_data, n_edge)
+    model_p, params = _params(cfg, meta, edge_axis="edge")
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": params, "opt_state": opt.init(params)}
+    train_step, _ = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
+                                        mesh)
+    stack = _stack_for(batches, n_data, n_edge, exchange)
+    hlo = _compile_for_topology(train_step, state, stack,
+                                f"node_shard {n_data}x{n_edge} {exchange}")
+    want = "all-to-all" if exchange == "alltoall" else "collective-permute"
+    assert want in hlo, (
+        f"XLA:TPU lowering of the {exchange} boundary exchange contains "
+        f"no {want} op")
+
+
+def test_type_tp_step_lowers_on_tpu():
+    n_data, n_edge = 4, 2
+    cfg, meta, batches = _setup()
+    assert meta.num_edge_types % n_edge == 0
+    mesh = _topo_mesh(n_data, n_edge)
+    model_p, params = _params(cfg, meta, edge_axis="edge")
+    from ggnn_tpu.parallel.tp import is_tp_sharded_path
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"],
+                         tp_axis=EDGE_AXIS,
+                         tp_is_sharded=is_tp_sharded_path)
+    state = {"params": params, "opt_state": opt.init(params)}
+    train_step, _ = make_parallel_steps(
+        model_p, opt, cfg, cfg["task_ids"], mesh,
+        batch_kind="sparse_tp", state_template=state)
+    stack = stack_batches(batches, n_data=n_data, n_edge=1)
+    hlo = _compile_for_topology(train_step, state, stack, "type_tp 4x2")
+    # Type-TP psums partial aggregates (and the sharded leaves' clip
+    # norms) over the edge axis -> an all-reduce must survive lowering.
+    assert "all-reduce" in hlo
