@@ -10,9 +10,11 @@ One propagation step of the sparse GGNN
 
 Steps 1-2 are expressed as one `einsum('teh,thd->ted')` so XLA maps all
 edge types onto the MXU as a single batched matmul; step 4 is a masked
-segment-sum into the dump-slot layout of `GraphBatch`. The opt-in Pallas
-kernel in ops/pallas/ell_spmm.py fuses 1+2+4 over a blocked-ELL layout to
-avoid materialising the [T,E,H] message tensor in HBM.
+segment-sum into the dump-slot layout of `GraphBatch`. A Pallas kernel
+fusing 1+2+4 over a blocked-ELL layout exists in ops/pallas/ell_spmm.py
+but is ARCHIVED (not reachable from any config): measurement pinned the
+edge-list path to an ~18 ns/row issue-bound floor that the fused kernel
+cannot beat on this hardware — see benchmarks/README.md.
 """
 
 from typing import Optional

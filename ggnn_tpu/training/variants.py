@@ -28,6 +28,31 @@ def _nonempty(p) -> bool:
     if isinstance(p, (list, tuple, dict)):
         return len(p) > 0
     return p is not None
+
+
+_warned_tpu_budget = False
+
+
+def _maybe_warn_tpu_node_budget(config: Dict) -> None:
+    """One-shot perf hint: the reference-parity node budget
+    (batch_size=100000 nodes, chem_tensorflow_sparse.py:43) is a
+    measured 1.7x-per-graph slowdown on TPU vs ~20k-node batches
+    (benchmarks/README.md reference-budget check) — batches past the
+    sweet spot just stretch the step without adding MXU occupancy."""
+    global _warned_tpu_budget
+    if _warned_tpu_budget or config.get("batch_size", 0) <= 50000:
+        return
+    try:
+        import jax
+        if jax.default_backend() not in ("tpu", "axon"):
+            return
+    except Exception:
+        return
+    _warned_tpu_budget = True
+    print("HINT: node budget batch_size=%d packs >50k-node batches; on "
+          "TPU ~20k nodes/batch is ~1.7x faster per graph (see "
+          "configs/sparse_tpu.json and benchmarks/README.md)."
+          % config["batch_size"])
 from ggnn_tpu.models.async_ggnn import AsyncGGNN
 from ggnn_tpu.models.dense_ggnn import DenseGGNN
 from ggnn_tpu.models.gcn import GCN
@@ -59,6 +84,7 @@ class SparseAdapter:
             is_training, rng)
 
     def plan(self, *processed_lists):
+        _maybe_warn_tpu_node_budget(self.config)
         margin = self.config.get("pack_margin")
         caps = [
             native_pack.plan_capacities_native(p, self.config["batch_size"],
@@ -175,6 +201,7 @@ class GCNAdapter:
             is_training, rng)
 
     def plan(self, *processed_lists):
+        _maybe_warn_tpu_node_budget(self.config)
         caps = [packing.plan_gcn_capacities(
                     p, self.config["batch_size"],
                     margin=self.config.get("pack_margin"))
