@@ -140,23 +140,38 @@ class DenseGGNN:
         b, t, v, _ = adjacency.shape
         d = h.shape[-1]
         cdt = self.compute_dtype
-        a2 = adjacency.astype(cdt).reshape(b, t * v, v)
+        # Transposed to (v, t) row order ONCE, outside the loop, so the
+        # gathered states reshape straight to [B, V, T*H] with no
+        # per-step transpose.
+        a2 = adjacency.astype(cdt).transpose(0, 2, 1, 3).reshape(
+            b, v * t, v)
         bias = None
         if self.use_edge_bias:
             indeg_t = jnp.sum(adjacency, axis=3)  # [B, T, V]
             bias = jnp.einsum("btv,th->bvh", indeg_t,
                               params["edge_biases"][:, 0, :],
                               preferred_element_type=jnp.float32)
+        # The [T,H,H]->[T*H,H] reshape must be hoisted OUT of the loop
+        # when no weight dropout redraws w per step: reshaping inside
+        # makes the backward accumulate the weight cotangent in
+        # [T,H,H] per step, which flips XLA:TPU's layout choice for
+        # `gathered` and inserts 8 bf16 layout copies (~10% of the
+        # train step; benchmarks/README.md "dense reassociation").
+        dropout_active = (is_training
+                          and self.edge_weight_dropout_keep_prob < 1.0)
+        if not dropout_active:
+            w_cat = params["edge_weights"].reshape(t * d, d).astype(cdt)
         for _step in range(self.num_timesteps):
-            w = params["edge_weights"]  # [T, H, H]
-            if is_training and self.edge_weight_dropout_keep_prob < 1.0:
+            if dropout_active:
                 rng, rng_w = jax.random.split(rng)
-                w = dropout(rng_w, w, self.edge_weight_dropout_keep_prob)
+                w_cat = dropout(
+                    rng_w, params["edge_weights"],
+                    self.edge_weight_dropout_keep_prob
+                ).reshape(t * d, d).astype(cdt)
             gathered = jnp.matmul(a2, h.astype(cdt),
                                   preferred_element_type=jnp.float32)
-            g2 = gathered.reshape(b, t, v, d).transpose(0, 2, 1, 3)
-            acts = jnp.matmul(g2.reshape(b, v, t * d).astype(cdt),
-                              w.reshape(t * d, d).astype(cdt),
+            acts = jnp.matmul(gathered.reshape(b, v, t * d).astype(cdt),
+                              w_cat,
                               preferred_element_type=jnp.float32)
             if bias is not None:
                 acts = acts + bias
@@ -216,21 +231,29 @@ class DenseGGNN:
             h = node_states_per_layer[-1]
             cdt = self.compute_dtype
             w_cat = edge_weights.reshape(t * d, d)
+            # Reassociated sum_t (a_t @ h) @ W_t — see
+            # _forward_reference; valid for ANY per-edge weighting a
+            # (attention included), not just 0/1 adjacency. Without
+            # attention the (v, t)-ordered transpose hoists out of the
+            # timestep loop.
+            a2_const = None
+            if not self.use_propagation_attention:
+                a2_const = adjacency.astype(cdt).transpose(
+                    0, 2, 1, 3).reshape(b, v * t, v)
             for _step in range(num_timesteps):
-                # Reassociated sum_t (a_t @ h) @ W_t — see
-                # _forward_reference; valid for ANY per-edge weighting
-                # a (attention included), not just 0/1 adjacency.
-                a = adjacency
                 if self.use_propagation_attention:
-                    a = a * self._dense_attention(h, adjacency,
-                                                  layer["attention"])
-                gathered = jnp.matmul(a.astype(cdt).reshape(b, t * v, v),
-                                      h.astype(cdt),
+                    a = adjacency * self._dense_attention(
+                        h, adjacency, layer["attention"])
+                    a2 = a.astype(cdt).transpose(0, 2, 1, 3).reshape(
+                        b, v * t, v)
+                else:
+                    a2 = a2_const
+                gathered = jnp.matmul(a2, h.astype(cdt),
                                       preferred_element_type=jnp.float32)
-                g2 = gathered.reshape(b, t, v, d).transpose(0, 2, 1, 3)
-                incoming = jnp.matmul(g2.reshape(b, v, t * d).astype(cdt),
-                                      w_cat.astype(cdt),
-                                      preferred_element_type=jnp.float32)
+                incoming = jnp.matmul(
+                    gathered.reshape(b, v, t * d).astype(cdt),
+                    w_cat.astype(cdt),
+                    preferred_element_type=jnp.float32)
                 if self.use_edge_bias:
                     # sum_t indeg_t[v] * bias_t — identical to the
                     # sparse num_incoming_edges_per_type @ edge_biases.
