@@ -27,7 +27,6 @@ from ggnn_tpu.ops.cells import make_cell
 from ggnn_tpu.ops.segment import segment_sum
 from ggnn_tpu.utils.init import glorot_init
 
-
 class AsyncGGNN:
     def __init__(self, config: Dict, num_edge_types: int):
         self.config = config
@@ -174,10 +173,50 @@ class AsyncGGNN:
         h_dim = self.hidden_size
         t_dim = self.num_edge_types
         i_cap = batch.initial_nodes.shape[-1]
+        # Per-substep message transform as ONE [RC, T*(H+1)] @
+        # [T*(H+1), H] GEMM (the dense path's reassociation): the
+        # aggregated [RC, T, H+1] tensor — whose ride-along ones column
+        # carries the per-(receiver, type) counts — reshapes
+        # CONTIGUOUSLY against an augmented weight whose extra row per
+        # type is that type's edge bias, so bias accumulation is part
+        # of the same GEMM and no strided [:, :, :H] slice-copy is
+        # materialised inside the scan. Built OUTSIDE the scan — see
+        # models/dense_ggnn.py on the in-loop-reshape layout trap.
+        bias_rows = (edge_biases[:, None, :] if self.use_edge_bias
+                     else jnp.zeros((t_dim, 1, h_dim), jnp.float32))
+        w_aug = jnp.concatenate([edge_weights, bias_rows],
+                                axis=1).reshape(t_dim * (h_dim + 1), h_dim)
+        # Remat policy: recompute substeps in the backward only when the
+        # saved activations wouldn't fit comfortably — measured: the
+        # reference 100k-node budget needs 17.8 GiB without remat
+        # (> the chip's 15.75 GiB free), while at the 10-20k-node
+        # TPU sweet spot remat COSTS ~1.5-2x step time for nothing
+        # (5.42 vs 7.71 ms at 10k; benchmarks/README.md). Config
+        # "async_remat" forces either way; unset = auto by estimate.
+        remat_cfg = self.config.get("async_remat")
         max_rc = max((seg.old_compact.shape[1]
                       for segs in batch.seg_rounds for seg in segs),
                      default=8)
         m_dump = i_cap + n_cap + max_rc
+        if remat_cfg is None:
+            # Dominant residuals without remat: the scan carry (the
+            # [m_dump+1, H] state buffer) plus the per-substep lane
+            # tensors, saved for EVERY substep of every round. The
+            # estimate undercounts XLA's actual residual set ~3x (the
+            # reference 100k-node budget measures 17.8 GiB live against
+            # a 5.5 GiB estimate), so the 2 GiB threshold corresponds
+            # to ~6-7 GiB real — comfortably inside the chip's
+            # 15.75 GiB while keeping remat OFF at the 10-20k-node
+            # sweet spot where it costs ~1.5x step time for nothing.
+            saved_floats = sum(
+                seg.old_compact.shape[0]
+                * ((m_dump + 1) * h_dim
+                   + seg.send_compact.shape[1] * (h_dim + 2)
+                   + 4 * seg.old_compact.shape[1] * h_dim)
+                for segs in batch.seg_rounds for seg in segs)
+            use_remat = saved_floats * 4 > 2 * 2**30
+        else:
+            use_remat = bool(remat_cfg)
         feats_ext = jnp.concatenate(
             [batch.node_features, jnp.zeros((1, h_dim))], axis=0)
 
@@ -209,17 +248,10 @@ class AsyncGGNN:
                         jnp.concatenate([gathered, ones], axis=1),
                         comp, (rc_cap + 1) * t_dim,
                         indices_are_sorted=True)
-                    agg = agg.reshape(rc_cap + 1, t_dim,
-                                      h_dim + 1)[:rc_cap]
-                    incoming = jnp.einsum(
-                        "rth,thd->rd", agg[:, :, :h_dim],
-                        edge_weights,
-                        preferred_element_type=jnp.float32)
-                    if self.use_edge_bias:
-                        incoming = incoming + jnp.einsum(
-                            "rt,th->rh", agg[:, :, h_dim],
-                            edge_biases,
-                            preferred_element_type=jnp.float32)
+                    agg = agg.reshape(rc_cap + 1,
+                                      t_dim * (h_dim + 1))[:rc_cap]
+                    incoming = jnp.matmul(
+                        agg, w_aug, preferred_element_type=jnp.float32)
                     old = prev_buf[old_idx]                 # [RC, H]
                     new_h = self.cell_apply(
                         params["cell"], incoming, old,
@@ -228,12 +260,8 @@ class AsyncGGNN:
                         buf, new_h, (i_cap + base, 0))
                     return buf, None
 
-                # Remat: without it each step saves its [SEA, H]
-                # gathered rows; at the 100k-node budget that exceeded
-                # HBM (17.8G > 15.75G). Recompute-in-backward instead.
                 substep = (jax.checkpoint(substep_inner)
-                           if self.config.get("async_remat", True)
-                           else substep_inner)
+                           if use_remat else substep_inner)
                 buf, _ = jax.lax.scan(
                     substep, buf,
                     (seg.send_compact, seg.msg_type, seg.msg_target,

@@ -68,8 +68,12 @@ SPARSE_DEFAULTS: Dict = {
     #       relabeling for giant graphs (data/reorder.py);
     #   "edges_sorted_by_target", "combined_edge_lanes" — packer layout
     #       contract switches (models/sparse_ggnn.py);
-    #   "async_remat" (bool, True) — rematerialize async substeps in the
-    #       backward pass (models/async_ggnn.py).
+    #   "async_remat" (bool, unset = auto) — rematerialize async
+    #       substeps in the backward pass. Auto turns it on only when
+    #       the saved-activation estimate exceeds ~6 GiB (the reference
+    #       100k-node budget needs it: 17.8 GiB > 15.75 free; at the
+    #       10-20k-node TPU sweet spot it costs ~1.5-2x step time for
+    #       nothing — benchmarks/README.md). models/async_ggnn.py.
 }
 
 # chem_tensorflow_dense.py:56-66

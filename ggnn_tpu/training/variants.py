@@ -33,14 +33,21 @@ def _nonempty(p) -> bool:
 _warned_tpu_budget = False
 
 
-def _maybe_warn_tpu_node_budget(config: Dict) -> None:
-    """One-shot perf hint: the reference-parity node budget
-    (batch_size=100000 nodes, chem_tensorflow_sparse.py:43) is a
-    measured 1.7x-per-graph slowdown on TPU vs ~20k-node batches
-    (benchmarks/README.md reference-budget check) — batches past the
-    sweet spot just stretch the step without adding MXU occupancy."""
+def _maybe_warn_tpu_node_budget(config: Dict, key: str = "batch_size",
+                                cap: int = 50000,
+                                hint: str = "~20k nodes/batch is ~1.7x "
+                                "faster per graph (see "
+                                "configs/sparse_tpu.json") -> None:
+    """One-shot perf hint: the reference-parity node budgets
+    (batch_size=100000 nodes, chem_tensorflow_sparse.py:43;
+    num_nodes=100000, chem_tensorflow_async.py:43) are measured
+    per-graph slowdowns on TPU — 1.7x for sparse/GCN vs ~20k-node
+    batches, 2.9x for async vs ~10k (benchmarks/README.md) — batches
+    past the sweet spot just stretch the step without adding MXU
+    occupancy (and for async they additionally force backward-pass
+    rematerialization)."""
     global _warned_tpu_budget
-    if _warned_tpu_budget or config.get("batch_size", 0) <= 50000:
+    if _warned_tpu_budget or config.get(key, 0) <= cap:
         return
     try:
         import jax
@@ -49,10 +56,9 @@ def _maybe_warn_tpu_node_budget(config: Dict) -> None:
     except Exception:
         return
     _warned_tpu_budget = True
-    print("HINT: node budget batch_size=%d packs >50k-node batches; on "
-          "TPU ~20k nodes/batch is ~1.7x faster per graph (see "
-          "configs/sparse_tpu.json and benchmarks/README.md)."
-          % config["batch_size"])
+    print("HINT: node budget %s=%d packs >%dk-node batches; on TPU %s "
+          "and benchmarks/README.md)."
+          % (key, config[key], cap // 1000, hint))
 from ggnn_tpu.models.async_ggnn import AsyncGGNN
 from ggnn_tpu.models.dense_ggnn import DenseGGNN
 from ggnn_tpu.models.gcn import GCN
@@ -288,6 +294,10 @@ class AsyncAdapter:
             is_training, rng)
 
     def plan(self, *processed_lists):
+        _maybe_warn_tpu_node_budget(
+            self.config, key="num_nodes", cap=25000,
+            hint="~10k nodes/batch is ~2.9x faster per graph and skips "
+                 "backward rematerialization (see configs/async_tpu.json")
         # One merged planning pass over every split (train + valid must
         # compile to the same shapes) INCLUDING the segmented-scan plan —
         # dropping `plan` here would silently fall back to the uniform
