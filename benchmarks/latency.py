@@ -44,12 +44,19 @@ def main():
     out = p(mol)
     assert np.isfinite(out).all()
 
-    # Host packing cost.
+    # Host packing cost: the general corpus pipeline vs the
+    # batch-of-one fast pack __call__ actually uses (bit-identical
+    # output, tests/test_serving.py).
+    ann = len(mol[0]["node_features"][0])
     t0 = time.time()
-    reps = 50
+    reps = 200
     for _ in range(reps):
-        batches = list(p._batches(mol, len(mol[0]["node_features"][0])))
+        batches = list(p._batches(mol, ann))
     pack_ms = (time.time() - t0) / reps * 1e3
+    t0 = time.time()
+    for _ in range(reps):
+        fast = p._pack_single_sparse(mol[0], ann)
+    fast_us = (time.time() - t0) / reps * 1e6
     batch = jax.device_put(batches[0])
 
     # Device forward latency: chain on device, difference run lengths.
@@ -79,7 +86,8 @@ def main():
     wall_ms = (time.time() - t0) / 10 * 1e3
 
     print(f"batch-of-1 sparse inference: device forward {device_us:.0f} us"
-          f" | host packing {pack_ms:.2f} ms"
+          f" | host fast pack {fast_us:.0f} us"
+          f" (corpus pipeline {pack_ms*1e3:.0f} us)"
           f" | end-to-end (tunneled transport) {wall_ms:.1f} ms")
 
 

@@ -72,6 +72,19 @@ def _build_and_load() -> ctypes.CDLL:
         i32, i32, i32, i32, i32, i32,
         p_i32, p_i32, p_f32, p_f32, p_f32, p_i32, p_i64,
     ]
+    i64 = ctypes.c_int64
+    # Raw-pointer ABI (c_void_p + arr.ctypes.data), NOT ndpointer: this
+    # is the serving latency path and ndpointer's per-argument
+    # validation costs ~5us x 12 arrays per call — more than the kernel
+    # itself. The sole caller (serving._pack_single_sparse_native)
+    # allocates every array C-contiguous with the right dtype.
+    vp = ctypes.c_void_p
+    lib.pack_single_sparse.restype = i32
+    lib.pack_single_sparse.argtypes = [
+        vp, i64, vp, i32, i32, i32, i32, i32, i32, i64, i32, i32,
+        vp, vp, vp, vp, vp, vp, vp,
+        vp, vp, vp,
+    ]
     return lib
 
 

@@ -10,6 +10,7 @@
 // Built as a plain C-ABI shared library (no pybind11); see
 // ggnn_tpu/native/__init__.py for the ctypes bindings and build rule.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -179,6 +180,119 @@ int32_t pack_sparse_batch(
       node_graph_ids[node_off + i] = b;
     }
     node_off += n;
+  }
+  return 0;
+}
+
+// One-graph serving fast pack: everything a GraphBatch needs for a
+// single request graph in one call over caller-allocated (np.empty is
+// fine — every output element is written here) arrays: per-type
+// (target, source)-sorted edge lanes with dump-slot padding, per-type
+// in-degrees, node features zero-padded to hidden, node graph ids, and
+// the type-combined (target, type, source)-sorted lane. Byte-identical
+// to data/packing.py's pack_sparse_batches on a 1-graph corpus
+// (pinned by tests/test_serving.py). Returns 0 ok, -1 per-type edge
+// overflow, -2 combined-lane overflow, -3 bad edge type.
+int32_t pack_single_sparse(
+    const int32_t* edges,        // [E, 3] (src, 1-based type, dst)
+    int64_t n_edges,
+    const float* feats,          // [n, A]
+    int32_t n,                   // real node count
+    int32_t annotation_size,
+    int32_t num_edge_types,      // total (doubled when untied)
+    int32_t tie_fwd_bkwd,
+    int32_t node_capacity,
+    int32_t edge_capacity,       // per-type cap E
+    int64_t edges_all_cap,       // combined-lane cap (0 = lane absent)
+    int32_t hidden_size,
+    int32_t graph_capacity,
+    int32_t* edge_sources,       // [T, E]
+    int32_t* edge_targets,       // [T, E]
+    float* edge_mask,            // [T, E]
+    int32_t* comb_src,           // [EA] (untouched when cap 0)
+    int32_t* comb_typ,           // [EA]
+    int32_t* comb_tgt,           // [EA]
+    float* comb_mask,            // [EA]
+    float* in_degrees,           // [N_cap, T]
+    float* init_out,             // [N_cap, H]
+    int32_t* node_graph_ids) {   // [N_cap]
+  const int32_t num_fwd = tie_fwd_bkwd ? num_edge_types
+                                       : num_edge_types / 2;
+  // 21-bit key fields: ids and type count must fit (serving envelopes
+  // are tiny; the python caller falls back past this).
+  if (node_capacity >= (1 << 21) || num_edge_types >= (1 << 21))
+    return -4;
+  const int64_t m = n_edges * 2;  // directed edges after doubling
+  if (edges_all_cap > 0 && m > edges_all_cap) return -2;
+  // (type, target, source) rows, sorted once; the per-type lanes are
+  // its type-partitioned runs and the combined lane is a second order.
+  std::vector<int64_t> keys(m);   // typ<<42 | dst<<21 | src
+  for (int64_t e = 0; e < n_edges; ++e) {
+    const int64_t src = edges[e * 3 + 0];
+    const int64_t typ1 = edges[e * 3 + 1];
+    const int64_t dst = edges[e * 3 + 2];
+    if (typ1 < 1 || typ1 > num_fwd) return -3;
+    if (src < 0 || src >= n || dst < 0 || dst >= n) return -5;
+    const int64_t typ = typ1 - 1;
+    const int64_t btyp = tie_fwd_bkwd ? typ : num_fwd + typ;
+    keys[e * 2] = (typ << 42) | (dst << 21) | src;
+    keys[e * 2 + 1] = (btyp << 42) | (src << 21) | dst;
+  }
+  std::sort(keys.begin(), keys.end());
+  // Outputs are caller-ALLOCATED, not caller-initialised: fill pads.
+  for (int32_t t = 0; t < num_edge_types; ++t) {
+    for (int32_t k = 0; k < edge_capacity; ++k) {
+      edge_sources[(int64_t)t * edge_capacity + k] = 0;
+      edge_targets[(int64_t)t * edge_capacity + k] = node_capacity;
+      edge_mask[(int64_t)t * edge_capacity + k] = 0.0f;
+    }
+  }
+  std::memset(in_degrees, 0,
+              sizeof(float) * (size_t)node_capacity * num_edge_types);
+  std::memset(init_out, 0,
+              sizeof(float) * (size_t)node_capacity * hidden_size);
+  for (int32_t i = 0; i < node_capacity; ++i)
+    node_graph_ids[i] = i < n ? 0 : graph_capacity;
+  for (int32_t i = 0; i < n; ++i)
+    std::memcpy(init_out + (int64_t)i * hidden_size,
+                feats + (int64_t)i * annotation_size,
+                sizeof(float) * annotation_size);
+  int64_t fill = 0;
+  int32_t cur_t = -1;
+  for (int64_t i = 0; i < m; ++i) {
+    const int32_t typ = (int32_t)(keys[i] >> 42);
+    const int32_t dst = (int32_t)((keys[i] >> 21) & 0x1FFFFF);
+    const int32_t src = (int32_t)(keys[i] & 0x1FFFFF);
+    if (typ != cur_t) { cur_t = typ; fill = 0; }
+    if (fill >= edge_capacity) return -1;
+    edge_sources[(int64_t)typ * edge_capacity + fill] = src;
+    edge_targets[(int64_t)typ * edge_capacity + fill] = dst;
+    edge_mask[(int64_t)typ * edge_capacity + fill] = 1.0f;
+    in_degrees[(int64_t)dst * num_edge_types + typ] += 1.0f;
+    ++fill;
+  }
+  if (edges_all_cap > 0) {
+    // (target, type, source) order — matches build_combined_lane's
+    // stable lexsort((typ, tgt)) over the (tgt, src)-sorted lanes.
+    for (int64_t i = 0; i < m; ++i) {
+      const int64_t typ = keys[i] >> 42;
+      const int64_t dst = (keys[i] >> 21) & 0x1FFFFF;
+      const int64_t src = keys[i] & 0x1FFFFF;
+      keys[i] = (dst << 42) | (typ << 21) | src;
+    }
+    std::sort(keys.begin(), keys.end());
+    for (int64_t i = 0; i < m; ++i) {
+      comb_tgt[i] = (int32_t)(keys[i] >> 42);
+      comb_typ[i] = (int32_t)((keys[i] >> 21) & 0x1FFFFF);
+      comb_src[i] = (int32_t)(keys[i] & 0x1FFFFF);
+      comb_mask[i] = 1.0f;
+    }
+    for (int64_t i = m; i < edges_all_cap; ++i) {
+      comb_src[i] = 0;
+      comb_typ[i] = 0;
+      comb_tgt[i] = node_capacity;
+      comb_mask[i] = 0.0f;
+    }
   }
   return 0;
 }

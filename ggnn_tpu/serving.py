@@ -246,11 +246,195 @@ class Predictor:
                     "request")
         if self.variant in _DENSE_FAMILY:
             return self._call_dense(raw_graphs, annotation_size)
+        if len(raw_graphs) == 1 and self.variant in ("sparse", "rgcn"):
+            batch = self._pack_single_sparse(raw_graphs[0], annotation_size)
+            computed = self._forward(self.params, jax.device_put(batch))
+            return np.asarray(computed)[:, :1]
         outs: List[np.ndarray] = []
         for batch in self._batches(raw_graphs, annotation_size):
             computed = self._forward(self.params, jax.device_put(batch))
             outs.append(np.asarray(computed)[:, :int(batch.num_graphs)])
         return np.concatenate(outs, axis=1)
+
+    def _pack_single_sparse_native(self, g: Dict, edges: np.ndarray,
+                                   n: int, annotation_size: int):
+        """C fast path for _pack_single_sparse (native/packer.cpp
+        pack_single_sparse): one call fills every array. Returns None
+        when the native library is unavailable or the envelope exceeds
+        the kernel's 21-bit id fields (the numpy path takes over)."""
+        from ggnn_tpu.data.packing import (_extract_labels,
+                                           _labels_to_values_and_mask)
+        from ggnn_tpu.graph import GraphBatch
+        from ggnn_tpu.native import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            return None
+        caps = self.caps
+        t_dim = self.meta.num_edge_types
+        hidden = self.config["hidden_size"]
+        ea = int(caps.edges_all or 0)
+        edge_sources = np.empty((t_dim, caps.edges_per_type), np.int32)
+        edge_targets = np.empty_like(edge_sources)
+        edge_mask = np.empty((t_dim, caps.edges_per_type), np.float32)
+        comb_src = np.empty(max(ea, 1), np.int32)
+        comb_typ = np.empty_like(comb_src)
+        comb_tgt = np.empty_like(comb_src)
+        comb_mask = np.empty(max(ea, 1), np.float32)
+        in_degrees = np.empty((caps.nodes, t_dim), np.float32)
+        node_features = np.empty((caps.nodes, hidden), np.float32)
+        node_graph_ids = np.empty(caps.nodes, np.int32)
+        feats = np.ascontiguousarray(g["node_features"], dtype=np.float32)
+        edges_c = np.ascontiguousarray(edges)
+        rc = lib.pack_single_sparse(
+            edges_c.ctypes.data, len(edges), feats.ctypes.data, n,
+            annotation_size, t_dim, int(self.config["tie_fwd_bkwd"]),
+            caps.nodes, caps.edges_per_type, ea, hidden, caps.graphs,
+            edge_sources.ctypes.data, edge_targets.ctypes.data,
+            edge_mask.ctypes.data,
+            comb_src.ctypes.data, comb_typ.ctypes.data,
+            comb_tgt.ctypes.data, comb_mask.ctypes.data,
+            in_degrees.ctypes.data, node_features.ctypes.data,
+            node_graph_ids.ctypes.data)
+        if rc == -4:
+            return None  # ids exceed the kernel's key fields
+        if rc == -3:
+            num_fwd = t_dim if self.config["tie_fwd_bkwd"] else t_dim // 2
+            raise ValueError(
+                f"edge type out of range [1, {num_fwd}] in request graph")
+        if rc == -5:
+            raise ValueError(
+                f"edge vertex id out of range [0, {n}) in request graph")
+        if rc != 0:
+            raise ValueError(
+                f"graph with {2 * len(edges)} directed edges exceeds "
+                f"pack capacities {self.caps}")
+        values, mask = _labels_to_values_and_mask(
+            _extract_labels(g, self.task_ids) if "targets" in g
+            else [None] * len(self.task_ids))
+        targets = np.zeros((len(self.task_ids), caps.graphs), np.float32)
+        target_mask = np.zeros_like(targets)
+        targets[:, 0] = values
+        target_mask[:, 0] = mask
+        extra = {}
+        if ea:
+            extra = dict(edge_sources_all=comb_src, edge_types_all=comb_typ,
+                         edge_targets_all=comb_tgt, edge_mask_all=comb_mask)
+        return GraphBatch(
+            node_features=node_features, node_graph_ids=node_graph_ids,
+            edge_sources=edge_sources, edge_targets=edge_targets,
+            edge_mask=edge_mask, in_degrees=in_degrees,
+            targets=targets, target_mask=target_mask,
+            num_graphs=np.int32(1), num_nodes=np.int32(n), **extra)
+
+    def _pack_single_sparse(self, g: Dict, annotation_size: int):
+        """Vectorized one-graph fast pack (the latency-critical serving
+        path): same GraphBatch, BIT-identical to `_batches` on a
+        1-graph request (tests/test_serving.py pins it leaf-for-leaf),
+        assembled with numpy array ops instead of the per-graph python/
+        native corpus pipeline — measured ~6x cheaper host-side
+        (benchmarks/latency.py). Semantics mirrored from
+        data/packing.py: 0-based types with tied/untied backward edges
+        (graph_to_adjacency_lists), per-type lanes (target, source)-
+        sorted with dump-slot padding, the type-combined
+        (target, type)-sorted lane, per-type in-degrees, and the
+        labels->values/mask convention."""
+        from ggnn_tpu.data.packing import (_extract_labels,
+                                           _labels_to_values_and_mask)
+        from ggnn_tpu.graph import GraphBatch
+
+        caps = self.caps
+        t_dim = self.meta.num_edge_types
+        tie = self.config["tie_fwd_bkwd"]
+        num_fwd = t_dim if tie else t_dim // 2
+        hidden = self.config["hidden_size"]
+        n = len(g["node_features"])
+        if n >= caps.nodes + 1:
+            raise ValueError(
+                f"graph with {n} nodes exceeds pack capacities {caps}")
+
+        edges = np.asarray(g.get("graph", ()), dtype=np.int32).reshape(-1, 3)
+        native = self._pack_single_sparse_native(g, edges, n,
+                                                 annotation_size)
+        if native is not None:
+            return native
+        raw_t = edges[:, 1]
+        if raw_t.size and not (1 <= raw_t.min() and raw_t.max() <= num_fwd):
+            bad = raw_t[(raw_t < 1) | (raw_t > num_fwd)][0]
+            raise ValueError(f"edge type {bad} out of range [1, {num_fwd}]")
+        src = np.concatenate([edges[:, 0], edges[:, 2]])
+        dst = np.concatenate([edges[:, 2], edges[:, 0]])
+        typ = np.concatenate([raw_t - 1,
+                              raw_t - 1 if tie else raw_t - 1 + num_fwd])
+        if caps.edges_all and len(src) > caps.edges_all:
+            raise ValueError(
+                f"graph with {len(src)} directed edges exceeds the "
+                f"combined-lane capacity in {caps}")
+
+        node_features = np.zeros((caps.nodes, hidden), np.float32)
+        node_features[:n, :annotation_size] = g["node_features"]
+        node_graph_ids = np.full(caps.nodes, caps.graphs, np.int32)
+        node_graph_ids[:n] = 0
+        in_degrees = np.zeros((caps.nodes, t_dim), np.float32)
+        np.add.at(in_degrees, (dst, typ), 1.0)
+
+        e_cap = caps.edges_per_type
+        edge_sources = np.zeros((t_dim, e_cap), np.int32)
+        edge_targets = np.full((t_dim, e_cap), caps.nodes, np.int32)
+        edge_mask = np.zeros((t_dim, e_cap), np.float32)
+        # One (type, target, source) sort yields every per-type lane in
+        # its packed order; per-type slots are positions within type.
+        order = np.lexsort((src, dst, typ))
+        s_s, d_s, t_s = src[order], dst[order], typ[order]
+        counts = np.bincount(t_s, minlength=t_dim)
+        if np.any(counts > e_cap):
+            raise ValueError(
+                f"graph with {counts.max()} edges of one type exceeds "
+                f"pack capacities {caps}")
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        slots = np.arange(len(t_s)) - starts[t_s]
+        edge_sources[t_s, slots] = s_s
+        edge_targets[t_s, slots] = d_s
+        edge_mask[t_s, slots] = 1.0
+
+        values, mask = _labels_to_values_and_mask(
+            _extract_labels(g, self.task_ids) if "targets" in g
+            else [None] * len(self.task_ids))
+        targets = np.zeros((len(self.task_ids), caps.graphs), np.float32)
+        target_mask = np.zeros_like(targets)
+        targets[:, 0] = values
+        target_mask[:, 0] = mask
+
+        common = dict(
+            node_features=node_features,
+            node_graph_ids=node_graph_ids,
+            edge_sources=edge_sources,
+            edge_targets=edge_targets,
+            edge_mask=edge_mask,
+            in_degrees=in_degrees,
+            targets=targets,
+            target_mask=target_mask,
+            num_graphs=np.int32(1),
+            num_nodes=np.int32(n),
+        )
+        if caps.edges_all:
+            # (target, type)-sorted combined lane; ties keep source
+            # order, matching build_combined_lane's stable lexsort over
+            # the (target, source)-sorted per-type lanes.
+            order2 = np.lexsort((s_s, t_s, d_s))
+            ea = caps.edges_all
+            out_src = np.zeros(ea, np.int32)
+            out_tgt = np.full(ea, caps.nodes, np.int32)
+            out_typ = np.zeros(ea, np.int32)
+            out_mask = np.zeros(ea, np.float32)
+            m = len(order2)
+            out_src[:m] = s_s[order2]
+            out_tgt[:m] = d_s[order2]
+            out_typ[:m] = t_s[order2]
+            out_mask[:m] = 1.0
+            common.update(edge_sources_all=out_src, edge_types_all=out_typ,
+                          edge_targets_all=out_tgt, edge_mask_all=out_mask)
+        return GraphBatch(**common)
 
     def _call_dense(self, raw_graphs: Sequence, annotation_size: int):
         # Dense bucketing re-orders graphs; tag each with its request

@@ -304,3 +304,148 @@ def test_server_warmup_with_non_zero_task_ids(tmp_path):
     server = PredictionServer(p, port=0)
     server.warmup()  # used to IndexError: targets list sized by count
     server.shutdown()
+
+
+def test_single_graph_fast_pack_bit_identical(trained):
+    """The batch-of-one fast pack (Predictor._pack_single_sparse) must be
+    BIT-identical, leaf for leaf, to the general corpus pipeline on the
+    same request — across random molecules, with and without the
+    combined lane, tied and untied — so the latency path can never
+    drift from the trained semantics."""
+    import dataclasses
+
+    from ggnn_tpu.native import native_available
+
+    predictor = Predictor.from_checkpoint(
+        trained.best_model_file, "sparse", max_nodes=64, max_graphs=4)
+    ann = 5
+
+    def assert_batches_equal(fast, slow, ctx):
+        for field in dataclasses.fields(fast):
+            a = getattr(fast, field.name)
+            b = getattr(slow, field.name)
+            assert (a is None) == (b is None), (ctx, field.name)
+            if a is not None:
+                a, b = np.asarray(a), np.asarray(b)
+                assert a.dtype == b.dtype, (ctx, field.name)
+                np.testing.assert_array_equal(
+                    a, b, err_msg=f"{ctx}: {field.name}")
+
+    import os
+
+    had_native = native_available()
+    for seed in range(20):
+        mol = synthetic_molecules(1, seed=200 + seed)
+        fast = predictor._pack_single_sparse(mol[0], ann)
+        slow = list(predictor._batches(mol, ann))
+        assert len(slow) == 1
+        assert_batches_equal(fast, slow[0], f"seed {seed}")
+        if had_native:
+            # The numpy fallback must agree exactly with the C kernel
+            # (get_lib() re-reads the env var, so this flips the path).
+            os.environ["GGNN_TPU_NO_NATIVE"] = "1"
+            try:
+                fallback = predictor._pack_single_sparse(mol[0], ann)
+            finally:
+                del os.environ["GGNN_TPU_NO_NATIVE"]
+            assert_batches_equal(fallback, slow[0], f"numpy seed {seed}")
+
+    # __call__ engages the fast path for 1-graph requests and must give
+    # the same numbers as the same molecule inside a larger request.
+    m2 = synthetic_molecules(2, seed=300)
+    both = predictor(m2)
+    one = predictor([m2[0]])
+    np.testing.assert_allclose(one[:, 0], both[:, 0], rtol=1e-6, atol=1e-7)
+
+    # Label-free request graphs (no "targets" key) must serve fine.
+    bare = dict(m2[0])
+    bare.pop("targets")
+    out = predictor([bare])
+    np.testing.assert_allclose(out[:, 0], both[:, 0], rtol=1e-6, atol=1e-7)
+
+    # Envelope violations fail loudly, like the general packer.
+    big = synthetic_molecules(1, seed=301)[0]
+    tiny = Predictor.from_checkpoint(
+        trained.best_model_file, "sparse", max_nodes=4, max_graphs=2)
+    with pytest.raises(ValueError, match="exceeds"):
+        tiny([big])
+
+
+def test_single_graph_fast_pack_untied(tmp_path):
+    """Bit-identity holds for untied fwd/bkwd types (T doubled, backward
+    edges in slots num_fwd + t)."""
+    import dataclasses
+
+    cfg = default_params_for("sparse")
+    cfg.update({"hidden_size": 16, "num_epochs": 1, "batch_size": 300,
+                "tie_fwd_bkwd": False})
+    runner = Runner("sparse", cfg, log_dir=str(tmp_path), quiet=True,
+                    tensorboard=False,
+                    train_data=synthetic_molecules(40, seed=0),
+                    valid_data=synthetic_molecules(10, seed=1))
+    runner.train()
+    predictor = Predictor.from_checkpoint(
+        runner.best_model_file, "sparse", max_nodes=64, max_graphs=4)
+    for seed in range(8):
+        mol = synthetic_molecules(1, seed=400 + seed)
+        fast = predictor._pack_single_sparse(mol[0], 5)
+        slow = list(predictor._batches(mol, 5))[0]
+        for field in dataclasses.fields(fast):
+            a, b = getattr(fast, field.name), getattr(slow, field.name)
+            if a is not None:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                              err_msg=field.name)
+    out = predictor([synthetic_molecules(1, seed=402)[0]])
+    assert np.isfinite(out).all()
+
+
+def test_prediction_server_concurrent_single_and_microbatched(trained):
+    """Batch-of-one requests (the fast pack) racing envelope-exceeding
+    requests (micro-batched inside the Predictor) through the server:
+    every client must get exactly the answer it would get alone."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from ggnn_tpu.server import PredictionServer
+
+    predictor = Predictor.from_checkpoint(
+        trained.best_model_file, "sparse", max_nodes=96, max_graphs=8)
+    server = PredictionServer(predictor, port=0)
+    server.warmup()
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    # Odd clients send 1 graph (fast path); even clients send 24 graphs
+    # (multiple micro-batches at this envelope).
+    payloads = [synthetic_molecules(1 if i % 2 else 24, seed=500 + i)
+                for i in range(6)]
+    want = [np.asarray(predictor(p)) for p in payloads]
+    got = [None] * len(payloads)
+    errors = []
+
+    def client(i):
+        try:
+            req = urllib.request.Request(
+                f"{base}/predict",
+                data=_json.dumps({"graphs": payloads[i]}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                got[i] = np.asarray(_json.load(r)["outputs"])
+        except Exception as exc:
+            errors.append((i, exc))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(payloads))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        for i, (g, w) in enumerate(zip(got, want)):
+            assert g is not None, i
+            np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-7,
+                                       err_msg=f"client {i}")
+    finally:
+        server.shutdown()
