@@ -14,6 +14,10 @@ from ggnn_tpu.data import async_schedule
 from ggnn_tpu.data import native_pack
 from ggnn_tpu.data.loader import DatasetMeta
 from ggnn_tpu.native import native_available
+from ggnn_tpu.models.async_ggnn import AsyncGGNN
+from ggnn_tpu.models.dense_ggnn import DenseGGNN
+from ggnn_tpu.models.gcn import GCN
+from ggnn_tpu.models.sparse_ggnn import SparseGGNN
 
 
 def _use_native(config: Dict) -> bool:
@@ -59,10 +63,6 @@ def _maybe_warn_tpu_node_budget(config: Dict, key: str = "batch_size",
     print("HINT: node budget %s=%d packs >%dk-node batches; on TPU %s "
           "and benchmarks/README.md)."
           % (key, config[key], cap // 1000, hint))
-from ggnn_tpu.models.async_ggnn import AsyncGGNN
-from ggnn_tpu.models.dense_ggnn import DenseGGNN
-from ggnn_tpu.models.gcn import GCN
-from ggnn_tpu.models.sparse_ggnn import SparseGGNN
 
 
 class SparseAdapter:

@@ -350,6 +350,29 @@ def test_single_graph_fast_pack_bit_identical(trained):
                 del os.environ["GGNN_TPU_NO_NATIVE"]
             assert_batches_equal(fallback, slow[0], f"numpy seed {seed}")
 
+    # Adversarial shapes: self-loop, duplicate edge, edgeless graph,
+    # single node — identical through both paths.
+    adversarial = [
+        {"targets": [[0.1]], "node_features": [[1, 0, 0, 0, 0]] * 3,
+         "graph": [[0, 1, 1], [1, 2, 2], [2, 3, 2]]},
+        {"targets": [[0.2]], "node_features": [[0, 1, 0, 0, 0]] * 2,
+         "graph": [[0, 1, 1], [0, 1, 1], [1, 1, 1]]},  # dup + self-loop
+        {"targets": [[0.3]], "node_features": [[0, 0, 1, 0, 0]] * 2,
+         "graph": []},
+        {"targets": [[0.4]], "node_features": [[0, 0, 0, 1, 0]],
+         "graph": []},
+    ]
+    for i, graph in enumerate(adversarial):
+        fast = predictor._pack_single_sparse(graph, ann)
+        slow = list(predictor._batches([graph], ann))[0]
+        assert_batches_equal(fast, slow, f"adversarial {i}")
+
+    # Malformed vertex ids must raise, never write out of bounds.
+    with pytest.raises((ValueError, IndexError)):
+        predictor([{"targets": [[0.0]],
+                    "node_features": [[1, 0, 0, 0, 0]] * 2,
+                    "graph": [[0, 1, 7]]}])
+
     # __call__ engages the fast path for 1-graph requests and must give
     # the same numbers as the same molecule inside a larger request.
     m2 = synthetic_molecules(2, seed=300)

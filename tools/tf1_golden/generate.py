@@ -47,7 +47,8 @@ FIXTURE_DIR = os.path.join(REPO, "tests", "fixtures", "tf1")
 # Cases that additionally dump weights after TRAJECTORY_STEPS Adam steps
 # on the first valid batch (all keep-probs 1.0, so fully deterministic).
 TRAJECTORY_STEPS = 10
-TRAJECTORY_CASES = ("sparse_default", "dense_default", "async_default")
+TRAJECTORY_CASES = ("sparse_default", "dense_default", "async_default",
+                    "gcn_default")
 
 # keep-probs pinned to 1.0 so every fixture (including the Adam step) is
 # deterministic; everything else is the reference default unless stated.
