@@ -651,10 +651,13 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
     per-(graph, step, type) loop remains as the fallback/oracle."""
     flat_ok = (
         use_flat is not False
-        and processed
-        and processed[0].get("flat_schedules") is not None
-        and processed[0]["flat_schedules"].counts_st.shape
-            == (propagation_rounds, propagation_substeps, num_edge_types))
+        and bool(processed)
+        # EVERY graph must carry a matching flat table — same check the
+        # planner makes; a heterogeneous corpus (mixed configs, stripped
+        # tables) falls back to the legacy loop instead of crashing on
+        # graph k mid-epoch.
+        and _all_flat_compatible([processed], propagation_rounds,
+                                 propagation_substeps, num_edge_types))
     packer = _pack_async_batches_flat if flat_ok else _pack_async_batches_loop
     return packer(processed, num_edge_types, node_budget, caps,
                   propagation_rounds, propagation_substeps, hidden_size,

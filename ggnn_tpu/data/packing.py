@@ -413,6 +413,15 @@ def preprocess_dense(raw_data: Sequence[Any], num_edge_types: int,
         max_vertex = max((v for e in d["graph"] for v in (e[0], e[2])),
                          default=-1)
         n_active = len(d["node_features"])
+        if max_vertex >= n_active:
+            # Same contract as FlatCorpus.from_raw (native_pack.py): an
+            # edge referencing a vertex without a feature row is corrupt
+            # input, not a padding request. (The TF1 reference silently
+            # pads such phantoms with zero features and mask 0 —
+            # dense.py:139-151 — but never sees one on real QM9.)
+            raise ValueError(
+                f"graph {graph_id}: edge vertex id {max_vertex} >= "
+                f"number of node-feature rows {n_active}")
         # Bucket by the number of rows actually written, not just the max
         # edge-referenced vertex: a graph with isolated trailing nodes
         # (feature rows beyond the last edge endpoint) must still fit.

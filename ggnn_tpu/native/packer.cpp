@@ -222,6 +222,9 @@ int32_t pack_single_sparse(
   // are tiny; the python caller falls back past this).
   if (node_capacity >= (1 << 21) || num_edge_types >= (1 << 21))
     return -4;
+  // Feature geometry: annotations must fit the hidden rows we memcpy
+  // into, and the real node count must fit the arrays.
+  if (annotation_size > hidden_size || n > node_capacity) return -6;
   const int64_t m = n_edges * 2;  // directed edges after doubling
   if (edges_all_cap > 0 && m > edges_all_cap) return -2;
   // (type, target, source) rows, sorted once; the per-type lanes are

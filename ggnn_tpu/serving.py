@@ -305,6 +305,10 @@ class Predictor:
         if rc == -5:
             raise ValueError(
                 f"edge vertex id out of range [0, {n}) in request graph")
+        if rc == -6:
+            raise ValueError(
+                f"request feature width {annotation_size} exceeds the "
+                f"model hidden size {hidden}")
         if rc != 0:
             raise ValueError(
                 f"graph with {2 * len(edges)} directed edges exceeds "
@@ -362,6 +366,10 @@ class Predictor:
         if raw_t.size and not (1 <= raw_t.min() and raw_t.max() <= num_fwd):
             bad = raw_t[(raw_t < 1) | (raw_t > num_fwd)][0]
             raise ValueError(f"edge type {bad} out of range [1, {num_fwd}]")
+        ends = edges[:, (0, 2)]
+        if ends.size and not (0 <= ends.min() and ends.max() < n):
+            raise ValueError(
+                f"edge vertex id out of range [0, {n}) in request graph")
         src = np.concatenate([edges[:, 0], edges[:, 2]])
         dst = np.concatenate([edges[:, 2], edges[:, 0]])
         typ = np.concatenate([raw_t - 1,

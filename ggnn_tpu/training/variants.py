@@ -207,7 +207,10 @@ class GCNAdapter:
             is_training, rng)
 
     def plan(self, *processed_lists):
-        _maybe_warn_tpu_node_budget(self.config)
+        _maybe_warn_tpu_node_budget(
+            self.config,
+            hint="~20k nodes/batch is ~1.6x faster per graph "
+                 "(flat below 20k; see configs/sparse_tpu.json")
         caps = [packing.plan_gcn_capacities(
                     p, self.config["batch_size"],
                     margin=self.config.get("pack_margin"))

@@ -383,3 +383,42 @@ def test_async_nested_schedule_roundtrip_and_planner_robustness():
     broken[3]["flat_schedules"] = None
     caps_fallback = asn.plan_async_capacities_multi([broken], 4, 500, 4)
     assert caps_fallback == caps_plain
+
+
+def test_dense_preprocess_rejects_phantom_vertices():
+    """Both dense-family preprocessors must reject an edge that references
+    a vertex with no feature row — the FlatCorpus.from_raw contract — with
+    a descriptive error, not a silent zero-pad or a bare IndexError."""
+    import pytest
+    from ggnn_tpu.data.packing import preprocess_gcn_dense
+
+    bad = [{"targets": [[0.1]], "graph": [[0, 1, 3]],  # vertex 3, 2 rows
+            "node_features": [[1, 0], [0, 1]]}]
+    with pytest.raises(ValueError, match="vertex id 3"):
+        preprocess_dense(bad, 2, True, [0], {}, False)
+    with pytest.raises(ValueError, match="vertex id 3"):
+        preprocess_gcn_dense(bad, [0], {}, False)
+
+
+def test_async_packer_falls_back_on_heterogeneous_corpus():
+    """pack_async_batches must take the legacy loop (not crash mid-epoch)
+    when any graph lacks a matching flat table — same contract the
+    planner has."""
+    from ggnn_tpu.data import async_schedule as asn
+
+    data = synthetic_molecules(20, seed=17)
+    proc = asn.preprocess_async(data, 4, True, 4, 40, [0], {}, False)
+    broken = [dict(g) for g in proc]
+    asn.get_prop_schedules(broken[7])  # materialize nested for fallback
+    broken[7]["flat_schedules"] = None
+    caps = asn.plan_async_capacities_multi([broken], 4, 500, 4)
+    batches = list(asn.pack_async_batches(broken, 4, 500, caps, 4, 40,
+                                          16, 5, False))
+    want = list(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                       16, 5, False))
+    assert len(batches) == len(want)
+    for a, b in zip(batches, want):
+        np.testing.assert_array_equal(np.asarray(a.node_features),
+                                      np.asarray(b.node_features))
+        np.testing.assert_array_equal(np.asarray(a.targets),
+                                      np.asarray(b.targets))
