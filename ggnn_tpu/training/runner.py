@@ -382,8 +382,9 @@ class Runner:
             raise RuntimeError(
                 f"{epoch_name}: no batches produced — with the dense "
                 "variant's reference-compatible remainder dropping, every "
-                "bucket needs at least batch_size graphs (pass "
-                "adapter_kwargs={'drop_remainder': False} to process all).")
+                "bucket needs at least batch_size graphs (set config "
+                "\"drop_remainder\": false — or use the `blocked` variant "
+                "— to process all).")
         accuracies = np.sum(accumulated, axis=0) / processed_graphs
         mean_loss = total_loss / processed_graphs
         error_ratios = accuracies / chem_acc

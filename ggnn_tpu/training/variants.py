@@ -133,9 +133,14 @@ class DenseAdapter:
     name = "dense"
 
     def __init__(self, config: Dict, meta: DatasetMeta,
-                 drop_remainder: bool = True):
+                 drop_remainder: Optional[bool] = None):
         self.config = config
         self.meta = meta
+        # Config key so CLI users can disable the reference's silent
+        # bucket-remainder dropping (chem_tensorflow_dense.py:160)
+        # without library access; the kwarg (tests/serving) wins.
+        if drop_remainder is None:
+            drop_remainder = bool(config.get("drop_remainder", True))
         self.drop_remainder = drop_remainder
         self.bucket_sizes = None
 

@@ -385,6 +385,31 @@ def test_async_nested_schedule_roundtrip_and_planner_robustness():
     assert caps_fallback == caps_plain
 
 
+def test_dense_adapter_drop_remainder_config_key():
+    """CLI users can only reach the adapter through config — the
+    `drop_remainder` key must control the reference's silent
+    bucket-remainder dropping (the explicit kwarg still wins)."""
+    from ggnn_tpu.data.loader import infer_metadata
+    from ggnn_tpu.training.config import default_params_for
+    from ggnn_tpu.training.variants import make_adapter
+
+    data = synthetic_molecules(30, seed=3)
+    meta = infer_metadata([data], tie_fwd_bkwd=True)
+    cfg = default_params_for("dense")
+    cfg["batch_size"] = 256  # reference default >> 30 graphs
+
+    assert make_adapter("dense", cfg, meta).drop_remainder is True
+    cfg["drop_remainder"] = False
+    adapter = make_adapter("dense", cfg, meta)
+    assert adapter.drop_remainder is False
+    proc = adapter.preprocess(data, False)
+    batches = list(adapter.batches(proc, False))
+    assert sum(int(b.num_graphs) for b in batches) == 30
+    # Explicit kwarg beats the config key (library/serving callers).
+    assert make_adapter("dense", cfg, meta,
+                        drop_remainder=True).drop_remainder is True
+
+
 def test_dense_preprocess_rejects_phantom_vertices():
     """Both dense-family preprocessors must reject an edge that references
     a vertex with no feature row — the FlatCorpus.from_raw contract — with
