@@ -95,11 +95,47 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Drop into pdb.post_mortem on any exception (the "
                         "reference CLIs' behavior, e.g. "
                         "chem_tensorflow_sparse.py:386-389).")
+    p.add_argument("--export-artifact", default=None, metavar="PATH",
+                   help="With --restore: write a .ggnnx deployment "
+                        "artifact (pinned StableHLO + weights; see "
+                        "ggnn_tpu/export.py) instead of training. Serve "
+                        "it with `python -m ggnn_tpu.server --checkpoint "
+                        "PATH` or ggnn_tpu.export.load_predictor.")
+    p.add_argument("--export-max-nodes", type=int, default=2048,
+                   help="Serving envelope for --export-artifact "
+                        "(edge-list/async variants).")
+    p.add_argument("--export-max-graphs", type=int, default=256,
+                   help="Serving envelope for --export-artifact.")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.export_artifact is not None:
+        if args.restore is None:
+            print("--export-artifact requires --restore CHECKPOINT",
+                  file=sys.stderr)
+            return 2
+        try:
+            from ggnn_tpu.export import export_predictor
+            from ggnn_tpu.serving import Predictor
+            predictor = Predictor.from_checkpoint(
+                args.restore, args.variant,
+                max_nodes=args.export_max_nodes,
+                max_graphs=args.export_max_graphs)
+            out = export_predictor(predictor, args.export_artifact)
+            if not args.quiet:
+                print(f"wrote {out} ({os.path.getsize(out)} bytes, "
+                      f"platforms cpu+tpu)")
+            return 0
+        except Exception:
+            traceback.print_exc()
+            if args.pdb:
+                import pdb
+                pdb.post_mortem()
+            return 1
+
     config = resolve_config(args.variant, args.config_file, args.config)
 
     train_data = valid_data = None

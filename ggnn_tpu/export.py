@@ -1,0 +1,230 @@
+"""Deployment artifacts: Predictor -> pinned StableHLO + weights.
+
+The reference has no deployment story — its only inference path rebuilds
+the full training graph in-process (chem_tensorflow_sparse.py:364-376).
+This module makes serving an *artifact* concern, the standard TPU
+production shape (analogous to a TF SavedModel, but via `jax.export`
+StableHLO serialization):
+
+  * `export_predictor(predictor, path)` writes one `.ggnnx` zip: the
+    serialized device computation (one `jax.export` function per packed
+    batch shape — the envelope shape for edge-list/async variants, one
+    per bucket for the dense family), the checkpoint weights, and the
+    packing metadata needed to serve;
+  * `load_predictor(path)` returns an `ExportedPredictor`: the same host
+    pipeline (native packers, micro-batching, request validation) but
+    the device math is the PINNED StableHLO — later edits to
+    `ggnn_tpu/models` or `ggnn_tpu/ops` cannot change what a deployed
+    artifact computes (tests/test_export.py proves it by sabotaging the
+    live model after export);
+  * artifacts lower for BOTH cpu and tpu by default, so one exported on
+    a CPU-only CI host serves on TPU chips unchanged (and vice versa);
+    `jax.export` carries StableHLO's forward-compatibility guarantees
+    across jax releases.
+
+Format (`.ggnnx` = zip):
+    meta.json     format_version, variant, config, dataset meta,
+                  envelope, platforms, shape-signature -> fn file map
+    params.pkl    checkpoint weights (numpy pytree pickle)
+    fn_<i>.bin    jax.export serialization, one per batch shape
+"""
+
+import dataclasses
+import io
+import json
+import pickle
+import zipfile
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+from jax import export as jax_export
+
+from ggnn_tpu.data.loader import DatasetMeta
+from ggnn_tpu.serving import _DENSE_FAMILY, Predictor
+
+_FORMAT_VERSION = 1
+
+
+def _register_batch_serialization():
+    """Teach jax.export to (de)serialize the batch pytree dataclasses.
+    All of them carry empty auxdata (no meta fields), so the auxdata
+    codec is trivial; `serialized_name` is the stable wire identifier
+    an artifact reader must know."""
+    import ggnn_tpu.graph as graph_mod
+
+    for name in ("GraphBatch", "DenseGraphBatch", "GCNGraphBatch",
+                 "AsyncGraphBatch", "AsyncSegment", "ELLGraphBatch"):
+        cls = getattr(graph_mod, name)
+        try:
+            jax_export.register_pytree_node_serialization(
+                cls,
+                serialized_name=f"ggnn_tpu.graph.{name}",
+                serialize_auxdata=lambda aux: b"",
+                deserialize_auxdata=lambda b: ())
+        except ValueError:
+            pass  # already registered (re-import)
+
+
+_register_batch_serialization()
+
+
+def _batch_signature(batch) -> Tuple:
+    """Hashable (shape, dtype) tuple over the batch pytree's leaves —
+    the dispatch key between packed batches and exported functions.
+    The treedef itself is fixed per variant, so leaves suffice."""
+    leaves = jax.tree_util.tree_leaves(batch)
+    return tuple(
+        (tuple(np.shape(l)),
+         # getattr first: np.asarray on a device array would pull it
+         # to host just to read the dtype.
+         str(getattr(l, "dtype", None) or np.asarray(l).dtype))
+        for l in leaves)
+
+
+def _sig_to_json(sig: Tuple) -> List:
+    return [[list(shape), dtype] for shape, dtype in sig]
+
+
+def _sig_from_json(data: List) -> Tuple:
+    return tuple((tuple(shape), dtype) for shape, dtype in data)
+
+
+def _dummy_graph(n_nodes: int, annotation_size: int, n_tasks: int) -> Dict:
+    """A minimal valid request graph: a chain of `n_nodes` vertices with
+    type-1 edges (valid for any num_edge_types >= 1)."""
+    return {
+        "targets": [[0.0] for _ in range(n_tasks)],
+        "graph": [[i, 1, i + 1] for i in range(n_nodes - 1)],
+        "node_features": [[1.0] * annotation_size for _ in range(n_nodes)],
+    }
+
+
+def _example_batches(predictor: Predictor) -> List:
+    """One packed batch per distinct device shape the predictor can
+    produce: the single envelope shape for edge-list/async variants,
+    one per bucket for the dense family (the bucket table IS the
+    shape set — serving compiles nothing else)."""
+    n_tasks = max(predictor.task_ids) + 1
+    ann = 1  # packed feature rows are padded to hidden: width-independent
+    if predictor.variant in _DENSE_FAMILY:
+        from ggnn_tpu.data.packing import DENSE_BUCKET_SIZES
+        sizes = predictor.config.get("dense_bucket_sizes")
+        sizes = (np.asarray(sizes) if sizes is not None
+                 else DENSE_BUCKET_SIZES)
+        graphs = [_dummy_graph(int(v), ann, n_tasks) for v in sizes]
+        processed = predictor.adapter.preprocess(graphs, False)
+        # Same per-request meta override _call_dense performs: the
+        # packer validates the corpus feature width against it. Batch
+        # SHAPES are width-independent (features pad to hidden).
+        predictor.adapter.meta = DatasetMeta(
+            max_num_vertices=predictor.meta.max_num_vertices,
+            num_edge_types=predictor.meta.num_edge_types,
+            annotation_size=ann)
+        return list(predictor.adapter.batches(processed, False))
+    return list(predictor._batches([_dummy_graph(2, ann, n_tasks)], ann))
+
+
+def export_predictor(predictor: Predictor, path: str,
+                     platforms: Sequence[str] = ("cpu", "tpu")) -> str:
+    """Serialize `predictor`'s device computation + weights to `path`.
+
+    Lowers (does not compile) one function per batch shape for every
+    platform in `platforms`; the artifact then serves on any of them.
+    Returns `path`.
+    """
+    params = jax.device_get(predictor.params)
+    entries = []
+    blobs = []
+    seen = set()
+    for batch in _example_batches(predictor):
+        sig = _batch_signature(batch)
+        if sig in seen:
+            continue
+        seen.add(sig)
+        spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a),
+                                           np.asarray(a).dtype),
+            (params, batch))
+        exported = jax_export.export(
+            predictor._forward, platforms=tuple(platforms))(*spec)
+        fname = f"fn_{len(blobs)}.bin"
+        entries.append({"sig": _sig_to_json(sig), "file": fname})
+        blobs.append(exported.serialize())
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "variant": predictor.variant,
+        "config": predictor.config,
+        "dataset_meta": dataclasses.asdict(predictor.meta),
+        "max_nodes": predictor.max_nodes,
+        "max_graphs": predictor.max_graphs,
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "functions": entries,
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("meta.json", json.dumps(meta, indent=1))
+        z.writestr("params.pkl", pickle.dumps(params))
+        for entry, blob in zip(entries, blobs):
+            z.writestr(entry["file"], blob)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+    return path
+
+
+class ExportedPredictor(Predictor):
+    """A Predictor whose device math is pinned StableHLO from a
+    `.ggnnx` artifact. Host-side behavior (packing, validation,
+    micro-batching, bucket scatter) is inherited; `_build_forward`
+    swaps the live jitted model for a shape-dispatched call into the
+    deserialized functions. `self.model` stays None — artifact serving
+    never constructs model code."""
+
+    def __init__(self, variant: str, config: Dict, meta: DatasetMeta,
+                 state: Dict, exported_fns: Dict, max_nodes: int,
+                 max_graphs: int):
+        self._exported_fns = {
+            sig: jax.jit(fn.call) for sig, fn in exported_fns.items()
+        }
+        super().__init__(variant, config, meta, state,
+                         max_nodes=max_nodes, max_graphs=max_graphs)
+
+    def _build_forward(self):
+        self.model = None
+
+        def forward(params, batch):
+            sig = _batch_signature(batch)
+            fn = self._exported_fns.get(sig)
+            if fn is None:
+                shapes = sorted(str([s for s, _ in k])
+                                for k in self._exported_fns)
+                raise ValueError(
+                    "packed batch shape not present in the artifact "
+                    f"(got {[s for s, _ in sig]}; artifact has "
+                    f"{shapes}). Re-export with an envelope/bucket "
+                    "table covering this request.")
+            return fn(params, batch)
+
+        self._forward = forward
+
+
+def load_predictor(path: str) -> ExportedPredictor:
+    """Open a `.ggnnx` artifact written by `export_predictor`."""
+    with zipfile.ZipFile(path, "r") as z:
+        meta = json.loads(z.read("meta.json"))
+        if meta.get("format_version") != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported artifact format_version "
+                f"{meta.get('format_version')} (this build reads "
+                f"{_FORMAT_VERSION})")
+        params = pickle.loads(z.read("params.pkl"))
+        fns = {}
+        for entry in meta["functions"]:
+            fns[_sig_from_json(entry["sig"])] = jax_export.deserialize(
+                bytearray(z.read(entry["file"])))
+    dmeta = DatasetMeta(**meta["dataset_meta"])
+    return ExportedPredictor(
+        meta["variant"], meta["config"], dmeta, {"params": params},
+        fns, meta["max_nodes"], meta["max_graphs"])

@@ -143,8 +143,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Serve a ggnn_tpu checkpoint over HTTP")
     parser.add_argument("--checkpoint", required=True,
-                        help="framework pickle/Orbax dir or a reference "
-                             "TF1 pickle")
+                        help="framework pickle/Orbax dir, a reference "
+                             "TF1 pickle, or a .ggnnx deployment "
+                             "artifact (ggnn_tpu.export)")
     parser.add_argument("--variant", default="sparse")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8099)
@@ -153,9 +154,17 @@ def main(argv=None):
     parser.add_argument("--annotation-size", type=int, default=None)
     args = parser.parse_args(argv)
 
-    predictor = Predictor.from_checkpoint(
-        args.checkpoint, args.variant, max_nodes=args.max_nodes,
-        max_graphs=args.max_graphs, annotation_size=args.annotation_size)
+    if args.checkpoint.endswith(".ggnnx"):
+        # Deployment artifact: variant/envelope are baked in; the device
+        # math is the pinned StableHLO, not the live model code.
+        from ggnn_tpu.export import load_predictor
+        predictor = load_predictor(args.checkpoint)
+        args.variant = predictor.variant
+    else:
+        predictor = Predictor.from_checkpoint(
+            args.checkpoint, args.variant, max_nodes=args.max_nodes,
+            max_graphs=args.max_graphs,
+            annotation_size=args.annotation_size)
     server = PredictionServer(predictor, host=args.host, port=args.port)
     print(f"warming up ({args.variant}, envelope {args.max_nodes} nodes / "
           f"{args.max_graphs} graphs)...", flush=True)

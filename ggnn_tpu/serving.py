@@ -111,7 +111,6 @@ class Predictor:
         self.max_graphs = max_graphs
         kwargs = {"drop_remainder": False} if variant in _DENSE_FAMILY else {}
         self.adapter = make_adapter(variant, self.config, meta, **kwargs)
-        self.model = self.adapter.build_model()
         self.params = state["params"]
         if variant in ("sparse", "rgcn", "gcn"):
             self.caps = packing.PackCapacities(
@@ -131,6 +130,15 @@ class Predictor:
                 receiving_nodes=max_nodes,
             )
             self.adapter.caps = self.caps
+
+        self._build_forward()
+
+    def _build_forward(self):
+        """Compile the live model. `ggnn_tpu.export.ExportedPredictor`
+        overrides this to dispatch to pinned StableHLO functions
+        instead — everything else (packing, micro-batching, envelope
+        checks) is shared."""
+        self.model = self.adapter.build_model()
 
         def forward(params, batch):
             final = self.model.forward(params["graph"], batch)
