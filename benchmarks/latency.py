@@ -62,22 +62,25 @@ def main():
     # Device forward latency: chain on device, difference run lengths.
     import dataclasses
 
-    def many(params, n):
-        def body(i, acc):
-            # True data dependence so XLA cannot hoist the forward.
-            b2 = dataclasses.replace(
-                batch, node_features=batch.node_features + acc * 1e-20)
-            out = p._forward(params, b2)
-            return acc + jnp.sum(out) * 1e-9
-        return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
+    def measure_device(forward):
+        def many(params, n):
+            def body(i, acc):
+                # True data dependence so XLA cannot hoist the forward.
+                b2 = dataclasses.replace(
+                    batch, node_features=batch.node_features + acc * 1e-20)
+                out = forward(params, b2)
+                return acc + jnp.sum(out) * 1e-9
+            return jax.lax.fori_loop(0, n, body, jnp.zeros(()))
 
-    g = jax.jit(many, static_argnums=1)
-    float(g(p.params, 3))
-    # Large iteration counts: the tunnel's ~30ms dispatch noise must be
-    # small against the differenced delta for a ~30us forward.
-    t0 = time.time(); float(g(p.params, 100)); t1 = time.time()
-    t2 = time.time(); float(g(p.params, 4100)); t3 = time.time()
-    device_us = ((t3 - t2) - (t1 - t0)) / 4000 * 1e6
+        g = jax.jit(many, static_argnums=1)
+        float(g(p.params, 3))
+        # Large iteration counts: the tunnel's ~30ms dispatch noise must
+        # be small against the differenced delta for a ~30us forward.
+        t0 = time.time(); float(g(p.params, 100)); t1 = time.time()
+        t2 = time.time(); float(g(p.params, 4100)); t3 = time.time()
+        return ((t3 - t2) - (t1 - t0)) / 4000 * 1e6
+
+    device_us = measure_device(p._forward)
 
     # End-to-end wall (transport included).
     t0 = time.time()
@@ -89,6 +92,21 @@ def main():
           f" | host fast pack {fast_us:.0f} us"
           f" (corpus pipeline {pack_ms*1e3:.0f} us)"
           f" | end-to-end (tunneled transport) {wall_ms:.1f} ms")
+
+    # Deployment-artifact path (ggnn_tpu/export.py): same forward as
+    # pinned StableHLO — measures what the exported-call indirection
+    # costs on the serving path (expected: nothing).
+    from ggnn_tpu.export import export_predictor, load_predictor
+    ep = load_predictor(export_predictor(p, "/tmp/latency_bench/m.ggnnx"))
+    art_out = ep(mol)
+    assert np.allclose(out, art_out, rtol=1e-6, atol=1e-7)
+    art_device_us = measure_device(ep._forward)
+    t0 = time.time()
+    for _ in range(10):
+        ep(mol)
+    art_wall_ms = (time.time() - t0) / 10 * 1e3
+    print(f"  .ggnnx artifact: device forward {art_device_us:.0f} us"
+          f" | end-to-end {art_wall_ms:.1f} ms (outputs identical)")
 
 
 if __name__ == "__main__":

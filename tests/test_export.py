@@ -89,6 +89,40 @@ def test_dense_family_buckets_and_request_order(tmp_path):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.fixture(scope="module")
+def exported_pair(artifact):
+    path, live = artifact
+    return live, load_predictor(path)
+
+
+def test_property_random_requests_match(exported_pair):
+    """Hypothesis sweep: for random request graphs inside the envelope,
+    the artifact and the live model agree (packing dispatch included)."""
+    from hypothesis import given, settings, strategies as st
+
+    live, exported = exported_pair
+
+    @st.composite
+    def requests(draw):
+        graphs = []
+        for _ in range(draw(st.integers(1, 4))):
+            n = draw(st.integers(2, 12))
+            edges = [[draw(st.integers(0, n - 1)), draw(st.integers(1, 3)),
+                      draw(st.integers(0, n - 1))]
+                     for _ in range(draw(st.integers(1, 16)))]
+            graphs.append({"targets": [[0.0]], "graph": edges,
+                           "node_features": [[1.0, 0.0]] * n})
+        return graphs
+
+    @settings(max_examples=20, deadline=None)
+    @given(requests())
+    def check(mols):
+        np.testing.assert_allclose(exported(mols), live(mols),
+                                   rtol=1e-6, atol=1e-7)
+
+    check()
+
+
 def test_unknown_batch_shape_is_a_clear_error(artifact):
     path, _ = artifact
     exported = load_predictor(path)
