@@ -25,14 +25,17 @@ StableHLO serialization):
 Format (`.ggnnx` = zip):
     meta.json     format_version, variant, config, dataset meta,
                   envelope, platforms, shape-signature -> fn file map
-    params.pkl    checkpoint weights (numpy pytree pickle)
+    params.npz    checkpoint weights; each entry's name is the
+                  JSON-encoded pytree path (dict keys / list indices),
+                  so loading never unpickles — a .ggnnx from an
+                  untrusted source cannot execute code on load
+                  (np.load runs with allow_pickle=False)
     fn_<i>.bin    jax.export serialization, one per batch shape
 """
 
 import dataclasses
 import io
 import json
-import pickle
 import zipfile
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -44,7 +47,54 @@ from jax import export as jax_export
 from ggnn_tpu.data.loader import DatasetMeta
 from ggnn_tpu.serving import _DENSE_FAMILY, Predictor
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: params.npz (pickle-free); v1 (params.pkl) retired
+
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    """Nested dict/list pytree of arrays -> {json-path: array}. The
+    param trees here are plain dicts and lists (models/*.py
+    init_params), so a (key|index)* path is a complete address."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for path, leaf in flat:
+        parts = []
+        for p in path:
+            if isinstance(p, jax.tree_util.DictKey):
+                parts.append(str(p.key))
+            elif isinstance(p, jax.tree_util.SequenceKey):
+                parts.append(p.idx)
+            else:
+                raise TypeError(
+                    f"unsupported params container at {path}: {p!r} "
+                    "(.ggnnx stores dict/list pytrees only)")
+        out[json.dumps(parts)] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]):
+    """Inverse of `_flatten_params`. Integer path components rebuild
+    lists (indices are asserted dense), strings rebuild dicts."""
+    root: Dict = {}
+    for key in sorted(flat):
+        parts = json.loads(key)
+        node = root
+        for i, p in enumerate(parts[:-1]):
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+
+    def materialize(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(isinstance(k, int) for k in node):
+            idxs = sorted(node)
+            if idxs != list(range(len(idxs))):
+                raise ValueError(f"non-dense list indices {idxs} in params")
+            return [materialize(node[i]) for i in idxs]
+        if any(isinstance(k, int) for k in node):
+            raise ValueError("mixed int/str keys in params path")
+        return {k: materialize(v) for k, v in node.items()}
+
+    return materialize(root)
 
 
 def _register_batch_serialization():
@@ -163,10 +213,12 @@ def export_predictor(predictor: Predictor, path: str,
         "jax_version": jax.__version__,
         "functions": entries,
     }
+    pbuf = io.BytesIO()
+    np.savez(pbuf, **_flatten_params(params))
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("meta.json", json.dumps(meta, indent=1))
-        z.writestr("params.pkl", pickle.dumps(params))
+        z.writestr("params.npz", pbuf.getvalue())
         for entry, blob in zip(entries, blobs):
             z.writestr(entry["file"], blob)
     with open(path, "wb") as f:
@@ -223,7 +275,9 @@ def load_predictor(path: str) -> ExportedPredictor:
                 f"unsupported artifact format_version "
                 f"{meta.get('format_version')} (this build reads "
                 f"{_FORMAT_VERSION})")
-        params = pickle.loads(z.read("params.pkl"))
+        with np.load(io.BytesIO(z.read("params.npz")),
+                     allow_pickle=False) as npz:
+            params = _unflatten_params({k: npz[k] for k in npz.files})
         fns = {}
         for entry in meta["functions"]:
             fns[_sig_from_json(entry["sig"])] = jax_export.deserialize(

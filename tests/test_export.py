@@ -149,6 +149,45 @@ def test_format_version_check(artifact, tmp_path):
         load_predictor(bad)
 
 
+def test_artifact_is_pickle_free(artifact):
+    """Loading a .ggnnx from an untrusted source must not be able to
+    execute code: weights travel as an npz of json-path-keyed arrays
+    (read with allow_pickle=False), never as a pickle."""
+    import zipfile
+
+    path, live = artifact
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+    assert "params.npz" in names
+    assert not [n for n in names if n.endswith(".pkl")]
+    # and the codec round-trips the live predictor's exact pytree
+    from ggnn_tpu.export import _flatten_params, _unflatten_params
+    import jax
+
+    host = jax.device_get(live.params)
+    rebuilt = _unflatten_params(_flatten_params(host))
+    assert (jax.tree_util.tree_structure(rebuilt)
+            == jax.tree_util.tree_structure(host))
+    for a, b in zip(jax.tree_util.tree_leaves(rebuilt),
+                    jax.tree_util.tree_leaves(host)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_params_codec_nested_lists():
+    from ggnn_tpu.export import _flatten_params, _unflatten_params
+
+    tree = {"layers": [{"w": np.arange(4.0).reshape(2, 2),
+                        "cell": {"k": np.ones(3, np.float32)}},
+                       {"w": np.zeros((1, 1))}],
+            "heads": {"7": [np.float64(2.5) * np.ones(2)]}}
+    out = _unflatten_params(_flatten_params(tree))
+    assert isinstance(out["layers"], list) and len(out["layers"]) == 2
+    np.testing.assert_array_equal(out["layers"][0]["cell"]["k"],
+                                  np.ones(3, np.float32))
+    assert out["layers"][0]["cell"]["k"].dtype == np.float32
+    np.testing.assert_array_equal(out["heads"]["7"][0], [2.5, 2.5])
+
+
 def test_cli_export_flag(trained, tmp_path):
     from ggnn_tpu.cli import main
 
