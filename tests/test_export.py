@@ -89,6 +89,36 @@ def test_dense_family_buckets_and_request_order(tmp_path):
                                rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("variant", ["gcn", "gcn_blocked", "dense", "async"])
+def test_every_variant_exports(variant, tmp_path):
+    """PARITY.md claims .ggnnx covers every variant; sparse/blocked are
+    pinned above — this drives the rest end-to-end (train -> export ->
+    load -> predict parity)."""
+    cfg = default_params_for(variant)
+    cfg.update({"hidden_size": 8, "num_epochs": 1})
+    if variant == "gcn":
+        cfg["batch_size"] = 300
+    elif variant == "async":
+        # synthetic molecules can exceed the reference's 15-substep
+        # schedule-depth cap at this corpus size
+        cfg.update({"num_nodes": 300, "propagation_substeps": 20})
+    else:
+        cfg.update({"batch_size": 8, "drop_remainder": False})
+    runner = Runner(variant, cfg, log_dir=str(tmp_path), quiet=True,
+                    tensorboard=False,
+                    train_data=synthetic_molecules(30, seed=0),
+                    valid_data=synthetic_molecules(10, seed=1))
+    runner.train()
+    live = Predictor.from_checkpoint(runner.best_model_file, variant,
+                                     max_nodes=128, max_graphs=16)
+    path = str(tmp_path / f"{variant}.ggnnx")
+    export_predictor(live, path)
+    exported = load_predictor(path)
+    mols = synthetic_molecules(5, seed=7)
+    np.testing.assert_allclose(exported(mols), live(mols),
+                               rtol=1e-6, atol=1e-7)
+
+
 @pytest.fixture(scope="module")
 def exported_pair(artifact):
     path, live = artifact
