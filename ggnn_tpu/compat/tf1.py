@@ -162,28 +162,42 @@ def dense_graph_params_from_tf1(weights: Dict[str, np.ndarray],
 
 
 def async_graph_params_from_tf1(weights: Dict[str, np.ndarray],
-                                config: Dict, num_edge_types: int) -> Dict:
+                                config: Dict, num_edge_types: int,
+                                slots: str = "effective") -> Dict:
     """Async GGNN weights (chem_tensorflow_async.py:112-129):
     per-type variables `graph_model/gnn_edge_weights_typ{t}` [H, H]
     (+ `gnn_edge_biases_typ{t}` [H]) and ONE cell created inside the
     round-0 scope (`graph_model/prop_round0/gru_cell/...`) and reused
     across rounds.
 
-    A type slot with no reference variable is filled with ZEROS: the
-    reference's off-by-one type quirk (async.py:264-266 — raw 1-based
-    bond types filtered against range(num_edge_types)) silently drops
-    max-type edges from messages while keeping their targets as
-    receivers; replaying its effective graph here shifts types up by
-    one, so slot T_ref holds the dropped type, and a zero weight makes
-    its messages vanish exactly like the reference's drop."""
+    The reference's off-by-one type quirk (async.py:264-266 — raw
+    1-based bond types filtered UNSHIFTED against range(num_edge_types))
+    means its effective routing is raw type r -> typ{r}, with typ0 never
+    receiving an edge and the max raw type's messages silently dropped
+    (targets stay receivers). `slots` picks how to reproduce that:
+
+    * "effective" (default — every real restore/serving path): this
+      framework's packers map raw type r to slot r-1, so slot t takes
+      typ{t+1}; the max type's slot has no reference variable and is
+      filled with ZEROS, making its messages vanish exactly like the
+      reference's drop. A standard 1-based corpus then replays the
+      reference's effective math with no graph rewriting.
+    * "raw": slot t takes typ{t} — for corpora whose edge types were
+      shifted up by one to mirror the reference host-side (the TF1
+      golden fixtures, tests/test_tf1_golden.py:_async_quirk_mirror,
+      which also grow num_edge_types by one so slot T_ref is the
+      zero-weight dropped type)."""
+    if slots not in ("effective", "raw"):
+        raise ValueError(f"slots must be 'effective' or 'raw': {slots!r}")
     weights = _norm(weights)
     h = config["hidden_size"]
+    shift = 1 if slots == "effective" else 0
     edge_weights, edge_biases = [], []
     for t in range(num_edge_types):
-        name = f"graph_model/gnn_edge_weights_typ{t}"
+        name = f"graph_model/gnn_edge_weights_typ{t + shift}"
         edge_weights.append(_a(weights, name) if name in weights
                             else jnp.zeros((h, h), jnp.float32))
-        bias_name = f"graph_model/gnn_edge_biases_typ{t}"
+        bias_name = f"graph_model/gnn_edge_biases_typ{t + shift}"
         edge_biases.append(_a(weights, bias_name) if bias_name in weights
                            else jnp.zeros((h,), jnp.float32))
     params = {
@@ -235,17 +249,25 @@ _GRAPH_CONVERTERS = {
 
 def params_from_tf1_weights(variant: str, weights: Dict[str, np.ndarray],
                             config: Dict, num_edge_types: int,
-                            fallback_heads: Dict = None, log=None) -> Dict:
+                            fallback_heads: Dict = None, log=None,
+                            async_slots: str = "effective") -> Dict:
     """Full params pytree {'graph': ..., 'heads': ...} from a TF1
     name->ndarray dict (e.g. the 'weights' entry of a reference pickle).
 
     `fallback_heads` (the skeleton's freshly initialized heads) covers
     task ids missing from the checkpoint — the reference's new-task
-    partial-restore semantics."""
+    partial-restore semantics. `async_slots` (async variant only) picks
+    the per-type slot mapping — see async_graph_params_from_tf1."""
     if variant not in _GRAPH_CONVERTERS:
         raise ValueError(f"no TF1 converter for variant '{variant}'")
+    if variant == "async":
+        graph = async_graph_params_from_tf1(weights, config,
+                                            num_edge_types,
+                                            slots=async_slots)
+    else:
+        graph = _GRAPH_CONVERTERS[variant](weights, config, num_edge_types)
     return {
-        "graph": _GRAPH_CONVERTERS[variant](weights, config, num_edge_types),
+        "graph": graph,
         "heads": heads_from_tf1(weights, config["task_ids"],
                                 fallback=fallback_heads, log=log),
     }

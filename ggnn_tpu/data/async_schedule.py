@@ -362,7 +362,13 @@ def get_prop_schedules(g: dict):
     cached on the dict) from the flat tables when not stored."""
     sched = g.get("prop_schedules")
     if sched is None:
-        sched = nested_schedules_from_flat(g["flat_schedules"])
+        flat = g.get("flat_schedules")
+        if flat is None:
+            raise ValueError(
+                "processed async graph carries neither prop_schedules "
+                "nor flat_schedules — it cannot be packed; re-run "
+                "preprocess_async on this corpus")
+        sched = nested_schedules_from_flat(flat)
         g["prop_schedules"] = sched
     return sched
 

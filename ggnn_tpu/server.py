@@ -146,11 +146,19 @@ def main(argv=None):
                         help="framework pickle/Orbax dir, a reference "
                              "TF1 pickle, or a .ggnnx deployment "
                              "artifact (ggnn_tpu.export)")
-    parser.add_argument("--variant", default="sparse")
+    # Defaults are applied AFTER parsing (not via argparse) so the
+    # artifact branch can tell "explicitly passed" from "default".
+    parser.add_argument("--variant", default=None,
+                        help="model variant (default sparse; ignored "
+                             "for .ggnnx artifacts, which bake it in)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8099)
-    parser.add_argument("--max-nodes", type=int, default=2048)
-    parser.add_argument("--max-graphs", type=int, default=256)
+    parser.add_argument("--max-nodes", type=int, default=None,
+                        help="serving envelope (default 2048; ignored "
+                             "for .ggnnx artifacts)")
+    parser.add_argument("--max-graphs", type=int, default=None,
+                        help="serving envelope (default 256; ignored "
+                             "for .ggnnx artifacts)")
     parser.add_argument("--annotation-size", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -159,8 +167,23 @@ def main(argv=None):
         # math is the pinned StableHLO, not the live model code.
         from ggnn_tpu.export import load_predictor
         predictor = load_predictor(args.checkpoint)
+        ignored = [flag for flag, given in
+                   (("--variant", args.variant),
+                    ("--max-nodes", args.max_nodes),
+                    ("--max-graphs", args.max_graphs),
+                    ("--annotation-size", args.annotation_size))
+                   if given is not None]
+        if ignored:
+            print(f"note: {', '.join(ignored)} ignored — a .ggnnx "
+                  "artifact bakes in its variant and serving envelope "
+                  "(re-export to change them)", flush=True)
         args.variant = predictor.variant
+        args.max_nodes = predictor.max_nodes
+        args.max_graphs = predictor.max_graphs
     else:
+        args.variant = args.variant or "sparse"
+        args.max_nodes = 2048 if args.max_nodes is None else args.max_nodes
+        args.max_graphs = 256 if args.max_graphs is None else args.max_graphs
         predictor = Predictor.from_checkpoint(
             args.checkpoint, args.variant, max_nodes=args.max_nodes,
             max_graphs=args.max_graphs,

@@ -223,9 +223,27 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
         used.add(name)
         if name in saved:
             new_leaves.append(jax.numpy.asarray(saved[name]))
-        else:
-            log(f"Freshly initializing {name} since no saved value was found.")
-            new_leaves.append(leaf)
+            continue
+        # Legacy stacked-leaf compatibility: where the skeleton holds a
+        # LIST of per-index leaves (e.g. the async model's per-type
+        # edge_weights, split for per-variable clip parity) but the
+        # checkpoint predates the split and stores one stacked array
+        # under the base name, slice it instead of fresh-initializing.
+        if path and isinstance(path[-1], jax.tree_util.SequenceKey):
+            base = key_fn(jax.tree_util.keystr(path[:-1]))
+            idx = path[-1].idx
+            stacked = saved.get(base)
+            if (stacked is not None and np.ndim(stacked) == np.ndim(leaf) + 1
+                    and idx < np.shape(stacked)[0]
+                    and tuple(np.shape(stacked)[1:]) == tuple(np.shape(leaf))):
+                if base not in used:
+                    log(f"Splitting legacy stacked {base} across "
+                        f"{np.shape(stacked)[0]} per-index leaves.")
+                used.add(base)
+                new_leaves.append(jax.numpy.asarray(stacked[idx]))
+                continue
+        log(f"Freshly initializing {name} since no saved value was found.")
+        new_leaves.append(leaf)
     for name in saved:
         if name not in used:
             log(f"Saved weights for {name} not used by model.")

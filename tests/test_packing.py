@@ -1,6 +1,7 @@
 """Tests for preprocessing and static-shape batch packing."""
 
 import numpy as np
+import pytest
 
 from ggnn_tpu.data.loader import infer_metadata
 from ggnn_tpu.data.packing import (
@@ -383,6 +384,18 @@ def test_async_nested_schedule_roundtrip_and_planner_robustness():
     broken[3]["flat_schedules"] = None
     caps_fallback = asn.plan_async_capacities_multi([broken], 4, 500, 4)
     assert caps_fallback == caps_plain
+
+    # a graph with NEITHER schedule form is unpackable: the legacy
+    # fallback must surface a clear error, not an AttributeError
+    stripped = dict(proc[2])
+    stripped.pop("prop_schedules", None)
+    stripped["flat_schedules"] = None
+    with pytest.raises(ValueError, match="neither prop_schedules"):
+        asn.get_prop_schedules(stripped)
+    with pytest.raises(ValueError, match="neither prop_schedules"):
+        asn.plan_async_capacities_multi(
+            [[dict(g) if g is not proc[2] else stripped for g in proc]],
+            4, 500, 4)
 
 
 def test_dense_adapter_drop_remainder_config_key():

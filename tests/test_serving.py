@@ -253,6 +253,85 @@ def test_predictor_from_tf1_reference_pickle(tmp_path):
                                atol=2e-5)
 
 
+def test_predictor_from_tf1_async_pickle_uses_effective_routing(tmp_path):
+    """The reference async model routes raw 1-based bond type r through
+    gnn_edge_weights_typ{r} — typ0 never receives an edge and the max
+    type's messages are silently dropped (async.py:264-266). Serving a
+    reference async pickle on a STANDARD corpus (where raw type r maps
+    to slot r-1) must therefore place typ{r} at slot r-1 and zero the
+    max type's slot; the raw typ{t}->slot t mapping would route every
+    message through the wrong (one-off, incl. the never-trained typ0)
+    weight matrix."""
+    import json as _json
+    import os
+    import pickle
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "tf1")
+    data = np.load(os.path.join(fdir, "async_bias_rnn.npz"))
+    meta = _json.loads(str(data["meta"]))
+    weights = {k[2:]: data[k] for k in data.files if k.startswith("w/")}
+    ckpt = tmp_path / "ref_async.pickle"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"params": meta["config"], "weights": weights,
+                     "train_step": 0, "valid_step": 0}, f)
+    p = Predictor.from_checkpoint(str(ckpt), "async", max_nodes=256,
+                                  max_graphs=16, annotation_size=5)
+    t_ref = meta["num_edge_types"]
+    ew = p.params["graph"]["edge_weights"]
+    eb = p.params["graph"]["edge_biases"]
+    assert len(ew) == t_ref
+    for t in range(t_ref - 1):
+        np.testing.assert_array_equal(
+            np.asarray(ew[t]),
+            weights[f"graph_model/gnn_edge_weights_typ{t + 1}:0"])
+        np.testing.assert_array_equal(
+            np.asarray(eb[t]),
+            weights[f"graph_model/gnn_edge_biases_typ{t + 1}:0"])
+    assert np.all(np.asarray(ew[t_ref - 1]) == 0)  # reference drops max type
+    assert np.all(np.asarray(eb[t_ref - 1]) == 0)
+    from ggnn_tpu.data.synthetic import async_fixture_molecules
+    out = p(async_fixture_molecules(4, seed=3, num_targets=1))
+    assert out.shape[-1] == 4 and np.isfinite(out).all()
+
+
+def test_tf1_async_slot_mappings():
+    """Converter-level contract for both corpus conventions
+    (compat/tf1.py:async_graph_params_from_tf1)."""
+    from ggnn_tpu.compat.tf1 import async_graph_params_from_tf1
+
+    h = 3
+    rng = np.random.RandomState(0)
+
+    def r(*shape):
+        return rng.randn(*shape).astype(np.float32)
+
+    weights = {f"graph_model/gnn_edge_weights_typ{t}": r(h, h)
+               for t in range(4)}
+    weights.update({
+        "graph_model/prop_round0/gru_cell/gates/kernel": r(2 * h, 2 * h),
+        "graph_model/prop_round0/gru_cell/gates/bias": r(2 * h),
+        "graph_model/prop_round0/gru_cell/candidate/kernel": r(2 * h, h),
+        "graph_model/prop_round0/gru_cell/candidate/bias": r(h),
+    })
+    cfg = {"hidden_size": h, "use_edge_bias": False,
+           "graph_rnn_cell": "GRU"}
+    eff = async_graph_params_from_tf1(weights, cfg, 4)["edge_weights"]
+    for t in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(eff[t]),
+            weights[f"graph_model/gnn_edge_weights_typ{t + 1}"])
+    assert np.all(np.asarray(eff[3]) == 0)
+    raw = async_graph_params_from_tf1(weights, cfg, 5,
+                                      slots="raw")["edge_weights"]
+    for t in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(raw[t]),
+            weights[f"graph_model/gnn_edge_weights_typ{t}"])
+    assert np.all(np.asarray(raw[4]) == 0)
+    with pytest.raises(ValueError, match="slots"):
+        async_graph_params_from_tf1(weights, cfg, 4, slots="bogus")
+
+
 def test_predictor_envelope_accepts_exactly_max_nodes(trained):
     """A request graph with exactly max_nodes nodes is inside the
     advertised envelope (the packers' strict fit check is offset by

@@ -116,6 +116,44 @@ def test_checkpoint_restore_roundtrip(tmp_path):
     assert restored.train_step_id == runner.train_step_id
 
 
+def test_restore_splits_legacy_stacked_async_weights(tmp_path):
+    """Round-2 async checkpoints stored edge_weights as ONE stacked
+    [T, H, H] array; the model now keeps per-type leaves (per-variable
+    clip parity). Restore must slice the stacked array across the
+    indexed leaves instead of silently fresh-initializing them."""
+    import pickle
+
+    runner = make_runner("async", tmp_path, n=60, num_epochs=1)
+    runner.train()
+    ckpt = runner.best_model_file
+    with open(ckpt, "rb") as f:
+        payload = pickle.load(f)
+    base = "['params']['graph']['edge_weights']"
+    per_type = {k: v for k, v in payload["weights"].items()
+                if k.startswith(base + "[")}
+    assert per_type, "expected per-index async edge weights in checkpoint"
+    stacked = np.stack([per_type[f"{base}[{i}]"]
+                        for i in range(len(per_type))])
+    for k in per_type:
+        del payload["weights"][k]
+    payload["weights"][base] = stacked
+    legacy = str(tmp_path / "legacy_stacked.pickle")
+    with open(legacy, "wb") as f:
+        pickle.dump(payload, f)
+
+    logs = []
+    from ggnn_tpu.training.checkpoint import restore_checkpoint
+    restored, _, _ = restore_checkpoint(
+        legacy, runner.config, runner.state, log=logs.append)
+    for i in range(stacked.shape[0]):
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["graph"]["edge_weights"][i]),
+            stacked[i])
+    assert not any("Freshly initializing" in m and "edge_weights" in m
+                   for m in logs), logs
+    assert any("Splitting legacy stacked" in m for m in logs)
+
+
 def test_checkpoint_config_mismatch_rejected(tmp_path):
     runner = make_runner("sparse", tmp_path, n=40, num_epochs=1)
     runner.train()
