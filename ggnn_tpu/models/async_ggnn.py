@@ -201,20 +201,37 @@ class AsyncGGNN:
         if remat_cfg is None:
             # Dominant residuals without remat: the scan carry (the
             # [m_dump+1, H] state buffer) plus the per-substep lane
-            # tensors, saved for EVERY substep of every round. The
-            # estimate undercounts XLA's actual residual set ~3x (the
-            # reference 100k-node budget measures 17.8 GiB live against
-            # a 5.5 GiB estimate), so the 2 GiB threshold corresponds
-            # to ~6-7 GiB real — comfortably inside the chip's
-            # 15.75 GiB while keeping remat OFF at the 10-20k-node
-            # sweet spot where it costs ~1.5x step time for nothing.
+            # tensors — including the aggregated [RC, T*(H+1)] input of
+            # the augmented-weight GEMM, which scales with the number
+            # of edge types — saved for EVERY substep of every round.
+            # The estimate undercounts XLA's actual residual set ~2-3x
+            # (the reference 100k-node budget measures 17.8 GiB live
+            # against a ~7 GiB estimate), which the threshold below
+            # absorbs: it keeps remat OFF at the 10-20k-node sweet spot
+            # (where remat costs ~1.5x step time for nothing) and ON at
+            # the reference 100k default.
+            t_dim = self.num_edge_types
             saved_floats = sum(
                 seg.old_compact.shape[0]
                 * ((m_dump + 1) * h_dim
                    + seg.send_compact.shape[1] * (h_dim + 2)
-                   + 4 * seg.old_compact.shape[1] * h_dim)
+                   + seg.old_compact.shape[1]
+                   * (t_dim * (h_dim + 1) + 4 * h_dim))
                 for segs in batch.seg_rounds for seg in segs)
-            use_remat = saved_floats * 4 > 2 * 2**30
+            # Threshold: ~1/6 of the device's free HBM when the runtime
+            # exposes it (so smaller-memory devices engage remat
+            # earlier and already-resident state shrinks the budget),
+            # else the v5e-calibrated 2.5 GiB estimate (~6-7 GiB real).
+            limit = int(2.5 * 2**30)
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                free = stats.get("bytes_limit", 0) - stats.get(
+                    "bytes_in_use", 0)
+                if free > 0:
+                    limit = free // 6
+            except Exception:
+                pass
+            use_remat = saved_floats * 4 > limit
         else:
             use_remat = bool(remat_cfg)
         feats_ext = jnp.concatenate(

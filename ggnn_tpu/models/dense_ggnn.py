@@ -152,22 +152,25 @@ class DenseGGNN:
                               params["edge_biases"][:, 0, :],
                               preferred_element_type=jnp.float32)
         # The [T,H,H]->[T*H,H] reshape must be hoisted OUT of the loop
-        # when no weight dropout redraws w per step: reshaping inside
-        # makes the backward accumulate the weight cotangent in
-        # [T,H,H] per step, which flips XLA:TPU's layout choice for
-        # `gathered` and inserts 8 bf16 layout copies (~10% of the
-        # train step; benchmarks/README.md "dense reassociation").
+        # — ALSO on the dropout path: reshaping inside makes the
+        # backward accumulate the weight cotangent in [T,H,H] per
+        # step, which flips XLA:TPU's layout choice for `gathered` and
+        # inserts 8 bf16 layout copies (~10% of the train step;
+        # benchmarks/README.md "dense reassociation"). Drawing dropout
+        # on the flat view is numerics-identical: jax PRNG bits are
+        # generated in flat element order, so the mask matches the
+        # [T,H,H] draw bit-for-bit (pinned in test_models.py).
+        w_flat = params["edge_weights"].reshape(t * d, d)
         dropout_active = (is_training
                           and self.edge_weight_dropout_keep_prob < 1.0)
         if not dropout_active:
-            w_cat = params["edge_weights"].reshape(t * d, d).astype(cdt)
+            w_cat = w_flat.astype(cdt)
         for _step in range(self.num_timesteps):
             if dropout_active:
                 rng, rng_w = jax.random.split(rng)
                 w_cat = dropout(
-                    rng_w, params["edge_weights"],
-                    self.edge_weight_dropout_keep_prob
-                ).reshape(t * d, d).astype(cdt)
+                    rng_w, w_flat, self.edge_weight_dropout_keep_prob
+                ).astype(cdt)
             gathered = jnp.matmul(a2, h.astype(cdt),
                                   preferred_element_type=jnp.float32)
             acts = jnp.matmul(gathered.reshape(b, v, t * d).astype(cdt),

@@ -70,10 +70,13 @@ SPARSE_DEFAULTS: Dict = {
     #       contract switches (models/sparse_ggnn.py);
     #   "async_remat" (bool, unset = auto) — rematerialize async
     #       substeps in the backward pass. Auto turns it on only when
-    #       the saved-activation estimate exceeds ~6 GiB (the reference
-    #       100k-node budget needs it: 17.8 GiB > 15.75 free; at the
+    #       the saved-activation ESTIMATE exceeds ~1/6 of the device's
+    #       free HBM (2.5 GiB fallback when the runtime exposes no
+    #       memory stats; the estimate undercounts real residuals
+    #       ~2-3x, so that is ~6-7 GiB live on a v5e). The reference
+    #       100k-node budget needs it (17.8 GiB > 15.75 free); at the
     #       10-20k-node TPU sweet spot it costs ~1.5-2x step time for
-    #       nothing — benchmarks/README.md). models/async_ggnn.py.
+    #       nothing — benchmarks/README.md. models/async_ggnn.py.
 }
 
 # chem_tensorflow_dense.py:56-66

@@ -41,7 +41,8 @@ def _maybe_warn_tpu_node_budget(config: Dict, key: str = "batch_size",
                                 cap: int = 50000,
                                 hint: str = "~20k nodes/batch is ~1.7x "
                                 "faster per graph (see "
-                                "configs/sparse_tpu.json") -> None:
+                                "configs/sparse_tpu.json and "
+                                "benchmarks/README.md).") -> None:
     """One-shot perf hint: the reference-parity node budgets
     (batch_size=100000 nodes, chem_tensorflow_sparse.py:43;
     num_nodes=100000, chem_tensorflow_async.py:43) are measured
@@ -60,8 +61,9 @@ def _maybe_warn_tpu_node_budget(config: Dict, key: str = "batch_size",
     except Exception:
         return
     _warned_tpu_budget = True
-    print("HINT: node budget %s=%d packs >%dk-node batches; on TPU %s "
-          "and benchmarks/README.md)."
+    # `hint` is a complete sentence: no format-string parenthesis
+    # balancing across call sites.
+    print("HINT: node budget %s=%d packs >%dk-node batches; on TPU %s"
           % (key, config[key], cap // 1000, hint))
 
 
@@ -215,7 +217,8 @@ class GCNAdapter:
         _maybe_warn_tpu_node_budget(
             self.config,
             hint="~20k nodes/batch is ~1.6x faster per graph "
-                 "(flat below 20k; see configs/sparse_tpu.json")
+                 "(flat below 20k; see configs/sparse_tpu.json and "
+                 "benchmarks/README.md).")
         caps = [packing.plan_gcn_capacities(
                     p, self.config["batch_size"],
                     margin=self.config.get("pack_margin"))
@@ -305,7 +308,8 @@ class AsyncAdapter:
         _maybe_warn_tpu_node_budget(
             self.config, key="num_nodes", cap=25000,
             hint="~10k nodes/batch is ~2.9x faster per graph and skips "
-                 "backward rematerialization (see configs/async_tpu.json")
+                 "backward rematerialization (see configs/async_tpu.json "
+                 "and benchmarks/README.md).")
         # One merged planning pass over every split (train + valid must
         # compile to the same shapes) INCLUDING the segmented-scan plan —
         # dropping `plan` here would silently fall back to the uniform

@@ -34,6 +34,18 @@ def test_dropout_semantics():
     assert dropout(jax.random.PRNGKey(0), x, 1.0) is x
 
 
+def test_dropout_mask_is_flat_order_invariant():
+    """models/dense_ggnn.py draws weight dropout on the hoisted
+    [T*H, H] view of the [T, H, H] weights (keeps the backward's flat
+    cotangent layout); that is numerics-identical because jax PRNG
+    bits are generated in flat element order, pinned here."""
+    key = jax.random.PRNGKey(3)
+    w = jax.random.normal(jax.random.PRNGKey(4), (4, 6, 6))
+    a = np.asarray(dropout(key, w, 0.8)).reshape(24, 6)
+    b = np.asarray(dropout(key, w.reshape(24, 6), 0.8))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_typed_messages_and_aggregation():
     # 3 nodes, 2 edge types. Type 0: 0->1, 1->2; type 1: 2->0 (+1 padded).
     h = jnp.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
