@@ -60,7 +60,14 @@ def _flatten_params(params) -> Dict[str, np.ndarray]:
         parts = []
         for p in path:
             if isinstance(p, jax.tree_util.DictKey):
-                parts.append(str(p.key))
+                # str keys only: a non-str dict key (e.g. int) would
+                # round-trip to a string — a silent pytree-structure
+                # change. Fail loudly instead.
+                if not isinstance(p.key, str):
+                    raise TypeError(
+                        f"non-string dict key {p.key!r} at {path}: "
+                        ".ggnnx param paths require str dict keys")
+                parts.append(p.key)
             elif isinstance(p, jax.tree_util.SequenceKey):
                 parts.append(p.idx)
             else:
@@ -271,10 +278,17 @@ def load_predictor(path: str) -> ExportedPredictor:
     with zipfile.ZipFile(path, "r") as z:
         meta = json.loads(z.read("meta.json"))
         if meta.get("format_version") != _FORMAT_VERSION:
+            remedy = (
+                "re-export the checkpoint with this build "
+                "(`ggnn-tpu train --restore CKPT --export-artifact PATH`) "
+                "to migrate it"
+                if isinstance(meta.get("format_version"), int)
+                and meta["format_version"] < _FORMAT_VERSION
+                else "load it with a build that writes this version")
             raise ValueError(
                 f"unsupported artifact format_version "
                 f"{meta.get('format_version')} (this build reads "
-                f"{_FORMAT_VERSION})")
+                f"{_FORMAT_VERSION}); {remedy}")
         with np.load(io.BytesIO(z.read("params.npz")),
                      allow_pickle=False) as npz:
             params = _unflatten_params({k: npz[k] for k in npz.files})

@@ -41,6 +41,20 @@ class AsyncGGNN:
         self.cell_init, self.cell_apply = make_cell(
             cell_type, config["graph_rnn_activation"],
             config["graph_state_dropout_keep_prob"])
+        # Auto-remat HBM budget, snapshotted ONCE at construction: a
+        # per-trace read of free HBM would let the same config compile
+        # with or without remat depending on what happens to be
+        # resident when a shape is (re)traced — nondeterministic step
+        # time/memory across runs. ~1/6 of free HBM when the runtime
+        # exposes it, else the v5e-calibrated 2.5 GiB estimate.
+        self._remat_limit = int(2.5 * 2**30)
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            free = stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0)
+            if free > 0:
+                self._remat_limit = free // 6
+        except Exception:
+            pass
 
     def init_params(self, key: jax.Array) -> Dict:
         h = self.hidden_size
@@ -218,20 +232,10 @@ class AsyncGGNN:
                    + seg.old_compact.shape[1]
                    * (t_dim * (h_dim + 1) + 4 * h_dim))
                 for segs in batch.seg_rounds for seg in segs)
-            # Threshold: ~1/6 of the device's free HBM when the runtime
-            # exposes it (so smaller-memory devices engage remat
-            # earlier and already-resident state shrinks the budget),
-            # else the v5e-calibrated 2.5 GiB estimate (~6-7 GiB real).
-            limit = int(2.5 * 2**30)
-            try:
-                stats = jax.devices()[0].memory_stats() or {}
-                free = stats.get("bytes_limit", 0) - stats.get(
-                    "bytes_in_use", 0)
-                if free > 0:
-                    limit = free // 6
-            except Exception:
-                pass
-            use_remat = saved_floats * 4 > limit
+            # Threshold: the construction-time HBM snapshot (so
+            # smaller-memory devices engage remat earlier, while remat
+            # policy stays deterministic across traces — see __init__).
+            use_remat = saved_floats * 4 > self._remat_limit
         else:
             use_remat = bool(remat_cfg)
         feats_ext = jnp.concatenate(

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ggnn_tpu.graph import DenseGraphBatch
 from ggnn_tpu.models import base
+from ggnn_tpu.ops import lanes
 from ggnn_tpu.ops.cells import make_cell
 from ggnn_tpu.ops.dropout import dropout
 from ggnn_tpu.utils.constants import SMALL_NUMBER
@@ -53,6 +54,13 @@ class DenseGGNN:
         # "bfloat16" runs the propagation matmuls on the MXU in bf16
         # with f32 accumulation (same policy as the sparse model).
         self.compute_dtype = jnp.dtype(config.get("compute_dtype", "float32"))
+        # Lane-padded compute layout (ops/lanes.py): H=100 activations
+        # and weights are zero-padded to 128 lanes INSIDE forward so
+        # every GEMM/reshape sits on the (8,128) f32 tile grid; params
+        # stay at the reference shapes. Numerics-preserving (pad lanes
+        # provably stay 0), so TF1 goldens pass unchanged.
+        self.lane_pad = lanes.resolve_lane_pad(config, self.hidden_size)
+        self.state_keep_prob = config["graph_state_dropout_keep_prob"]
         self.extended = "layer_timesteps" in config
         if self.extended:
             self.layer_timesteps = list(config["layer_timesteps"])
@@ -140,6 +148,17 @@ class DenseGGNN:
         b, t, v, _ = adjacency.shape
         d = h.shape[-1]
         cdt = self.compute_dtype
+        # Lane padding: run the loop at hp=128 compute lanes (zero pad
+        # lanes stay zero through the GRU — ops/lanes.py). Disabled
+        # when state dropout is live so its mask draw keeps the
+        # unpadded RNG shape/stream.
+        pad = (self.lane_pad and d % lanes.LANE != 0
+               and not (is_training and self.state_keep_prob < 1.0))
+        hp = lanes.round_up_lanes(d) if pad else d
+        cell_params = params["cell"]
+        if pad:
+            h = lanes.pad_last(h, hp)
+            cell_params = lanes.pad_cell_params(params["cell"], d, hp)
         # Transposed to (v, t) row order ONCE, outside the loop, so the
         # gathered states reshape straight to [B, V, T*H] with no
         # per-step transpose.
@@ -149,7 +168,8 @@ class DenseGGNN:
         if self.use_edge_bias:
             indeg_t = jnp.sum(adjacency, axis=3)  # [B, T, V]
             bias = jnp.einsum("btv,th->bvh", indeg_t,
-                              params["edge_biases"][:, 0, :],
+                              lanes.pad_last(params["edge_biases"][:, 0, :],
+                                             hp),
                               preferred_element_type=jnp.float32)
         # The [T,H,H]->[T*H,H] reshape must be hoisted OUT of the loop
         # — ALSO on the dropout path: reshaping inside makes the
@@ -164,16 +184,19 @@ class DenseGGNN:
         dropout_active = (is_training
                           and self.edge_weight_dropout_keep_prob < 1.0)
         if not dropout_active:
-            w_cat = w_flat.astype(cdt)
+            w_cat = lanes.pad_edge_weights_flat(w_flat, t, d, hp).astype(cdt)
         for _step in range(self.num_timesteps):
             if dropout_active:
+                # Mask drawn at the UNPADDED shape (stream-identical to
+                # the unpadded path), then zero-padded to compute lanes.
                 rng, rng_w = jax.random.split(rng)
-                w_cat = dropout(
-                    rng_w, w_flat, self.edge_weight_dropout_keep_prob
-                ).astype(cdt)
+                w_cat = lanes.pad_edge_weights_flat(
+                    dropout(rng_w, w_flat,
+                            self.edge_weight_dropout_keep_prob),
+                    t, d, hp).astype(cdt)
             gathered = jnp.matmul(a2, h.astype(cdt),
                                   preferred_element_type=jnp.float32)
-            acts = jnp.matmul(gathered.reshape(b, v, t * d).astype(cdt),
+            acts = jnp.matmul(gathered.reshape(b, v, t * hp).astype(cdt),
                               w_cat,
                               preferred_element_type=jnp.float32)
             if bias is not None:
@@ -183,9 +206,9 @@ class DenseGGNN:
             else:
                 rng_cell = None
             h = self.cell_apply(
-                params["cell"], acts.reshape(b * v, d), h.reshape(b * v, d),
-                rng=rng_cell, is_training=is_training).reshape(b, v, d)
-        return h
+                cell_params, acts.reshape(b * v, hp), h.reshape(b * v, hp),
+                rng=rng_cell, is_training=is_training).reshape(b, v, hp)
+        return h[..., :d] if pad else h
 
     def _dense_attention(self, h, adjacency, type_factors):
         """Dense analog of the sparse segment-softmax attention
@@ -212,9 +235,15 @@ class DenseGGNN:
         adjacency = batch.adjacency                          # [B,T,V,W]
         b, t, v, _ = adjacency.shape
         d = self.hidden_size
+        # Lane padding (see _forward_reference). Pad lanes stay zero
+        # through every supported cell; attention scores are dot
+        # products over h, where pad lanes contribute exact zeros.
+        pad = (self.lane_pad and d % lanes.LANE != 0
+               and not (is_training and self.state_keep_prob < 1.0))
+        hp = lanes.round_up_lanes(d) if pad else d
         indeg_t = jnp.sum(adjacency, axis=3)                 # [B,T,V]
         in_deg = jnp.sum(indeg_t, axis=1)                    # [B,V]
-        node_states_per_layer = [batch.node_features]
+        node_states_per_layer = [lanes.pad_last(batch.node_features, hp)]
 
         for layer_idx, num_timesteps in enumerate(self.layer_timesteps):
             layer = params["layers"][layer_idx]
@@ -224,8 +253,11 @@ class DenseGGNN:
                 rng_w = None
             edge_weights = layer["edge_weights"]
             if is_training and self.edge_weight_dropout_keep_prob < 1.0:
+                # Drawn at the unpadded shape; padded below.
                 edge_weights = dropout(
                     rng_w, edge_weights, self.edge_weight_dropout_keep_prob)
+            cell_params = (lanes.pad_cell_params(layer["cell"], d, hp)
+                           if pad else layer["cell"])
             residual_states = [
                 node_states_per_layer[i]
                 for i in self.residual_connections.get(layer_idx, [])
@@ -233,7 +265,8 @@ class DenseGGNN:
 
             h = node_states_per_layer[-1]
             cdt = self.compute_dtype
-            w_cat = edge_weights.reshape(t * d, d)
+            w_cat = lanes.pad_edge_weights_flat(
+                edge_weights.reshape(t * d, d), t, d, hp)
             # Reassociated sum_t (a_t @ h) @ W_t — see
             # _forward_reference; valid for ANY per-edge weighting a
             # (attention included), not just 0/1 adjacency. Without
@@ -254,14 +287,15 @@ class DenseGGNN:
                 gathered = jnp.matmul(a2, h.astype(cdt),
                                       preferred_element_type=jnp.float32)
                 incoming = jnp.matmul(
-                    gathered.reshape(b, v, t * d).astype(cdt),
+                    gathered.reshape(b, v, t * hp).astype(cdt),
                     w_cat.astype(cdt),
                     preferred_element_type=jnp.float32)
                 if self.use_edge_bias:
                     # sum_t indeg_t[v] * bias_t — identical to the
                     # sparse num_incoming_edges_per_type @ edge_biases.
                     incoming = incoming + jnp.einsum(
-                        "btv,th->bvh", indeg_t, layer["edge_biases"],
+                        "btv,th->bvh", indeg_t,
+                        lanes.pad_last(layer["edge_biases"], hp),
                         preferred_element_type=jnp.float32)
                 if self.use_edge_msg_avg_aggregation:
                     incoming = incoming / (in_deg[..., None] + SMALL_NUMBER)
@@ -273,11 +307,12 @@ class DenseGGNN:
                     rng_cell = None
                 width = incoming_info.shape[-1]
                 h = self.cell_apply(
-                    layer["cell"], incoming_info.reshape(b * v, width),
-                    h.reshape(b * v, d), rng=rng_cell,
-                    is_training=is_training).reshape(b, v, d)
+                    cell_params, incoming_info.reshape(b * v, width),
+                    h.reshape(b * v, hp), rng=rng_cell,
+                    is_training=is_training).reshape(b, v, hp)
             node_states_per_layer.append(h)
-        return node_states_per_layer[-1]
+        last = node_states_per_layer[-1]
+        return last[..., :d] if pad else last
 
     # ---------------------------------------------------------- readout
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ggnn_tpu.graph import GCNGraphBatch
 from ggnn_tpu.models import base
+from ggnn_tpu.ops import lanes
 from ggnn_tpu.ops.dropout import dropout
 from ggnn_tpu.ops.segment import segment_sum
 from ggnn_tpu.parallel.node_shard import exchange_boundary
@@ -160,28 +161,38 @@ class BlockedGCN(GCN):
         super().__init__(config, edge_axis=None)
         self.compute_dtype = jnp.dtype(config.get("compute_dtype",
                                                   "float32"))
+        # Lane-padded compute layout (ops/lanes.py): zero-padded H
+        # lanes stay zero through relu/linear layers, so the math is
+        # unchanged while every GEMM sits on 128-lane tiles.
+        self.lane_pad = lanes.resolve_lane_pad(config, self.hidden_size)
 
     def forward(self, params: Dict, batch, *, rng=None,
                 is_training: bool = False) -> jax.Array:
         adj = batch.adjacency[:, 0]          # [B, V, V] (dst, src)
         h = batch.node_features              # [B, V, H]
+        d = h.shape[-1]
+        pad = (self.lane_pad and d % lanes.LANE != 0
+               and not (is_training and self.state_keep_prob < 1.0))
+        hp = lanes.round_up_lanes(d) if pad else d
+        h = lanes.pad_last(h, hp)
         cdt = self.compute_dtype
         for layer_idx, layer in enumerate(params["layers"]):
+            w = lanes.pad_edge_weights_flat(layer["W"], 1, d, hp)
             mixed = jnp.einsum("bvw,bwh->bvh", adj.astype(cdt),
                                h.astype(cdt),
                                preferred_element_type=jnp.float32)
             new_h = jnp.einsum("bvh,hd->bvd", mixed.astype(cdt),
-                               layer["W"].astype(cdt),
+                               w.astype(cdt),
                                preferred_element_type=jnp.float32)
             if self.use_bias:
-                new_h = new_h + layer["b"]
+                new_h = new_h + lanes.pad_last(layer["b"], hp)
             if layer_idx < self.num_layers - 1:
                 new_h = jax.nn.relu(new_h)
                 if is_training and self.state_keep_prob < 1.0:
                     rng, sub = jax.random.split(rng)
                     new_h = dropout(sub, new_h, self.state_keep_prob)
             h = new_h
-        return h
+        return h[..., :d] if pad else h
 
     def readout(self, heads: Dict, task_ids, last_h: jax.Array,
                 batch, *, keep_prob: float = 1.0, rng=None) -> jax.Array:

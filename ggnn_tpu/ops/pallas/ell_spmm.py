@@ -29,7 +29,8 @@ Measured on one v5e chip at N=20k, E=160k, H=100 (QM9 packing):
 step forward, full-model 8-step inference 14.2 vs 14.0ms) — which the
 packers' target-sorted layout contract now enables by default. The
 remaining floor in both is the per-edge row access (~8ns/row here).
-The kernel therefore stays an OPT-IN (`ell_block` config, f32 only:
+The kernel is therefore ARCHIVED (the `ell_block` config surface was
+removed once parity was measured; ops/messages.py:14-17 — f32 only:
 Mosaic cannot prove bf16 dynamic row indexing tile-aligned): it
 documents the scatter-free MXU formulation and is the starting point
 for shapes where it should pull ahead (H >= 128 MXU-aligned rows,

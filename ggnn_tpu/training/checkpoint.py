@@ -216,6 +216,7 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
     saved = payload["weights"]
     key_fn = _sanitize if payload.get("sanitized_keys") else (lambda s: s)
     used = set()
+    split_rows_used: Dict[str, int] = {}  # base name -> max index + 1
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(state_tree)
     new_leaves = []
     for path, leaf in paths_and_leaves:
@@ -240,6 +241,8 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
                     log(f"Splitting legacy stacked {base} across "
                         f"{np.shape(stacked)[0]} per-index leaves.")
                 used.add(base)
+                split_rows_used[base] = max(split_rows_used.get(base, 0),
+                                            idx + 1)
                 new_leaves.append(jax.numpy.asarray(stacked[idx]))
                 continue
         log(f"Freshly initializing {name} since no saved value was found.")
@@ -247,6 +250,15 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
     for name in saved:
         if name not in used:
             log(f"Saved weights for {name} not used by model.")
+        elif name in split_rows_used:
+            # Marking the base "used" must not hide surplus rows: a
+            # stacked array with more rows than the model has per-index
+            # leaves means part of the checkpoint was silently dropped.
+            surplus = np.shape(saved[name])[0] - split_rows_used[name]
+            if surplus > 0:
+                log(f"Saved stacked {name} has {surplus} surplus row(s) "
+                    f"beyond the model's {split_rows_used[name]} "
+                    "per-index leaves; the extra rows were not used.")
 
     restored = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return restored, payload["train_step"], payload["valid_step"]

@@ -542,3 +542,77 @@ def test_async_rejects_out_of_range_edge_types():
                            "graph": [[0, 7, 1]],
                            "node_features": [[1, 0], [0, 1]]}],
                          4, True, 2, 5, [0], {}, False)
+
+
+def test_lane_padding_matches_unpadded():
+    """The 128-lane compute padding (ops/lanes.py) is numerics-
+    preserving: forward states and parameter gradients match the
+    unpadded layout to f32 tiling tolerance on the reference dense
+    path, the extended path (residuals + attention + bias + avg, every
+    cell family), and the blocked GCN — with the edge-weight-dropout
+    RNG stream unchanged (masks drawn at the unpadded shape)."""
+    from ggnn_tpu.models.gcn import BlockedGCN
+    from ggnn_tpu.graph import DenseGraphBatch
+
+    rng = np.random.RandomState(0)
+    B, T, V, hidden = 2, NUM_EDGE_TYPES, 8, 100
+    adj = (rng.rand(B, T, V, V) < 0.2).astype(np.float32)
+    feats = (rng.randn(B, V, hidden) * 0.3).astype(np.float32)
+    batch = DenseGraphBatch(
+        node_features=jnp.asarray(feats), adjacency=jnp.asarray(adj),
+        node_mask=jnp.ones((B, V)), targets=jnp.zeros((1, B)),
+        target_mask=jnp.ones((1, B)), num_graphs=B)
+
+    cfg = {**DENSE_DEFAULTS, "hidden_size": hidden, "use_edge_bias": True,
+           "edge_weight_dropout_keep_prob": 0.8}
+    m_pad = DenseGGNN({**cfg, "lane_pad": True}, T)
+    m_ref = DenseGGNN({**cfg, "lane_pad": False}, T)
+    assert m_pad.lane_pad and not m_ref.lane_pad
+    params = m_pad.init_params(jax.random.PRNGKey(1))
+    a = np.asarray(m_pad.forward(params, batch))
+    b = np.asarray(m_ref.forward(params, batch))
+    assert a.shape == (B, V, hidden)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    # Training path: the dropout mask is drawn at the UNPADDED weight
+    # shape, so padded and unpadded draws are stream-identical.
+    k = jax.random.PRNGKey(7)
+    a2 = np.asarray(m_pad.forward(params, batch, rng=k, is_training=True))
+    b2 = np.asarray(m_ref.forward(params, batch, rng=k, is_training=True))
+    np.testing.assert_allclose(a2, b2, rtol=1e-5, atol=1e-6)
+
+    def loss(p, model):
+        return jnp.sum(model.forward(p, batch) ** 2)
+
+    gp = jax.grad(lambda p: loss(p, m_pad))(params)
+    gr = jax.grad(lambda p: loss(p, m_ref))(params)
+    for x, y in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+    for cell in ["GRU", "CudnnCompatibleGRUCell", "RNN"]:
+        ecfg = {**SPARSE_DEFAULTS, "hidden_size": hidden,
+                "layer_timesteps": [2, 1], "residual_connections": {"1": [0]},
+                "use_propagation_attention": True, "use_edge_bias": True,
+                "use_edge_msg_avg_aggregation": True,
+                "edge_weight_dropout_keep_prob": 1.0,
+                "graph_rnn_cell": cell, "graph_rnn_activation": "tanh"}
+        me_pad = DenseGGNN({**ecfg, "lane_pad": True}, T)
+        me_ref = DenseGGNN({**ecfg, "lane_pad": False}, T)
+        pe = me_pad.init_params(jax.random.PRNGKey(2))
+        ae = np.asarray(me_pad.forward(pe, batch))
+        be = np.asarray(me_ref.forward(pe, batch))
+        np.testing.assert_allclose(ae, be, rtol=1e-5, atol=1e-6)
+
+    gcfg = {**GCN_DEFAULTS, "hidden_size": hidden, "gcn_use_bias": True}
+    gbatch = DenseGraphBatch(
+        node_features=jnp.asarray(feats), adjacency=jnp.asarray(adj[:, :1]),
+        node_mask=jnp.ones((B, V)), targets=jnp.zeros((1, B)),
+        target_mask=jnp.ones((1, B)), num_graphs=B)
+    gm_pad = BlockedGCN({**gcfg, "lane_pad": True})
+    gm_ref = BlockedGCN({**gcfg, "lane_pad": False})
+    gparams = gm_pad.init_params(jax.random.PRNGKey(3))
+    ga = np.asarray(gm_pad.forward(gparams, gbatch))
+    gb = np.asarray(gm_ref.forward(gparams, gbatch))
+    np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)
