@@ -648,13 +648,23 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
                        hidden_size: int, annotation_size: int,
                        is_training: bool,
                        rng: Optional[np.random.RandomState] = None,
-                       use_flat: Optional[bool] = None
+                       use_flat: Optional[bool] = None,
+                       cache: Optional["AsyncPackCache"] = None
                        ) -> Iterator[AsyncGraphBatch]:
-    """Packed async batches. Dispatches to the vectorized fast path
-    (grouped scatters over preprocess-time flat tables — emits
-    bit-identical batches, tests/test_packing.py) whenever the
-    processed graphs carry matching `flat_schedules`; the legacy
-    per-(graph, step, type) loop remains as the fallback/oracle."""
+    """Packed async batches. Dispatches to the corpus-cached epoch
+    packer (whole-batch gathers/scatters over `cache`, bit-identical —
+    tests/test_packing.py) when a matching `AsyncPackCache` is passed,
+    else to the vectorized per-graph fast path (grouped scatters over
+    preprocess-time flat tables) whenever the processed graphs carry
+    matching `flat_schedules`; the legacy per-(graph, step, type) loop
+    remains as the fallback/oracle."""
+    if (cache is not None and use_flat is not False
+            and cache.matches(processed, propagation_rounds,
+                              propagation_substeps, num_edge_types)):
+        return _pack_async_batches_cached(
+            cache, num_edge_types, node_budget, caps, propagation_rounds,
+            propagation_substeps, hidden_size, annotation_size,
+            is_training, rng)
     flat_ok = (
         use_flat is not False
         and bool(processed)
@@ -787,6 +797,293 @@ def _pack_async_batches_flat(processed: List[dict], num_edge_types: int,
             caps, R, S, T, num_tasks, values, masks,
             graphs_in_batch, node_offset, initial_nodes, sending_nodes,
             msg_targets, receiving_nodes, recv_totals,
+            node_features=node_features, node_graph_ids=node_graph_ids)
+
+
+def _run_ranks(comp: np.ndarray) -> np.ndarray:
+    """Rank within contiguous equal-value runs of `comp` (the static
+    within-(graph, lane) scatter position — rows are lane-sorted within
+    each graph, so runs are contiguous by construction)."""
+    n = len(comp)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    idx = np.arange(n)
+    starts = np.r_[True, comp[1:] != comp[:-1]]
+    run_start = np.maximum.accumulate(np.where(starts, idx, 0))
+    return (idx - run_start).astype(np.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class AsyncPackCache:
+    """Corpus-level relayout cache for the async epoch packer.
+
+    Shuffling permutes BATCH COMPOSITION, not per-graph schedules — so
+    everything except the batch split and the final scatters is
+    epoch-invariant and computed ONCE here: the per-graph flat tables
+    concatenated into whole-corpus arrays (with per-graph offsets), the
+    stacked count tables the batch split needs, and the static
+    within-(graph, lane) scatter ranks. An epoch then reduces to, per
+    batch, one window cumsum (split), a handful of index-arithmetic
+    gathers and one grouped scatter per slab — no per-graph python.
+    Replaces the reference's per-epoch feed-dict assembly
+    (chem_tensorflow_async.py:337-455) at ~20x lower host cost
+    (benchmarks/README.md, "Async host pipeline").
+
+    Labels are snapshotted at build time; build the cache AFTER
+    task_sample_ratios blanking (preprocess_async does this), and
+    rebuild if labels are mutated afterwards.
+    """
+    num_graphs: int
+    R: int
+    S: int
+    T: int
+    s_used: int              # max schedule depth over the corpus (<= S)
+    # Batch-split operands, stacked over the corpus (step axis trimmed
+    # to s_used — steps past the deepest schedule are identically 0):
+    n_nodes: np.ndarray      # [G] int64
+    counts_st: np.ndarray    # [G, R, s_used, T] int32
+    counts_r: np.ndarray     # [G, R, s_used] int32
+    counts_init: np.ndarray  # [G, R] int32
+    values: np.ndarray       # [G, K] float32
+    masks: np.ndarray        # [G, K] float32
+    # Node features, corpus-concatenated:
+    feats: np.ndarray        # [N_all, A] float32
+    fstart: np.ndarray       # [G + 1] int64
+    # Per-round corpus-concatenated schedule rows (tuples over R):
+    ekey: tuple              # [E_r] int32, s * T + t
+    ekey_s: tuple            # [E_r] int32
+    esend: tuple             # [E_r] int32 graph-local sender ids
+    etgt: tuple              # [E_r] int32 per-(graph, step) target idx
+    erank: tuple             # [E_r] int32 rank within (graph, key) run
+    egstart: tuple           # [G + 1] int64 row offsets per graph
+    rkey_s: tuple            # [RC_r] int32 step per receiver
+    rnode: tuple             # [RC_r] int32 graph-local receiver ids
+    rrank: tuple             # [RC_r] int32 rank within (graph, step) run
+    rgstart: tuple           # [G + 1] int64
+    inits: tuple             # [I_r] int32 graph-local initial nodes
+    igstart: tuple           # [G + 1] int64
+
+    def matches(self, processed, rounds: int, substeps: int,
+                num_edge_types: int) -> bool:
+        return (self.num_graphs == len(processed)
+                and (self.R, self.S, self.T)
+                == (rounds, substeps, num_edge_types))
+
+
+def build_async_pack_cache(processed: List[dict], propagation_rounds: int,
+                           propagation_substeps: int, num_edge_types: int
+                           ) -> Optional[AsyncPackCache]:
+    """Build the epoch-packing cache (one pass over the corpus), or
+    None when any graph lacks a matching flat table (the heterogeneous
+    fallback cases keep the per-graph packers)."""
+    R, S, T = propagation_rounds, propagation_substeps, num_edge_types
+    if not processed or not _all_flat_compatible([processed], R, S, T):
+        return None
+    G = len(processed)
+    n_nodes = np.zeros(G, np.int64)
+    counts_st = np.zeros((G, R, S, T), np.int32)
+    counts_r = np.zeros((G, R, S), np.int32)
+    counts_init = np.zeros((G, R), np.int32)
+    values = np.zeros((G, len(processed[0]["labels"])), np.float32)
+    masks = np.zeros_like(values)
+    feats_list = []
+    ekey = [[] for _ in range(R)]
+    esend = [[] for _ in range(R)]
+    etgt = [[] for _ in range(R)]
+    rkey_s = [[] for _ in range(R)]
+    rnode = [[] for _ in range(R)]
+    inits = [[] for _ in range(R)]
+    egstart = np.zeros((R, G + 1), np.int64)
+    rgstart = np.zeros((R, G + 1), np.int64)
+    igstart = np.zeros((R, G + 1), np.int64)
+    for g_idx, g in enumerate(processed):
+        flat = g["flat_schedules"]
+        n_nodes[g_idx] = len(g["init"])
+        counts_st[g_idx] = flat.counts_st
+        counts_r[g_idx] = flat.counts_r
+        counts_init[g_idx] = flat.counts_init
+        v, m = _labels_to_values_and_mask(g["labels"])
+        values[g_idx] = v
+        masks[g_idx] = m
+        feats_list.append(np.asarray(g["init"], np.float32))
+        for r in range(R):
+            ekey[r].append(flat.key[r])
+            esend[r].append(flat.send[r])
+            etgt[r].append(flat.tgt[r])
+            rkey_s[r].append(flat.recv_s[r])
+            rnode[r].append(flat.recv_node[r])
+            inits[r].append(flat.initial[r])
+            egstart[r, g_idx + 1] = egstart[r, g_idx] + len(flat.key[r])
+            rgstart[r, g_idx + 1] = rgstart[r, g_idx] + len(flat.recv_s[r])
+            igstart[r, g_idx + 1] = igstart[r, g_idx] + len(flat.initial[r])
+
+    def cat(parts):
+        return (np.concatenate(parts) if parts else np.zeros(0, np.int32))
+
+    ekey_c, ekey_s_c, erank_c = [], [], []
+    rkey_c, rrank_c = [], []
+    for r in range(R):
+        key = cat(ekey[r])
+        ekey_c.append(key)
+        ekey_s_c.append((key // T).astype(np.int32))
+        # Static scatter rank: rows are (graph, key)-run contiguous.
+        gid = np.repeat(np.arange(G, dtype=np.int64),
+                        np.diff(egstart[r]))
+        erank_c.append(_run_ranks(gid * (S * T) + key))
+        ks = cat(rkey_s[r])
+        rkey_c.append(ks)
+        gid_r = np.repeat(np.arange(G, dtype=np.int64),
+                          np.diff(rgstart[r]))
+        rrank_c.append(_run_ranks(gid_r * S + ks))
+    feats = (np.concatenate(feats_list, axis=0) if feats_list
+             else np.zeros((0, 0), np.float32))
+    s_used = max(1, int(max((int(g["flat_schedules"].depth.max(initial=0))
+                             for g in processed), default=1)))
+    return AsyncPackCache(
+        num_graphs=G, R=R, S=S, T=T, s_used=s_used, n_nodes=n_nodes,
+        counts_st=np.ascontiguousarray(counts_st[:, :, :s_used]),
+        counts_r=np.ascontiguousarray(counts_r[:, :, :s_used]),
+        counts_init=counts_init, values=values,
+        masks=masks, feats=feats,
+        fstart=np.r_[0, np.cumsum(n_nodes)],
+        ekey=tuple(ekey_c), ekey_s=tuple(ekey_s_c),
+        esend=tuple(cat(esend[r]) for r in range(R)),
+        etgt=tuple(cat(etgt[r]) for r in range(R)),
+        erank=tuple(erank_c), egstart=tuple(egstart),
+        rkey_s=tuple(rkey_c),
+        rnode=tuple(cat(rnode[r]) for r in range(R)),
+        rrank=tuple(rrank_c), rgstart=tuple(rgstart),
+        inits=tuple(cat(inits[r]) for r in range(R)),
+        igstart=tuple(igstart))
+
+
+def _window_rows(gstart: np.ndarray, win: np.ndarray):
+    """Corpus row indices for the graphs `win`, graph-major — the
+    vectorized form of per-graph slice concatenation. Returns
+    (rows, rep_g, within): source rows, per-row window-graph index,
+    per-row within-graph position."""
+    starts = gstart[win]
+    cnts = (gstart[win + 1] - starts).astype(np.int64)
+    total = int(cnts.sum())
+    rep_g = np.repeat(np.arange(len(win)), cnts)
+    off = np.r_[0, np.cumsum(cnts)[:-1]]
+    within = np.arange(total, dtype=np.int64) - np.repeat(off, cnts)
+    return starts[rep_g] + within, rep_g, within
+
+
+def _pack_async_batches_cached(cache: AsyncPackCache, num_edge_types: int,
+                               node_budget: int, caps: AsyncCapacities,
+                               propagation_rounds: int,
+                               propagation_substeps: int, hidden_size: int,
+                               annotation_size: int, is_training: bool,
+                               rng: Optional[np.random.RandomState] = None
+                               ) -> Iterator[AsyncGraphBatch]:
+    """Epoch packing over the corpus cache: per batch, ONE window
+    cumsum finds the split (same greedy fits() as the per-graph
+    packers — all conditions are monotone in the prefix length), then
+    whole-batch gathers/scatters assemble the slabs. Bit-identical to
+    `_pack_async_batches_flat` including the shuffle stream (the
+    Fisher-Yates draw count depends only on the corpus length)."""
+    R, S, T = propagation_rounds, propagation_substeps, num_edge_types
+    su = cache.s_used
+    G = cache.num_graphs
+    order = list(range(G))
+    if is_training and rng is not None:
+        rng.shuffle(order)  # same RandomState consumption as the
+        # flat packer's rng.shuffle(processed) — length-only algorithm
+    order = np.asarray(order, np.int64)
+    num_tasks = cache.values.shape[1]
+
+    _plan = getattr(caps, "plan", None)
+    seg_sea_cap = np.full((R, su), np.iinfo(np.int64).max, np.int64)
+    seg_rc_cap = np.full((R, su), np.iinfo(np.int64).max, np.int64)
+    if _plan is not None:
+        for r in range(R):
+            for (lo, hi, sea, rc) in _plan[r]:
+                seg_sea_cap[r, lo:min(hi, su)] = sea
+                seg_rc_cap[r, lo:min(hi, su)] = rc
+    rc_eff = np.minimum(seg_rc_cap, caps.receiving_nodes)  # [R, su]
+
+    i = 0
+    while i < G:
+        win_all = order[i:i + int(caps.graphs)]
+        # Inclusive cumulative capacity tables over the window; every
+        # fits() condition is monotone in the prefix, so the batch is
+        # the longest all-True prefix. (int32 is safe: counts are
+        # bounded by the per-batch capacities, all < 2^31.)
+        cn = np.cumsum(cache.n_nodes[win_all])
+        ci = np.cumsum(cache.counts_init[win_all], axis=0,
+                       dtype=np.int32)
+        cr = np.cumsum(cache.counts_r[win_all], axis=0, dtype=np.int32)
+        cst = np.cumsum(cache.counts_st[win_all], axis=0,
+                        dtype=np.int32)
+        ok = ((cn < node_budget)
+              & (ci <= caps.initial_nodes).all(axis=1)
+              & (cr <= rc_eff).all(axis=(1, 2))
+              & (cst <= caps.sending_edges).all(axis=(1, 2, 3))
+              & (cst.sum(axis=3, dtype=np.int64)
+                 <= seg_sea_cap).all(axis=(1, 2)))
+        if not ok[0]:
+            raise ValueError(f"graph exceeds async capacities {caps}")
+        nb = len(win_all) if ok.all() else int(np.argmin(ok))
+        win = win_all[:nb]
+        i += nb
+
+        n = cache.n_nodes[win]
+        node_off = np.r_[0, np.cumsum(n)[:-1]]
+        node_total = int(cn[nb - 1])
+        # Exclusive per-graph cumulative tables (scatter bases / the
+        # receiver offsets each graph's targets shift by).
+        cst_w = cst[:nb] - cache.counts_st[win]      # [nb, R, su, T]
+        cr_w = cr[:nb] - cache.counts_r[win]         # [nb, R, su]
+        ci_w = ci[:nb] - cache.counts_init[win]      # [nb, R]
+        # recv_offsets for _finalize is [R, S] (plan segments may
+        # reference steps past s_used; they hold zero receivers).
+        recv_totals = np.zeros((R, S), np.int64)
+        recv_totals[:, :su] = cr[nb - 1]              # inclusive sums
+
+        node_features = np.zeros((caps.nodes, hidden_size), np.float32)
+        frows, _f_rep, _f_within = _window_rows(cache.fstart, win)
+        node_features[:node_total, :annotation_size] = cache.feats[frows]
+        node_graph_ids = np.full((caps.nodes,), caps.graphs, np.int32)
+        node_graph_ids[:node_total] = np.repeat(
+            np.arange(nb, dtype=np.int32), n)
+
+        initial_nodes = np.full((R, caps.initial_nodes), caps.nodes,
+                                np.int32)
+        sending_nodes = np.zeros((R, S, T, caps.sending_edges), np.int32)
+        msg_targets = np.full((R, S, T, caps.sending_edges),
+                              caps.receiving_nodes, np.int32)
+        receiving_nodes = np.full((R, S, caps.receiving_nodes),
+                                  caps.nodes, np.int32)
+        for r in range(R):
+            rows, rep_g, _w = _window_rows(cache.egstart[r], win)
+            if len(rows):
+                key = cache.ekey[r][rows]
+                cst_w_r = cst_w[:, r].reshape(nb, su * T)
+                pos = cst_w_r[rep_g, key] + cache.erank[r][rows]
+                flat_send = sending_nodes[r].reshape(S * T, -1)
+                flat_tgt = msg_targets[r].reshape(S * T, -1)
+                flat_send[key, pos] = (cache.esend[r][rows]
+                                       + node_off[rep_g])
+                flat_tgt[key, pos] = (
+                    cache.etgt[r][rows]
+                    + cr_w[rep_g, r, cache.ekey_s[r][rows]])
+            rrows, rrep_g, _w = _window_rows(cache.rgstart[r], win)
+            if len(rrows):
+                ks = cache.rkey_s[r][rrows]
+                posr = cr_w[rrep_g, r, ks] + cache.rrank[r][rrows]
+                receiving_nodes[r][ks, posr] = (cache.rnode[r][rrows]
+                                                + node_off[rrep_g])
+            irows, irep_g, iwithin = _window_rows(cache.igstart[r], win)
+            if len(irows):
+                initial_nodes[r, ci_w[irep_g, r] + iwithin] = (
+                    cache.inits[r][irows] + node_off[irep_g])
+
+        yield _finalize_async_batch(
+            caps, R, S, T, num_tasks, cache.values[win], cache.masks[win],
+            nb, node_total, initial_nodes, sending_nodes, msg_targets,
+            receiving_nodes, recv_totals,
             node_features=node_features, node_graph_ids=node_graph_ids)
 
 

@@ -291,6 +291,12 @@ class AsyncAdapter:
         self.config = config
         self.meta = meta
         self.caps = None
+        # Corpus-level epoch-packing caches, keyed by processed-list
+        # identity (the held reference keeps each id() valid). Built
+        # lazily on the first epoch over a corpus.
+        self._pack_caches: Dict[int, Any] = {}
+        # Packed-batch caches for async_epoch_shuffle="batches".
+        self._batch_caches: Dict[int, Any] = {}
 
     def build_model(self):
         return AsyncGGNN(self.config, self.meta.num_edge_types)
@@ -321,13 +327,57 @@ class AsyncAdapter:
             margin=self.config.get("pack_margin"))
         return self.caps
 
-    def batches(self, processed, is_training: bool,
-                rng: Optional[np.random.RandomState] = None) -> Iterator:
+    def _pack_cache(self, processed):
+        """Per-corpus AsyncPackCache (data/async_schedule.py), built on
+        first use; `"async_pack_cache": false` opts out (e.g. a corpus
+        mutated between epochs)."""
+        if not self.config.get("async_pack_cache", True):
+            return None
+        entry = self._pack_caches.get(id(processed))
+        if entry is not None and entry[0] is processed:
+            return entry[1]
+        cache = async_schedule.build_async_pack_cache(
+            processed, self.config["propagation_rounds"],
+            self.config["propagation_substeps"],
+            self.meta.num_edge_types)
+        self._pack_caches[id(processed)] = (processed, cache)
+        return cache
+
+    def _pack(self, processed, is_training: bool, rng):
         return async_schedule.pack_async_batches(
             processed, self.meta.num_edge_types, self.config["num_nodes"],
             self.caps, self.config["propagation_rounds"],
             self.config["propagation_substeps"], self.config["hidden_size"],
-            self.meta.annotation_size, is_training, rng)
+            self.meta.annotation_size, is_training, rng,
+            cache=self._pack_cache(processed))
+
+    def batches(self, processed, is_training: bool,
+                rng: Optional[np.random.RandomState] = None) -> Iterator:
+        # `"async_epoch_shuffle": "batches"` (configs/async_tpu.json)
+        # trades the reference's per-epoch GRAPH shuffle for a
+        # batch-ORDER shuffle over a one-time pack: composition is
+        # fixed across epochs (packed in preprocess order), so epochs
+        # cost zero host packing — the device stream becomes the
+        # pipeline bottleneck. Default "graphs" keeps reference
+        # semantics (chem_tensorflow_async.py:341) with the cached
+        # vectorized packer. Memory: holds every packed batch of the
+        # corpus (~hundreds of MB at the 10k-node budget on QM9 scale).
+        mode = self.config.get("async_epoch_shuffle", "graphs")
+        if mode not in ("graphs", "batches"):
+            raise ValueError(
+                f"async_epoch_shuffle must be 'graphs' or 'batches', "
+                f"got {mode!r}")
+        if mode == "batches":
+            entry = self._batch_caches.get(id(processed))
+            if entry is None or entry[0] is not processed:
+                packed = list(self._pack(processed, False, None))
+                self._batch_caches[id(processed)] = (processed, packed)
+                entry = self._batch_caches[id(processed)]
+            packed = entry[1]
+            if is_training and rng is not None:
+                return (packed[i] for i in rng.permutation(len(packed)))
+            return iter(packed)
+        return self._pack(processed, is_training, rng)
 
 
 _ADAPTERS = {

@@ -460,3 +460,95 @@ def test_async_packer_falls_back_on_heterogeneous_corpus():
                                       np.asarray(b.node_features))
         np.testing.assert_array_equal(np.asarray(a.targets),
                                       np.asarray(b.targets))
+
+
+def test_async_cached_packer_matches_flat():
+    """The corpus-cached epoch packer (AsyncPackCache: whole-batch
+    gathers/scatters over corpus-concatenated flat tables + static
+    scatter ranks) must emit BIT-identical batches to the per-graph
+    flat packer — eval AND shuffled training mode, including the
+    RandomState consumption (the shuffle draw count depends only on
+    corpus length), across multiple epochs."""
+    import jax
+    from ggnn_tpu.data import async_schedule as asn
+
+    data = synthetic_molecules(160, seed=11)
+    proc = asn.preprocess_async(data, 4, True, 4, 40, [0], {}, False)
+    caps = asn.plan_async_capacities_multi([proc], 4, 500, 4)
+    cache = asn.build_async_pack_cache(proc, 4, 40, 4)
+    assert cache is not None and cache.matches(proc, 4, 40, 4)
+
+    def leaves(batches):
+        return [np.asarray(leaf) for b in batches
+                for leaf in jax.tree_util.tree_leaves(b)]
+
+    fast = leaves(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                         16, 5, False, cache=cache))
+    ref = leaves(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                        16, 5, False))
+    assert len(fast) == len(ref) and len(fast) > 0
+    for x, y in zip(fast, ref):
+        np.testing.assert_array_equal(x, y)
+
+    r1, r2 = np.random.RandomState(3), np.random.RandomState(3)
+    for _epoch in range(2):  # shared RandomState must stay in lockstep
+        fast = leaves(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                             16, 5, True, r1, cache=cache))
+        ref = leaves(asn.pack_async_batches(proc, 4, 500, caps, 4, 40,
+                                            16, 5, True, r2))
+        for x, y in zip(fast, ref):
+            np.testing.assert_array_equal(x, y)
+
+    # Oversize graph -> same ValueError the per-graph packers raise.
+    import pytest
+    tiny_caps = asn.plan_async_capacities_multi([proc[:1]], 4, 500, 4)
+    big = max(proc, key=lambda g: len(g["init"]))
+    if len(big["init"]) > len(proc[0]["init"]):
+        cache_big = asn.build_async_pack_cache([big], 4, 40, 4)
+        small_caps = asn.AsyncCapacities(
+            nodes=tiny_caps.nodes, graphs=tiny_caps.graphs,
+            initial_nodes=1, sending_edges=1, receiving_nodes=1,
+            plan=tiny_caps.plan)
+        with pytest.raises(ValueError, match="exceeds async capacities"):
+            list(asn.pack_async_batches([big], 4, 500, small_caps, 4, 40,
+                                        16, 5, False, cache=cache_big))
+
+
+def test_async_batch_shuffle_mode():
+    """async_epoch_shuffle="batches": one-time pack, per-epoch batch-
+    ORDER shuffle — composition fixed across epochs, eval stream
+    deterministic and identical to the graphs-mode eval stream."""
+    import jax
+    from ggnn_tpu.data import async_schedule as asn
+    from ggnn_tpu.data.loader import DatasetMeta, infer_metadata
+    from ggnn_tpu.training.config import default_params_for
+    from ggnn_tpu.training.variants import make_adapter
+
+    data = synthetic_molecules(120, seed=5)
+    meta = infer_metadata([data], True)
+    cfg = default_params_for("async")
+    cfg.update(num_nodes=400, propagation_substeps=40,
+               async_epoch_shuffle="batches")
+    adapter = make_adapter("async", cfg, meta)
+    proc = adapter.preprocess(data, False)
+    adapter.plan(proc)
+
+    ref_cfg = dict(cfg, async_epoch_shuffle="graphs")
+    ref_adapter = make_adapter("async", ref_cfg, meta)
+    ref_adapter.plan(proc)
+
+    # Eval: identical stream to graphs mode (no shuffle anywhere).
+    a = list(adapter.batches(proc, False))
+    b = list(ref_adapter.batches(proc, False))
+    assert len(a) == len(b) > 1
+    for x, y in zip(a, b):
+        for lx, ly in zip(jax.tree_util.tree_leaves(x),
+                          jax.tree_util.tree_leaves(y)):
+            np.testing.assert_array_equal(np.asarray(lx), np.asarray(ly))
+
+    # Train: same batch SET in permuted order; second epoch reuses the
+    # pack (same objects) under a fresh permutation.
+    e1 = list(adapter.batches(proc, True, np.random.RandomState(0)))
+    assert {id(x) for x in e1} == {id(x) for x in a}
+    e2 = list(adapter.batches(proc, True, np.random.RandomState(1)))
+    assert {id(x) for x in e2} == {id(x) for x in a}
