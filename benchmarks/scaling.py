@@ -142,6 +142,19 @@ def main():
                   f"'shift'): {shift_vol/1024:.1f} KiB/step "
                   f"({new_vol/max(shift_vol,1):.1f}x under the dense "
                   f"all_to_all's padded {new_vol/1024:.1f} KiB)")
+            # Ragged transport: TRUE per-pair sizes, zero wire padding
+            # (worst shard's total cross-chip send rows — self pairs
+            # are never materialized, so every row crosses ICI).
+            rag = (ns.shard_gcn_batch(batches[0], ns_caps,
+                                      exchange="ragged")
+                   if variant == "gcn" else
+                   ns.shard_batch(batches[0], ns_caps,
+                                  exchange="ragged"))
+            rag_vol = int(np.asarray(rag.send_idx.send_sizes)
+                          .sum(axis=1).max()) * h * 4
+            print(f"  ragged all-to-all exchange (boundary_exchange="
+                  f"'ragged'): {rag_vol/1024:.1f} KiB/step — the true "
+                  f"cut, zero padding")
             # Lane occupancy straight off the stack just built (axis 0
             # is the step axis: real batches first, then any all-padding
             # fillers — slice those off so they don't dilute it).

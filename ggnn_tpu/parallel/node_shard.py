@@ -59,10 +59,59 @@ from ggnn_tpu.utils.padding import round_up
 
 def _squeeze_shard(v):
     """Drop the local shard-extent-1 axis; send_idx may be a tuple of
-    per-shift arrays (the shift-bucketed boundary layout)."""
+    per-shift arrays (the shift-bucketed boundary layout) or a
+    RaggedSendSpec (the ragged-all-to-all layout)."""
     if isinstance(v, tuple):
         return tuple(x[0] for x in v)
+    if isinstance(v, RaggedSendSpec):
+        return dataclasses.replace(
+            v, **{f: getattr(v, f)[0] for f in _RAGGED_DATA_FIELDS})
     return v[0]
+
+
+_RAGGED_DATA_FIELDS = ("gather", "input_offsets", "send_sizes",
+                       "output_offsets", "recv_sizes")
+
+
+@dataclasses.dataclass(frozen=True)
+class RaggedSendSpec:
+    """Transport layout for `exchange="ragged"`: ONE
+    `jax.lax.ragged_all_to_all` per propagation step, sized by the
+    TRUE per-pair cut — zero padding on the wire (the ideal transport
+    benchmarks/README.md names; the shift-bucketed layout pads each
+    ring shift to its worst pair, the dense all_to_all pads every pair
+    to the global worst).
+
+    Buffer shapes are static (capacities from NodeShardCaps); the
+    offset/size routing rows are per-batch DATA, so the same compiled
+    program serves every batch of an epoch:
+
+      gather          [S, SEND_CAP]  local rows packed dest-major
+      input_offsets   [S, S]         row s: slice starts into s's pack
+      send_sizes      [S, S]         row s: true rows s sends to d
+      output_offsets  [S, S]         row s: where s's slice lands on d
+                                     (owner-major on the receiver)
+      recv_sizes      [S, S]         row s: true rows s receives from o
+
+    `recv_cap` sizes the receiver table `bnd_src` indexes; `emulate`
+    selects a collective-emulation path (all_gather + owner-slice
+    reconstruction) for numerics validation on backends where XLA has
+    no ragged-all-to-all kernel (XLA:CPU — where this repo's virtual
+    8-device mesh tests run); the real collective's lowering is pinned
+    by tests/test_tpu_aot.py against a v5e topology."""
+
+    gather: jax.Array
+    input_offsets: jax.Array
+    send_sizes: jax.Array
+    output_offsets: jax.Array
+    recv_sizes: jax.Array
+    recv_cap: int = 8
+    emulate: bool = False
+
+
+jax.tree_util.register_dataclass(
+    RaggedSendSpec, data_fields=list(_RAGGED_DATA_FIELDS),
+    meta_fields=["recv_cap", "emulate"])
 
 
 @jax.tree_util.register_dataclass
@@ -139,16 +188,22 @@ class NodeShardCaps:
     padded to the worst pair). `boundary_shifts[k-1]` sizes shift k of
     the shift-bucketed layout (`exchange="shift"`): one ppermute per
     ring shift, each padded only to that shift's worst pair — wire cost
-    then tracks the actual cut distribution (XLA's ragged-all-to-all
-    would be the ideal transport, but it is unimplemented on XLA:CPU,
-    where this repo's multi-chip validation runs; independent ppermutes
-    overlap with each other and with the local lane just the same)."""
+    then tracks the actual cut distribution. `boundary_send_total` /
+    `boundary_recv_total` size the `exchange="ragged"` pack/table
+    buffers (max TOTAL rows any shard sends / receives): the
+    ragged-all-to-all transport moves exactly the true per-pair sizes —
+    zero wire padding — with the routing offsets as per-batch data.
+    Shift stays the CPU-validatable fallback (XLA:CPU has no
+    ragged-all-to-all kernel; `exchange="ragged_emulated"` runs the
+    ragged layout through an all_gather emulation there)."""
     n_shards: int
     nodes_local: int      # Nl
     edges_local: int      # EL (per shard, all types combined)
     edges_boundary: int   # EB (per shard, all types combined)
     boundary: int         # B (per ordered shard pair, all_to_all mode)
     boundary_shifts: tuple = ()  # B_k per ring shift (shift mode)
+    boundary_send_total: int = 8  # SEND_CAP (ragged mode)
+    boundary_recv_total: int = 8  # receive-table rows (ragged mode)
 
 
 def _shard_ranges(node_capacity: int, n_shards: int) -> int:
@@ -182,6 +237,7 @@ def _plan_caps(edge_lists, node_caps, n_shards: int,
     edge arrays (not the padded feature tensors)."""
     nl = max([8] + [_shard_ranges(nc, n_shards) for nc in node_caps])
     max_el, max_eb = 1, 0
+    send_tot, recv_tot = 0, 0
     pair_max = np.zeros((n_shards, n_shards), np.int64)
     for f_src, f_tgt in edge_lists:
         if not len(f_src):
@@ -197,9 +253,13 @@ def _plan_caps(edge_lists, node_caps, n_shards: int,
             uniq = np.unique(np.stack(
                 [owner_s[cut], owner_d[cut], f_src[cut]], 1), axis=0)
             pair_ids = uniq[:, 0] * n_shards + uniq[:, 1]
-            pair_max = np.maximum(pair_max, np.bincount(
-                pair_ids, minlength=n_shards * n_shards
-            ).reshape(n_shards, n_shards))
+            pm = np.bincount(pair_ids, minlength=n_shards * n_shards
+                             ).reshape(n_shards, n_shards)
+            pair_max = np.maximum(pair_max, pm)
+            # Ragged-mode totals come from THIS batch's matrix (the
+            # elementwise max over batches would over-size them).
+            send_tot = max(send_tot, int(pm.sum(axis=1).max()))
+            recv_tot = max(recv_tot, int(pm.sum(axis=0).max()))
     cap8 = lambda x: max(8, round_up(int(np.ceil(x * margin)), 8))
     shifts = tuple(
         cap8(max(int(pair_max[o, (o + k) % n_shards])
@@ -212,6 +272,8 @@ def _plan_caps(edge_lists, node_caps, n_shards: int,
         edges_boundary=max(8, round_up(int(np.ceil(max_eb * margin)), 8)),
         boundary=cap8(int(pair_max.max())),
         boundary_shifts=shifts,
+        boundary_send_total=cap8(send_tot),
+        boundary_recv_total=cap8(recv_tot),
     )
 
 
@@ -254,12 +316,53 @@ def _materialize_sends(pair_rows, caps: NodeShardCaps, exchange: str):
     receiver table is owner-major [S*B]. "shift": one ppermute per ring
     shift k, each padded to `boundary_shifts[k-1]`; receiver table is
     shift-major [sum B_k] (the sender at shift k is (dest - k) mod S).
+    "ragged" / "ragged_emulated": one ragged_all_to_all moving the TRUE
+    per-pair sizes; receiver table is owner-major at true offsets
+    [boundary_recv_total].
     """
     s_count = caps.n_shards
 
     def _pair(o, d):
         return pair_rows.get((o, d), [])
 
+    if exchange in ("ragged", "ragged_emulated"):
+        send_cap = caps.boundary_send_total
+        recv_cap = caps.boundary_recv_total
+        size = np.zeros((s_count, s_count), np.int64)
+        for (o, d), rows in pair_rows.items():
+            size[o, d] = len(rows)
+        for kind, totals, cap in (("send", size.sum(axis=1), send_cap),
+                                  ("recv", size.sum(axis=0), recv_cap)):
+            worst = int(totals.max()) if s_count else 0
+            if worst > cap:
+                raise ValueError(
+                    f"boundary capacity overflow: ragged {kind} total "
+                    f"needs {worst} > {cap} rows")
+        gather = np.zeros((s_count, send_cap), np.int32)
+        input_off = np.zeros((s_count, s_count), np.int32)
+        for o in range(s_count):
+            off = 0
+            for d in range(s_count):
+                rows = _pair(o, d)
+                input_off[o, d] = off
+                gather[o, off:off + len(rows)] = rows
+                off += len(rows)
+        # recv_off[d, o]: where owner o's slice starts on receiver d
+        # (owner-major by TRUE sizes: column-wise prefix sums of size).
+        recv_off = np.cumsum(
+            np.concatenate([np.zeros((1, s_count), np.int64),
+                            size[:-1]]), axis=0).T.astype(np.int32)
+        spec = RaggedSendSpec(
+            gather=gather,
+            input_offsets=input_off,
+            send_sizes=size.astype(np.int32),
+            output_offsets=recv_off.T.copy(),   # [sender, dest]
+            recv_sizes=size.T.copy(),           # [receiver, owner]
+            recv_cap=recv_cap,
+            emulate=(exchange == "ragged_emulated"),
+        )
+        table_row = lambda o, d, slot: int(recv_off[d, o]) + slot
+        return spec, table_row
     if exchange == "alltoall":
         b_cap = caps.boundary
         send_idx = np.zeros((s_count, s_count, b_cap), np.int32)
@@ -337,14 +440,53 @@ def _shard_edge_split(s: int, f_src, f_tgt, nl: int, table_row, slot_of,
     return mine, local, loc_tgt, local_rows, boundary_rows
 
 
+def _ragged_emulated(operand, spec: "RaggedSendSpec", axis, h_dim, dtype):
+    """Collective-emulation of the ragged exchange for backends where
+    XLA lacks a ragged-all-to-all kernel (XLA:CPU — the virtual-mesh
+    test platform): all_gather every sender's packed buffer + routing
+    rows, then rebuild this shard's receive table by owner slice.
+    Bit-identical semantics to the real collective (and differentiable
+    through the gathers), at O(S·SEND_CAP·H) wire — validation only."""
+    import jax.numpy as jnp
+    ops = jax.lax.all_gather(operand, axis)              # [S, CAP, H]
+    in_off = jax.lax.all_gather(spec.input_offsets, axis)   # [S, S]
+    sizes = jax.lax.all_gather(spec.send_sizes, axis)       # [S, S]
+    out_off = jax.lax.all_gather(spec.output_offsets, axis)  # [S, S]
+    me = jax.lax.axis_index(axis)
+    s_count = ops.shape[0]
+    send_cap = operand.shape[0]
+    j = jnp.arange(spec.recv_cap)
+    out = jnp.zeros((spec.recv_cap, h_dim), dtype)
+    for o in range(s_count):
+        off = out_off[o, me]
+        size = sizes[o, me]
+        src = jnp.clip(in_off[o, me] + (j - off), 0, send_cap - 1)
+        sel = (j >= off) & (j < off + size)
+        out = out + jnp.where(sel[:, None], ops[o, src], 0)
+    return out
+
+
 def exchange_boundary(h, send_idx, axis, h_dim):
     """The per-step boundary transport, dispatched on the layout.
 
     Dense all_to_all for an [S, S, B] send_idx; one ppermute per ring
     shift for a tuple layout (independent collectives — XLA overlaps
-    them with each other and with the local lane). Returns the flat
-    received table matching the batch's `bnd_src` index space."""
+    them with each other and with the local lane); ONE
+    jax.lax.ragged_all_to_all moving the true per-pair sizes for a
+    RaggedSendSpec. Returns the flat received table matching the
+    batch's `bnd_src` index space."""
     import jax.numpy as jnp
+    if isinstance(send_idx, RaggedSendSpec):
+        spec = send_idx
+        if axis is None:  # single-shard degenerate case: no cut edges
+            return jnp.zeros((spec.recv_cap, h_dim), h.dtype)
+        operand = h[spec.gather]                  # [SEND_CAP, H]
+        if spec.emulate:
+            return _ragged_emulated(operand, spec, axis, h_dim, h.dtype)
+        out = jnp.zeros((spec.recv_cap, h_dim), h.dtype)
+        return jax.lax.ragged_all_to_all(
+            operand, out, spec.input_offsets, spec.send_sizes,
+            spec.output_offsets, spec.recv_sizes, axis_name=axis)
     if isinstance(send_idx, tuple):
         s_count = len(send_idx) + 1
         parts = []
@@ -429,6 +571,12 @@ def shard_batch(batch: GraphBatch, caps: NodeShardCaps,
 def _zeros_like_send(send_idx):
     if isinstance(send_idx, tuple):
         return tuple(np.zeros_like(np.asarray(x)) for x in send_idx)
+    if isinstance(send_idx, RaggedSendSpec):
+        # All sizes/offsets zero: a valid ragged exchange that moves
+        # nothing and leaves the receive table zeros.
+        return dataclasses.replace(
+            send_idx, **{f: np.zeros_like(np.asarray(getattr(send_idx, f)))
+                         for f in _RAGGED_DATA_FIELDS})
     return np.zeros_like(np.asarray(send_idx))
 
 
@@ -623,11 +771,17 @@ def gcn_shard_and_stack(batches: List, caps: NodeShardCaps,
 
 def _send_spec(sharded, template):
     """send_idx spec matching the transport layout: a tuple of specs
-    for the shift layout (needed by strict tree_maps like
-    stack_from_process_local; shard_map's prefix matching would accept
-    the bare spec)."""
-    if template is not None and isinstance(template.send_idx, tuple):
+    for the shift layout, a RaggedSendSpec of specs for the ragged
+    layout (needed by strict tree_maps like stack_from_process_local;
+    shard_map's prefix matching would accept the bare spec)."""
+    if template is None:
+        return sharded
+    if isinstance(template.send_idx, tuple):
         return tuple(sharded for _ in template.send_idx)
+    if isinstance(template.send_idx, RaggedSendSpec):
+        return dataclasses.replace(
+            template.send_idx,
+            **{f: sharded for f in _RAGGED_DATA_FIELDS})
     return sharded
 
 

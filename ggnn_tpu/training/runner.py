@@ -418,9 +418,10 @@ class Runner:
         from ggnn_tpu.parallel import node_shard
         # "alltoall" (default): ONE dense collective, pairs padded to
         # the worst pair. "shift": one ppermute per ring shift, each
-        # sized to ITS worst pair — wire cost tracks the actual cut
-        # distribution (the static-shape stand-in for a ragged
-        # all-to-all; see NodeShardCaps).
+        # sized to ITS worst pair. "ragged": ONE ragged_all_to_all
+        # moving the true per-pair sizes — zero wire padding (TPU
+        # only; "ragged_emulated" validates the same layout on CPU).
+        # See NodeShardCaps.
         exchange = self.config.get("boundary_exchange", "alltoall")
         if self._mesh_kind == "gcn":
             return node_shard.gcn_shard_and_stack(group, caps,
@@ -437,6 +438,8 @@ class Runner:
                 or need.edges_local > caps.edges_local
                 or need.edges_boundary > caps.edges_boundary
                 or need.boundary > caps.boundary
+                or need.boundary_send_total > caps.boundary_send_total
+                or need.boundary_recv_total > caps.boundary_recv_total
                 or any(n > c for n, c in zip(need.boundary_shifts,
                                              caps.boundary_shifts)))
 
@@ -453,6 +456,10 @@ class Runner:
             edges_local=max(grown.edges_local, old.edges_local),
             edges_boundary=max(grown.edges_boundary, old.edges_boundary),
             boundary=max(grown.boundary, old.boundary),
+            boundary_send_total=max(grown.boundary_send_total,
+                                    old.boundary_send_total),
+            boundary_recv_total=max(grown.boundary_recv_total,
+                                    old.boundary_recv_total),
             boundary_shifts=tuple(
                 max(g, o) for g, o in zip(grown.boundary_shifts,
                                           old.boundary_shifts)))

@@ -119,7 +119,9 @@ def test_parallel_loss_matches_single_device(n_data, n_edge):
 @pytest.mark.parametrize("n_data,n_edge,exchange",
                          [(4, 2, "alltoall"), (2, 4, "alltoall"),
                           (4, 2, "shift"), (2, 4, "shift"),
-                          (1, 8, "shift")])
+                          (1, 8, "shift"),
+                          (4, 2, "ragged_emulated"),
+                          (2, 4, "ragged_emulated")])
 def test_parallel_train_step_matches_single_device(n_data, n_edge,
                                                    exchange):
     cfg, meta, batches = _setup()
@@ -415,7 +417,8 @@ def test_use_graph_false_on_mesh():
     assert np.isfinite(float(metrics["loss"]))
 
 
-@pytest.mark.parametrize("exchange", ["alltoall", "shift"])
+@pytest.mark.parametrize("exchange",
+                         ["alltoall", "shift", "ragged_emulated"])
 def test_node_sharded_giant_graph_parity(exchange):
     """The stress case SURVEY §5.7 names: ONE large connected graph
     deliberately split across shards (substantial cut, heavily used
@@ -503,6 +506,46 @@ def test_node_shard_boundary_capacity_overflow_raises():
         shard_batch(b, bad_lane)
 
 
+def test_ragged_send_spec_layout_invariants():
+    """Host-side construction of the ragged transport: the routing
+    rows must satisfy jax.lax.ragged_all_to_all's documented
+    consistency constraint (send_sizes == all_to_all(recv_sizes), i.e.
+    recv_sizes = send_sizes.T), pack dest-major on the sender, land
+    owner-major at TRUE offsets on the receiver, and fit the planned
+    static totals."""
+    import dataclasses as _dc
+
+    from ggnn_tpu.parallel.node_shard import shard_batch as _shard
+
+    cfg, meta, batches = _setup()
+    n_edge = 4
+    caps = plan_node_shard_caps(batches, n_edge)
+    sb = _shard(batches[0], caps, exchange="ragged")
+    spec = sb.send_idx
+    s_count = n_edge
+    ss = np.asarray(spec.send_sizes)
+    if ss.sum() == 0:
+        pytest.skip("no cut edges in this batch")
+    np.testing.assert_array_equal(np.asarray(spec.recv_sizes), ss.T)
+    io = np.asarray(spec.input_offsets)
+    np.testing.assert_array_equal(
+        io, np.concatenate([np.zeros((s_count, 1), io.dtype),
+                            np.cumsum(ss, axis=1)[:, :-1]], axis=1))
+    oo = np.asarray(spec.output_offsets)
+    np.testing.assert_array_equal(
+        oo, np.cumsum(np.concatenate(
+            [np.zeros((1, s_count), oo.dtype), ss[:-1]], axis=0), axis=0))
+    assert int(ss.sum(axis=1).max()) <= caps.boundary_send_total
+    assert int(ss.sum(axis=0).max()) <= spec.recv_cap
+    assert spec.recv_cap == caps.boundary_recv_total
+    # bnd_src rows stay inside the receive table.
+    assert int(np.asarray(sb.bnd_src).max()) < spec.recv_cap
+    # Totals overflow raises (same policy as the per-pair lanes).
+    bad = _dc.replace(caps, boundary_send_total=0, boundary_recv_total=0)
+    with pytest.raises(ValueError):
+        _shard(batches[0], bad, exchange="ragged")
+
+
 def _gcn_setup(n_mols=48, batch_nodes=160):
     cfg = default_params_for("gcn")
     cfg.update({"batch_size": batch_nodes,
@@ -519,8 +562,10 @@ def _gcn_setup(n_mols=48, batch_nodes=160):
     return cfg, meta, batches
 
 
-@pytest.mark.parametrize("n_data,n_edge", [(4, 2), (2, 4)])
-def test_gcn_node_sharded_matches_single_device(n_data, n_edge):
+@pytest.mark.parametrize("n_data,n_edge,exchange",
+                         [(4, 2, "alltoall"), (2, 4, "alltoall"),
+                          (2, 4, "ragged_emulated")])
+def test_gcn_node_sharded_matches_single_device(n_data, n_edge, exchange):
     """GCN over the node-sharded boundary-exchange layout: loss and
     every gradient leaf must match the single-device global-batch
     oracle (same contract as the sparse node-shard tests)."""
@@ -545,7 +590,8 @@ def test_gcn_node_sharded_matches_single_device(n_data, n_edge):
         model_p, opt, cfg, cfg["task_ids"], mesh, return_grads=True,
         batch_kind="gcn")
     ns_caps = plan_gcn_shard_caps(batches, n_edge)
-    stack = gcn_shard_and_stack(batches, ns_caps, n_data=n_data)
+    stack = gcn_shard_and_stack(batches, ns_caps, n_data=n_data,
+                                exchange=exchange)
 
     def loss_fn(p):
         return _oracle_loss(model_s, p, batches, cfg["task_ids"])

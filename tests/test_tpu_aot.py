@@ -9,7 +9,9 @@ XLA:CPU's. `jax.experimental.topologies` compiles against a v5e-style
 "works on XLA:CPU" into "lowers on XLA:TPU" for:
 
   * the node-sharded edge-partitioned sparse train step
-    (parallel/node_shard.py, both boundary-exchange transports), and
+    (parallel/node_shard.py, all three boundary-exchange transports —
+    dense all_to_all, shift-bucketed ppermutes, and the ragged
+    all-to-all that XLA:CPU cannot execute at all), and
   * the type-TP train step over the [T, H, H] edge weights
     (parallel/tp.py),
 
@@ -71,7 +73,8 @@ def _compile_for_topology(train_step, state, stack, case):
 
 
 @pytest.mark.parametrize("n_data,n_edge,exchange",
-                         [(2, 4, "alltoall"), (4, 2, "shift")])
+                         [(2, 4, "alltoall"), (4, 2, "shift"),
+                          (2, 4, "ragged")])
 def test_node_sharded_step_lowers_on_tpu(n_data, n_edge, exchange):
     cfg, meta, batches = _setup()
     mesh = _topo_mesh(n_data, n_edge)
@@ -83,7 +86,9 @@ def test_node_sharded_step_lowers_on_tpu(n_data, n_edge, exchange):
     stack = _stack_for(batches, n_data, n_edge, exchange)
     hlo = _compile_for_topology(train_step, state, stack,
                                 f"node_shard {n_data}x{n_edge} {exchange}")
-    want = "all-to-all" if exchange == "alltoall" else "collective-permute"
+    want = {"alltoall": "all-to-all",
+            "shift": "collective-permute",
+            "ragged": "ragged-all-to-all"}[exchange]
     assert want in hlo, (
         f"XLA:TPU lowering of the {exchange} boundary exchange contains "
         f"no {want} op")
