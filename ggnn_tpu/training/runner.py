@@ -223,11 +223,13 @@ class Runner:
 
         self._nodeshard_caps = None
         self._proc_data_rows = None
-        if mesh is not None and self._mesh_kind in ("sparse", "gcn"):
+        if mesh is not None:
             # Under jax.distributed, feed only THIS host's data rows
             # (parallel/stacking.py:stack_from_process_local) — no host
-            # packs or ships another host's batches. None = replicated
-            # global stacks (single process, or non-row-aligned mesh).
+            # stacks or ships another host's batches, for EVERY mesh
+            # kind (sparse/gcn node-shard, dense/blocked DP, async/GCN
+            # fixed-shape DP, type-TP). None = replicated global stacks
+            # (single process, or non-row-aligned mesh).
             from ggnn_tpu.parallel.mesh import process_aligned_data_rows
             self._proc_data_rows = process_aligned_data_rows(mesh)
         if mesh is not None:
@@ -467,21 +469,54 @@ class Runner:
     def _stack_process_local(self, group, n_data, n_edge):
         """Multi-process path: pad the (process-identical) group to
         n_data with no-op fillers, keep only this host's data rows,
-        stack them, and assemble the global jax.Array. Capacity checks
-        run on the FULL group so a regrow decision is identical on
-        every process (a process-local regrow would diverge compiled
-        shapes across hosts and deadlock the collectives)."""
+        stack them, and assemble the global jax.Array — for every mesh
+        kind (node-sharded sparse/gcn, dense/blocked DP, async/GCN
+        fixed-shape DP, type-TP). Capacity/shape checks run on the FULL
+        group so a regrow decision is identical on every process (a
+        process-local regrow would diverge compiled shapes across hosts
+        and deadlock the collectives)."""
         from ggnn_tpu.parallel import node_shard, stack_from_process_local
-        from ggnn_tpu.parallel.stacking import (empty_batch_like,
+        from ggnn_tpu.parallel.stacking import (data_parallel_specs,
+                                                empty_batch_like,
+                                                empty_dense_batch_like,
                                                 empty_masked_batch_like,
+                                                stack_any_batches,
                                                 stack_batches,
-                                                stacked_batch_specs)
+                                                stack_dense_batches,
+                                                stacked_batch_specs,
+                                                stacked_dense_batch_specs)
         if len(group) < n_data:
-            filler = (empty_batch_like(group[0])
-                      if self._mesh_kind == "sparse"
-                      else empty_masked_batch_like(group[0]))
+            if self._mesh_kind == "dense":
+                filler = empty_dense_batch_like(group[0])
+            elif self._mesh_kind in ("sparse", "sparse_tp"):
+                filler = empty_batch_like(group[0])
+            else:
+                filler = empty_masked_batch_like(group[0])
             group = group + [filler] * (n_data - len(group))
         local = [group[i] for i in self._proc_data_rows]
+        n_local = len(self._proc_data_rows)
+        if self._mesh_kind == "dense":
+            # Deterministic cross-host single-bucket check on the FULL
+            # group (a local-only check could raise on one host only).
+            shapes = {np.asarray(b.node_features).shape for b in group}
+            if len(shapes) != 1:
+                raise ValueError(
+                    f"mesh dense stacking needs one bucket shape, got "
+                    f"{shapes}; set dense_bucket_sizes to a single entry")
+            stack_local = stack_dense_batches(local, n_data=n_local)
+            return stack_from_process_local(stack_local, self.mesh,
+                                            stacked_dense_batch_specs())
+        if self._mesh_kind == "data_only":
+            stack_local = stack_any_batches(local, n_local,
+                                            empty_masked_batch_like)
+            return stack_from_process_local(stack_local, self.mesh,
+                                            data_parallel_specs(stack_local))
+        if self._mesh_kind == "sparse_tp":
+            from ggnn_tpu.parallel.tp import tp_batch_specs
+            stack_local = stack_batches(local, n_data=n_local,
+                                        n_edge=n_edge)
+            return stack_from_process_local(stack_local, self.mesh,
+                                            tp_batch_specs())
         if self._nodeshard_caps is not None:
             caps = self._nodeshard_caps
             # Deterministic cross-host overflow check on the FULL group
@@ -537,10 +572,10 @@ class Runner:
         def run_group(group):
             nonlocal total_loss, processed_graphs, steps
             already_global = False
-            if (self._proc_data_rows is not None
-                    and self._mesh_kind in ("sparse", "gcn")):
-                # Multi-process: this host packs/ships only its own
-                # data rows; the leaves are already global jax.Arrays.
+            if self._proc_data_rows is not None:
+                # Multi-process: this host stacks/ships only its own
+                # data rows (all mesh kinds); the leaves are already
+                # global jax.Arrays.
                 stack = self._stack_process_local(group, n_data, n_edge)
                 already_global = True
             elif self._mesh_kind == "dense":

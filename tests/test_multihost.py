@@ -130,6 +130,86 @@ assert runner._proc_data_rows == [proc_id], runner._proc_data_rows
 rlog = runner.train()
 runner_train_loss = float(rlog[0]["train_results"][0])
 
+# ---- Phase 4-6: per-process feeding for the REMAINING mesh kinds
+# (round-4 VERDICT item #2): dense/blocked DP, type-TP, async
+# fixed-shape DP. For each kind, one eval group assembled through the
+# Runner's process-local branch must match the replicated-global-stack
+# fallback bit-for-bit (that fallback is itself pinned against
+# single-device oracles in tests/test_parallel.py), and a full
+# Runner.train() drives the production run_group path (fillers, tail
+# groups) end-to-end.
+import math
+from ggnn_tpu.parallel.stacking import (empty_masked_batch_like,
+                                        stack_any_batches,
+                                        stack_dense_batches)
+
+def _phase_parity(runner, stack_replicated, n_group):
+    stack_pl = runner._stack_process_local(
+        list(runner.adapter.batches(runner.valid_processed, False))[:n_group],
+        *_mesh_dims(runner))
+    _, m_pl = runner._eval_step(runner.state, stack_pl, None)
+    _, m_rep = runner._eval_step(runner.state, stack_replicated, None)
+    assert int(m_pl["num_graphs"]) == int(m_rep["num_graphs"])
+    assert math.isclose(float(m_pl["loss"]), float(m_rep["loss"]),
+                        rel_tol=1e-6), (float(m_pl["loss"]),
+                                        float(m_rep["loss"]))
+    return float(m_pl["loss"])
+
+def _mesh_dims(runner):
+    from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
+    return runner.mesh.shape[DATA_AXIS], runner.mesh.shape[EDGE_AXIS]
+
+run_root = os.path.dirname(out_path)
+
+# Phase 4: blocked (dense-family DP) — the framework's fastest variant.
+rcfg_b = resolve_config("blocked", None, json.dumps({
+    "num_epochs": 1, "hidden_size": 8, "batch_size": 8,
+    "layer_timesteps": [1, 1], "residual_connections": {},
+    "dense_bucket_sizes": [32], "edge_weight_dropout_keep_prob": 1.0,
+    "graph_state_dropout_keep_prob": 1.0}))
+mesh4 = make_mesh(n_data=4, n_edge=1)
+rb = Runner("blocked", rcfg_b, log_dir=os.path.join(run_root,
+                                                    f"runb{proc_id}"),
+            train_data=synthetic_molecules(48, seed=4),
+            valid_data=synthetic_molecules(16, seed=5),
+            quiet=True, tensorboard=False, mesh=mesh4)
+assert rb._proc_data_rows == ([0, 1] if proc_id == 0 else [2, 3]), \
+    rb._proc_data_rows
+group_b = list(rb.adapter.batches(rb.valid_processed, False))[:4]
+blocked_loss = _phase_parity(rb, stack_dense_batches(group_b, n_data=4), 4)
+blocked_train_loss = float(rb.train()[0]["train_results"][0])
+
+# Phase 5: type-TP over the 2x2 mesh (edge axis = weight-type shards).
+rcfg_tp = dict(rcfg); rcfg_tp["edge_parallelism"] = "type_tp"
+rtp = Runner("sparse", rcfg_tp, log_dir=os.path.join(run_root,
+                                                     f"runtp{proc_id}"),
+             train_data=data, valid_data=synthetic_molecules(8, seed=2),
+             quiet=True, tensorboard=False, mesh=mesh)
+assert rtp._mesh_kind == "sparse_tp", rtp._mesh_kind
+assert rtp._proc_data_rows == [proc_id], rtp._proc_data_rows
+from ggnn_tpu.parallel.stacking import stack_batches as _stack_batches
+group_tp = list(rtp.adapter.batches(rtp.valid_processed, False))[:2]
+tp_loss = _phase_parity(
+    rtp, _stack_batches(group_tp, n_data=2, n_edge=2), 2)
+tp_train_loss = float(rtp.train()[0]["train_results"][0])
+
+# Phase 6: async (generic fixed-shape data_only DP).
+rcfg_a = resolve_config("async", None, json.dumps({
+    "num_epochs": 1, "hidden_size": 8, "num_nodes": 150,
+    "propagation_substeps": 40}))
+ra = Runner("async", rcfg_a, log_dir=os.path.join(run_root,
+                                                  f"runa{proc_id}"),
+            train_data=synthetic_molecules(24, seed=6),
+            valid_data=synthetic_molecules(8, seed=7),
+            quiet=True, tensorboard=False, mesh=mesh4)
+assert ra._mesh_kind == "data_only", ra._mesh_kind
+assert ra._proc_data_rows == ([0, 1] if proc_id == 0 else [2, 3]), \
+    ra._proc_data_rows
+group_a = list(ra.adapter.batches(ra.valid_processed, False))[:4]
+async_loss = _phase_parity(
+    ra, stack_any_batches(group_a, 4, empty_masked_batch_like), 4)
+async_train_loss = float(ra.train()[0]["train_results"][0])
+
 # Checkpoint from process 0; everyone barriers via a psum before exit.
 if proc_id == 0:
     from ggnn_tpu.training.checkpoint import save_checkpoint, \
@@ -148,7 +228,13 @@ if proc_id == 0:
                    "local_feed_loss": loss2,
                    "local_feed_graphs": graphs2,
                    "local_feed_oracle": oracle_loss,
-                   "runner_train_loss": runner_train_loss}, f)
+                   "runner_train_loss": runner_train_loss,
+                   "blocked_loss": blocked_loss,
+                   "blocked_train_loss": blocked_train_loss,
+                   "tp_loss": tp_loss,
+                   "tp_train_loss": tp_train_loss,
+                   "async_loss": async_loss,
+                   "async_train_loss": async_train_loss}, f)
 jax.effects_barrier()
 """
 
@@ -178,7 +264,7 @@ def test_two_process_distributed_train_step(tmp_path):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=540)
         except subprocess.TimeoutExpired:
             p.kill()
             out, _ = p.communicate()
@@ -196,3 +282,10 @@ def test_two_process_distributed_train_step(tmp_path):
     assert math.isclose(result["local_feed_loss"],
                         result["local_feed_oracle"], rel_tol=1e-5)
     assert math.isfinite(result["runner_train_loss"])
+    # Per-process feeding for the remaining mesh kinds (blocked dense
+    # DP, type-TP, async data_only): the worker asserted process-local
+    # == replicated-global bit-parity in-process; the losses landing
+    # here finite proves each Runner.train() drove the path end-to-end.
+    for k in ("blocked_loss", "blocked_train_loss", "tp_loss",
+              "tp_train_loss", "async_loss", "async_train_loss"):
+        assert math.isfinite(result[k]), (k, result[k])
