@@ -108,6 +108,70 @@ def main():
     print(f"  .ggnnx artifact: device forward {art_device_us:.0f} us"
           f" | end-to-end {art_wall_ms:.1f} ms (outputs identical)")
 
+    variant_host_rows()
+
+
+def variant_host_rows():
+    """Batch-of-one HOST packing cost for the remaining serving
+    variants (round-4 VERDICT item #5): the dense-family one-graph
+    bucket pack (Predictor._pack_single_dense) vs the corpus pipeline,
+    and the async topology-cached schedule path vs a cold compile.
+    Host-side only — device latency is transport-dominated on the
+    tunnel and already characterized by the sparse rows above."""
+    from ggnn_tpu.data.loader import DatasetMeta
+
+    mol = synthetic_molecules(1, seed=5)
+    ann = len(mol[0]["node_features"][0])
+    reps = 200
+    for variant, extra in (
+            ("blocked", {"batch_size": 4, "dense_bucket_sizes": [32]}),
+            ("gcn_blocked", {"batch_size": 4, "dense_bucket_sizes": [32]}),
+            ("async", {"num_nodes": 64, "propagation_substeps": 24})):
+        cfg = default_params_for(variant)
+        cfg.update({"num_epochs": 1, "hidden_size": 16})
+        cfg.update(extra)
+        runner = Runner(variant, cfg, log_dir="/tmp/latency_bench",
+                        quiet=True, tensorboard=False,
+                        train_data=synthetic_molecules(40, seed=0),
+                        valid_data=synthetic_molecules(10, seed=1))
+        runner.train()
+        p = Predictor.from_checkpoint(runner.best_model_file, variant,
+                                      max_nodes=64, max_graphs=8)
+        out = p(mol)
+        assert np.isfinite(out).all()
+        if variant == "async":
+            t0 = time.time()
+            for _ in range(reps):
+                list(p._batches(mol, ann))  # topology cache warm
+            warm_us = (time.time() - t0) / reps * 1e6
+            t0 = time.time()
+            for _ in range(reps):
+                p._async_sched_cache.clear()
+                list(p._batches(mol, ann))  # cold: full DAG levelling
+            cold_us = (time.time() - t0) / reps * 1e6
+            print(f"batch-of-1 {variant} host pack: schedule-cached "
+                  f"{warm_us:.0f} us (cold compile {cold_us:.0f} us)")
+            continue
+        t0 = time.time()
+        for _ in range(reps):
+            p._pack_single_dense(mol[0], ann)
+        fast_us = (time.time() - t0) / reps * 1e6
+
+        def corpus_once():
+            processed = p.adapter.preprocess(list(mol), False)
+            p.adapter.meta = DatasetMeta(
+                max_num_vertices=p.meta.max_num_vertices,
+                num_edge_types=p.meta.num_edge_types,
+                annotation_size=ann)
+            return list(p.adapter.batches(processed, False))
+
+        t0 = time.time()
+        for _ in range(reps):
+            corpus_once()
+        slow_us = (time.time() - t0) / reps * 1e6
+        print(f"batch-of-1 {variant} host pack: fast {fast_us:.0f} us "
+              f"(corpus pipeline {slow_us:.0f} us)")
+
 
 if __name__ == "__main__":
     main()

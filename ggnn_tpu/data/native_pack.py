@@ -508,3 +508,143 @@ def pack_sparse_batches_native(processed: SparseProcessed,
         return GraphBatch(**common)
 
     yield from _map_ordered(assemble, compositions, workers)
+
+
+# --------------------------------------------------------------------
+# GCN edge-list pipeline (the `gcn` variant)
+# --------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GCNProcessed:
+    """Flat corpus + per-graph normalized-adjacency COO row counts
+    (nnz = n + 2·|unique undirected off-diagonal pairs| — the size of
+    D^{-1/2}(sym(A)+I)D^{-1/2}'s support, needed by the greedy batch
+    composition and the capacity planner)."""
+    corpus: FlatCorpus
+    order: np.ndarray         # packing order of graph ids
+    nnz_per_graph: np.ndarray  # [G] int64
+
+
+def preprocess_gcn_native(raw_data, task_ids, task_sample_ratios,
+                          is_training: bool,
+                          rng: Optional[np.random.RandomState] = None
+                          ) -> GCNProcessed:
+    """Native analog of packing.preprocess_gcn: the per-graph
+    normalization moves into the C batch assembly (pack_gcn_batch), so
+    preprocess only flattens the corpus and counts each graph's COO
+    support (vectorised over the flat edge array)."""
+    corpus = FlatCorpus.from_raw(raw_data, task_ids)
+    g_count = corpus.num_graphs
+    nnz = corpus.num_nodes.astype(np.int64).copy()
+    if len(corpus.edges):
+        seg = np.repeat(np.arange(g_count, dtype=np.int64),
+                        corpus.edges_per_graph)
+        s = corpus.edges[:, 0].astype(np.int64)
+        t = corpus.edges[:, 2].astype(np.int64)
+        off = s != t
+        if np.any(off):
+            lo, hi = np.minimum(s, t)[off], np.maximum(s, t)[off]
+            sg = seg[off]
+            if g_count < (1 << 21) and int(corpus.max_vertex.max()) < (1 << 21):
+                keys = (sg << 42) | (lo << 21) | hi
+                uniq_g = np.unique(keys) >> 42
+            else:  # wide ids: exact but slower structured unique
+                uniq_g = np.unique(np.stack([sg, lo, hi], 1), axis=0)[:, 0]
+            nnz += 2 * np.bincount(uniq_g, minlength=g_count)
+    order = np.arange(g_count, dtype=np.int32)
+    if is_training:
+        if rng is not None:
+            rng.shuffle(order)
+        apply_task_sample_ratios(corpus.target_mask, order, task_ids,
+                                 task_sample_ratios)
+    return GCNProcessed(corpus=corpus, order=order, nnz_per_graph=nnz)
+
+
+def plan_gcn_capacities_native(processed: GCNProcessed, node_budget: int,
+                               margin: float = None) -> PackCapacities:
+    """Same walk as packing.plan_gcn_capacities (shared
+    plan_gcn_capacities_from_walk — the two pipelines cannot drift)."""
+    from ggnn_tpu.data.packing import plan_gcn_capacities_from_walk
+    return plan_gcn_capacities_from_walk(
+        ((int(processed.corpus.num_nodes[g]),
+          int(processed.nnz_per_graph[g])) for g in processed.order),
+        node_budget, margin)
+
+
+def pack_gcn_batches_native(processed: GCNProcessed, node_budget: int,
+                            caps: PackCapacities, hidden_size: int,
+                            annotation_size: int, is_training: bool,
+                            rng: Optional[np.random.RandomState] = None,
+                            workers: int = 4) -> Iterator:
+    """Native analog of packing.pack_gcn_batches: identical greedy
+    composition, one C call per batch (normalization + COO emission +
+    feature/graph-id fill), bit-identical eval batches
+    (tests/test_native.py)."""
+    from ggnn_tpu.graph import GCNGraphBatch
+
+    lib = require_lib()
+    corpus = processed.corpus
+    _validate_feature_geometry(corpus, hidden_size, annotation_size)
+    order = processed.order.copy()
+    if is_training and rng is not None:
+        rng.shuffle(order)
+    num_tasks = corpus.targets.shape[1]
+    nnz = processed.nnz_per_graph
+
+    compositions = []
+    idx = 0
+    while idx < len(order):
+        batch_ids: List[int] = []
+        node_count, edge_count = 0, 0
+        while idx < len(order):
+            g = int(order[idx])
+            n = int(corpus.num_nodes[g])
+            e = int(nnz[g])
+            fits = (node_count + n < node_budget
+                    and len(batch_ids) + 1 <= caps.graphs
+                    and edge_count + e <= caps.edges_per_type)
+            if not fits:
+                if not batch_ids:
+                    raise ValueError(
+                        f"graph exceeds pack capacities {caps}")
+                break
+            batch_ids.append(g)
+            node_count += n
+            edge_count += e
+            idx += 1
+        compositions.append((batch_ids, node_count))
+
+    def assemble(comp):
+        batch_ids, node_count = comp
+        e_cap = int(caps.edges_per_type)
+        edge_sources = np.zeros(e_cap, np.int32)
+        edge_targets = np.full(e_cap, caps.nodes, np.int32)
+        edge_weights = np.zeros(e_cap, np.float32)
+        init = np.zeros((caps.nodes, hidden_size), np.float32)
+        node_graph_ids = np.full((caps.nodes,), caps.graphs, np.int32)
+        rc = lib.pack_gcn_batch(
+            corpus.edges, corpus.edge_offsets, corpus.feats,
+            corpus.node_offsets,
+            np.ascontiguousarray(batch_ids, np.int32), len(batch_ids),
+            e_cap, annotation_size, hidden_size,
+            edge_sources, edge_targets, edge_weights, init,
+            node_graph_ids)
+        if rc == -4:
+            raise ValueError(
+                "graph node count exceeds the native GCN packer's "
+                "21-bit id field; set \"native_pack\": false")
+        if rc < 0:
+            raise ValueError(f"GCN COO capacity overflow (caps {caps})")
+        targets = np.zeros((num_tasks, caps.graphs), np.float32)
+        t_mask = np.zeros_like(targets)
+        targets[:, :len(batch_ids)] = corpus.targets[batch_ids].T
+        t_mask[:, :len(batch_ids)] = corpus.target_mask[batch_ids].T
+        return GCNGraphBatch(
+            node_features=init, node_graph_ids=node_graph_ids,
+            edge_sources=edge_sources, edge_targets=edge_targets,
+            edge_weights=edge_weights,
+            targets=targets, target_mask=t_mask,
+            num_graphs=np.int32(len(batch_ids)),
+            num_nodes=np.int32(node_count))
+
+    yield from _map_ordered(assemble, compositions, workers)

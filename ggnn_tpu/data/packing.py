@@ -621,21 +621,22 @@ def preprocess_gcn_dense(raw_data: Sequence[Any], task_ids: Sequence[int],
     return bucketed, bucket_sizes
 
 
-def plan_gcn_capacities(processed: Sequence[dict], node_budget: int,
-                        margin: float = None) -> PackCapacities:
+def plan_gcn_capacities_from_walk(walk, node_budget: int,
+                                  margin: float = None) -> PackCapacities:
+    """Shared capacity walk over (num_nodes, coo_rows) pairs — both the
+    python and native GCN pipelines call this, so they cannot drift."""
     if margin is None:
         margin = DEFAULT_PACK_MARGIN
     max_graphs, max_edges = 1, 0
     cur_nodes, cur_graphs, cur_edges = 0, 0, 0
-    for g in processed:
-        n = len(g["init"])
+    for n, e in walk:
         if cur_nodes + n >= node_budget and cur_graphs > 0:
             max_graphs = max(max_graphs, cur_graphs)
             max_edges = max(max_edges, cur_edges)
             cur_nodes, cur_graphs, cur_edges = 0, 0, 0
         cur_nodes += n
         cur_graphs += 1
-        cur_edges += len(g["adjacency_list"])
+        cur_edges += e
     max_graphs = max(max_graphs, cur_graphs)
     max_edges = max(max_edges, cur_edges)
     return PackCapacities(
@@ -643,6 +644,13 @@ def plan_gcn_capacities(processed: Sequence[dict], node_budget: int,
         edges_per_type=round_up(int(np.ceil(max_edges * margin)), 8),
         graphs=round_up(int(np.ceil(max_graphs * margin)), 8),
     )
+
+
+def plan_gcn_capacities(processed: Sequence[dict], node_budget: int,
+                        margin: float = None) -> PackCapacities:
+    return plan_gcn_capacities_from_walk(
+        ((len(g["init"]), len(g["adjacency_list"])) for g in processed),
+        node_budget, margin)
 
 
 def pack_gcn_batches(processed: List[dict], node_budget: int,

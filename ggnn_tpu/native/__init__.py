@@ -73,6 +73,12 @@ def _build_and_load() -> ctypes.CDLL:
         p_i32, p_i32, p_f32, p_f32, p_f32, p_i32, p_i64,
     ]
     i64 = ctypes.c_int64
+    lib.pack_gcn_batch.restype = i64
+    lib.pack_gcn_batch.argtypes = [
+        p_i32, p_i64, p_f32, p_i64, p_i32,
+        i32, i64, i32, i32,
+        p_i32, p_i32, p_f32, p_f32, p_i32,
+    ]
     # Raw-pointer ABI (c_void_p + arr.ctypes.data), NOT ndpointer: this
     # is the serving latency path and ndpointer's per-argument
     # validation costs ~5us x 12 arrays per call — more than the kernel

@@ -300,4 +300,93 @@ int32_t pack_single_sparse(
   return 0;
 }
 
+// Fill a packed GCN edge-list batch (the `gcn` variant): per graph,
+// the D^{-1/2}(sym(A)+I)D^{-1/2} normalized adjacency as row-major COO
+// with node-id offsets, computed WITHOUT materializing the dense n x n
+// matrix (sort+dedup of the symmetrized pair list) but with the exact
+// float semantics of the numpy pipeline
+// (packing.graph_to_normalized_adjacency: integer-valued row sums are
+// order-exact in double; each weight is fl(fl(d_i*a_ij)*d_j); diagonal
+// a_ii is 2.0 when the graph carries an explicit self-loop edge) so
+// eval batches are bit-identical to the python packer. Outputs must be
+// pre-initialised by the caller (edge_targets to the node dump slot,
+// weights/init to zero, node_graph_ids to the dump graph id). Returns
+// the filled COO count, -1 on COO capacity overflow, or -4 when a
+// graph's node count exceeds the 21-bit sort-key field (the python
+// packer takes over).
+int64_t pack_gcn_batch(
+    const int32_t* edges,        // [E_tot, 3] (src, type, dst)
+    const int64_t* edge_offsets, // [G+1]
+    const float* feats,          // [N_tot, A]
+    const int64_t* node_offsets, // [G+1]
+    const int32_t* graph_ids,    // [b_real]
+    int32_t b_real,
+    int64_t edge_capacity,       // COO cap (caps.edges_per_type)
+    int32_t annotation_size,
+    int32_t hidden_size,
+    int32_t* edge_sources,       // [E_cap]
+    int32_t* edge_targets,       // [E_cap]
+    float* edge_weights,         // [E_cap]
+    float* init_out,             // [N_cap, H]
+    int32_t* node_graph_ids) {   // [N_cap]
+  std::vector<int64_t> pairs;
+  std::vector<double> d;
+  std::vector<uint8_t> self_loop;
+  int64_t node_off = 0;
+  int64_t fill = 0;
+  for (int32_t b = 0; b < b_real; ++b) {
+    const int32_t g = graph_ids[b];
+    const int64_t n0 = node_offsets[g];
+    const int32_t n = (int32_t)(node_offsets[g + 1] - n0);
+    if (n >= (1 << 21)) return -4;
+    const int64_t e0 = edge_offsets[g], e1 = edge_offsets[g + 1];
+    pairs.clear();
+    pairs.reserve((size_t)(2 * (e1 - e0) + n));
+    self_loop.assign((size_t)n, 0);
+    for (int64_t e = e0; e < e1; ++e) {
+      const int64_t src = edges[e * 3 + 0];
+      const int64_t dst = edges[e * 3 + 2];
+      if (src == dst) {
+        self_loop[(size_t)src] = 1;  // a_ii = 1 + eye = 2.0
+      } else {
+        pairs.push_back((src << 21) | dst);
+        pairs.push_back((dst << 21) | src);
+      }
+    }
+    for (int64_t i = 0; i < n; ++i)
+      pairs.push_back((i << 21) | i);  // the +I diagonal
+    std::sort(pairs.begin(), pairs.end());
+    pairs.erase(std::unique(pairs.begin(), pairs.end()), pairs.end());
+    // Row sums of the integer-valued matrix (order-exact in double):
+    // off-diagonal unique neighbours are 1.0, diagonal 1.0 or 2.0.
+    d.assign((size_t)n, 0.0);
+    for (const int64_t key : pairs) {
+      const int64_t i = key >> 21;
+      const int64_t j = key & 0x1FFFFF;
+      d[(size_t)i] += (i == j && self_loop[(size_t)i]) ? 2.0 : 1.0;
+    }
+    for (int32_t i = 0; i < n; ++i)
+      d[(size_t)i] = std::pow(d[(size_t)i], -0.5) + 1e-7;
+    if (fill + (int64_t)pairs.size() > edge_capacity) return -1;
+    for (const int64_t key : pairs) {
+      const int64_t i = key >> 21;   // target row
+      const int64_t j = key & 0x1FFFFF;  // source col
+      const double a = (i == j && self_loop[(size_t)i]) ? 2.0 : 1.0;
+      edge_targets[fill] = (int32_t)(i + node_off);
+      edge_sources[fill] = (int32_t)(j + node_off);
+      edge_weights[fill] =
+          (float)((d[(size_t)i] * a) * d[(size_t)j]);
+      ++fill;
+    }
+    for (int32_t i = 0; i < n; ++i) {
+      std::memcpy(init_out + (node_off + i) * hidden_size,
+                  feats + (n0 + i) * annotation_size,
+                  sizeof(float) * annotation_size);
+      node_graph_ids[node_off + i] = b;
+    }
+    node_off += n;
+  }
+  return fill;
+}
+
 }  // extern "C"

@@ -219,10 +219,13 @@ class Predictor:
                 processed, node_budget, self.caps, cfg["hidden_size"],
                 annotation_size, False, None)
         if self.variant == "async":
-            processed = async_schedule.preprocess_async(
-                raw_graphs, self.meta.num_edge_types, cfg["tie_fwd_bkwd"],
-                cfg["propagation_rounds"], cfg["propagation_substeps"],
-                self.task_ids, {}, False)
+            # Schedule compilation (graph_to_propagation_schedules +
+            # table flattening) depends only on the TOPOLOGY and the
+            # propagation config — cache it per topology so a repeat
+            # request (the serving steady state: the same molecules
+            # re-scored under new conditions) skips the DAG levelling
+            # entirely and pays only the batch scatter-assembly.
+            processed = [self._async_processed(g) for g in raw_graphs]
             return async_schedule.pack_async_batches(
                 processed, self.meta.num_edge_types, node_budget,
                 self.caps, cfg["propagation_rounds"],
@@ -452,7 +455,120 @@ class Predictor:
                           edge_targets_all=out_tgt, edge_mask_all=out_mask)
         return GraphBatch(**common)
 
+    _ASYNC_SCHED_CACHE_CAP = 2048
+
+    def _async_processed(self, g: Dict) -> Dict:
+        """Processed entry for one async request graph, with the
+        topology-keyed schedule cache (LRU, bounded). The cached value
+        is exactly preprocess_async's `flat_schedules` (data/
+        async_schedule.py:391-410); `init`/`labels` are per-request."""
+        import collections
+
+        cfg = self.config
+        edges = np.asarray(g.get("graph", ()), np.int64).reshape(-1, 3)
+        n = len(g["node_features"])
+        if not hasattr(self, "_async_sched_cache"):
+            self._async_sched_cache = collections.OrderedDict()
+        cache = self._async_sched_cache
+        key = (n, edges.tobytes())
+        flat = cache.get(key)
+        if flat is None:
+            schedules = async_schedule.graph_to_propagation_schedules(
+                g["graph"], self.meta.num_edge_types, cfg["tie_fwd_bkwd"],
+                cfg["propagation_rounds"], cfg["propagation_substeps"],
+                num_nodes=n)
+            flat = async_schedule._flatten_schedules(
+                schedules, cfg["propagation_substeps"],
+                self.meta.num_edge_types)
+            cache[key] = flat
+            if len(cache) > self._ASYNC_SCHED_CACHE_CAP:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
+        from ggnn_tpu.data.packing import _extract_labels
+        labels = (_extract_labels(g, self.task_ids) if "targets" in g
+                  else [None] * len(self.task_ids))
+        return {
+            "init": np.asarray(g["node_features"], dtype=np.float32),
+            "flat_schedules": flat,
+            "labels": labels,
+        }
+
+    def _pack_single_dense(self, g: Dict, annotation_size: int):
+        """One-graph bucket pack for the dense family (the serving
+        latency path): picks the graph's bucket and fills row 0 of a
+        zeroed [batch_size, ...] DenseGraphBatch directly — BIT-identical
+        to the corpus pipeline's batch for a 1-graph request
+        (tests/test_serving.py pins it leaf-for-leaf) while skipping the
+        bucketed-dict plumbing. Semantics mirrored from
+        data/packing.py:preprocess_dense/preprocess_gcn_dense +
+        pack_dense_batches (bucket choice by max(max_vertex+1, rows),
+        phantom-vertex validation, [T,V,V] type adjacency vs [1,V,V]
+        normalized GCN block, labels->values/mask)."""
+        from ggnn_tpu.data.packing import (DENSE_BUCKET_SIZES,
+                                           _extract_labels,
+                                           _labels_to_values_and_mask,
+                                           _normalized_dense_adjacency,
+                                           build_dense_adjacency)
+        from ggnn_tpu.graph import DenseGraphBatch
+
+        cfg = self.config
+        sizes = self.adapter._bucket_sizes()
+        sizes = np.asarray(DENSE_BUCKET_SIZES if sizes is None else sizes)
+        edges = g.get("graph", ())
+        n = len(g["node_features"])
+        max_vertex = max((v for e in edges for v in (e[0], e[2])),
+                         default=-1)
+        if max_vertex >= n:
+            raise ValueError(
+                f"graph 0: edge vertex id {max_vertex} >= "
+                f"number of node-feature rows {n}")
+        needed = max(max_vertex + 1, n)
+        if needed > int(sizes[-1]):
+            raise ValueError(
+                f"graph with {needed} vertices exceeds the largest "
+                f"bucket ({int(sizes[-1])})")
+        v = int(sizes[int(np.argmax(sizes >= needed))])
+        b_cap = int(cfg["batch_size"])
+        hidden = int(cfg["hidden_size"])
+
+        init = np.zeros((b_cap, v, hidden), np.float32)
+        init[0, :n, :annotation_size] = np.asarray(g["node_features"],
+                                                   dtype=np.float32)
+        node_mask = np.zeros((b_cap, v), np.float32)
+        node_mask[0, :n] = 1.0
+        if self.variant == "gcn_blocked":
+            adjacency = np.zeros((b_cap, 1, v, v), np.float32)
+            adjacency[0, 0, :n, :n] = _normalized_dense_adjacency(edges, n)
+        else:
+            t_dim = self.meta.num_edge_types
+            adj_dtype = np.float32
+            # Match DenseAdapter.batches: the bf16 adjacency cast rides
+            # the native pipeline only (the python packer emits f32).
+            if (cfg.get("compute_dtype", "float32") == "bfloat16"
+                    and _use_native(cfg)):
+                import ml_dtypes
+                adj_dtype = np.dtype(ml_dtypes.bfloat16)
+            adjacency = np.zeros((b_cap, t_dim, v, v), adj_dtype)
+            adjacency[0] = build_dense_adjacency(edges, v, t_dim,
+                                                 cfg["tie_fwd_bkwd"])
+        values, mask = _labels_to_values_and_mask(
+            _extract_labels(g, self.task_ids) if "targets" in g
+            else [None] * len(self.task_ids))
+        targets = np.zeros((len(self.task_ids), b_cap), np.float32)
+        target_mask = np.zeros_like(targets)
+        targets[:, 0] = values
+        target_mask[:, 0] = mask
+        return DenseGraphBatch(
+            node_features=init, adjacency=adjacency, node_mask=node_mask,
+            targets=targets, target_mask=target_mask,
+            num_graphs=np.int32(1))
+
     def _call_dense(self, raw_graphs: Sequence, annotation_size: int):
+        if len(raw_graphs) == 1:
+            batch = self._pack_single_dense(raw_graphs[0], annotation_size)
+            computed = self._forward(self.params, jax.device_put(batch))
+            return np.asarray(computed)[:, :1]
         # Dense bucketing re-orders graphs; tag each with its request
         # index via a sentinel extra target so outputs scatter back.
         order: List[int] = []

@@ -209,6 +209,10 @@ class GCNAdapter:
 
     def preprocess(self, raw, is_training: bool,
                    rng: Optional[np.random.RandomState] = None):
+        if _use_native(self.config):
+            return native_pack.preprocess_gcn_native(
+                raw, self.config["task_ids"],
+                self.config["task_sample_ratios"], is_training, rng)
         return packing.preprocess_gcn(
             raw, self.config["task_ids"], self.config["task_sample_ratios"],
             is_training, rng)
@@ -219,10 +223,13 @@ class GCNAdapter:
             hint="~20k nodes/batch is ~1.6x faster per graph "
                  "(flat below 20k; see configs/sparse_tpu.json and "
                  "benchmarks/README.md).")
-        caps = [packing.plan_gcn_capacities(
-                    p, self.config["batch_size"],
-                    margin=self.config.get("pack_margin"))
-                for p in processed_lists if p]
+        margin = self.config.get("pack_margin")
+        caps = [native_pack.plan_gcn_capacities_native(
+                    p, self.config["batch_size"], margin=margin)
+                if isinstance(p, native_pack.GCNProcessed)
+                else packing.plan_gcn_capacities(
+                    p, self.config["batch_size"], margin=margin)
+                for p in processed_lists if _nonempty(p)]
         self.caps = packing.PackCapacities(
             nodes=max(c.nodes for c in caps),
             edges_per_type=max(c.edges_per_type for c in caps),
@@ -232,6 +239,11 @@ class GCNAdapter:
 
     def batches(self, processed, is_training: bool,
                 rng: Optional[np.random.RandomState] = None) -> Iterator:
+        if isinstance(processed, native_pack.GCNProcessed):
+            return native_pack.pack_gcn_batches_native(
+                processed, self.config["batch_size"], self.caps,
+                self.config["hidden_size"], self.meta.annotation_size,
+                is_training, rng)
         return packing.pack_gcn_batches(
             processed, self.config["batch_size"], self.caps,
             self.config["hidden_size"], self.meta.annotation_size,

@@ -64,6 +64,56 @@ def test_gcn_dense_native_matches_python():
         _assert_batches_equal(a, b)
 
 
+def test_gcn_edge_list_native_matches_python():
+    """The C GCN edge-list packer (pack_gcn_batch) replicates the
+    numpy pipeline exactly — normalized COO (row-major per graph,
+    node-id offsets, fl(fl(d_i·a_ij)·d_j) weights), features, graph
+    ids, capacity planning — bit-identical eval batches, including
+    self-loop (a_ii = 2.0) and duplicate-edge dedup cases and a
+    deliberately split giant graph."""
+    import dataclasses
+
+    from ggnn_tpu.data.synthetic import synthetic_giant_graph
+
+    cases = [
+        ("mols", synthetic_molecules(200, seed=3), 500),
+        ("giant", synthetic_giant_graph(1200, seed=1), 2500),
+        ("selfloop", [{"targets": [[0.5]],
+                       "node_features": [[1, 0, 0, 0, 0]] * 3,
+                       "graph": [[0, 1, 1], [1, 1, 2], [1, 2, 2],
+                                 [0, 1, 1]]}], 500),
+    ]
+    for label, data, budget in cases:
+        proc_py = packing.preprocess_gcn(data, [0], {}, False)
+        caps = packing.plan_gcn_capacities(proc_py, budget)
+        proc_nat = native_pack.preprocess_gcn_native(data, [0], {}, False)
+        assert caps == native_pack.plan_gcn_capacities_native(
+            proc_nat, budget), label
+        py_batches = list(packing.pack_gcn_batches(
+            proc_py, budget, caps, 16, 5, False, None))
+        nat_batches = list(native_pack.pack_gcn_batches_native(
+            proc_nat, budget, caps, 16, 5, False, None))
+        assert len(py_batches) == len(nat_batches), label
+        for a, b in zip(py_batches, nat_batches):
+            for f in dataclasses.fields(a):
+                x = np.asarray(getattr(a, f.name))
+                y = np.asarray(getattr(b, f.name))
+                assert x.dtype == y.dtype, (label, f.name)
+                np.testing.assert_array_equal(
+                    x, y, err_msg=f"{label}: {f.name}")
+
+
+def test_gcn_edge_list_native_overflow_raises():
+    data = synthetic_molecules(40, seed=3)
+    proc = native_pack.preprocess_gcn_native(data, [0], {}, False)
+    caps = native_pack.plan_gcn_capacities_native(proc, 500)
+    import dataclasses as _dc
+    bad = _dc.replace(caps, edges_per_type=8)
+    with pytest.raises(ValueError, match="capacit"):
+        list(native_pack.pack_gcn_batches_native(
+            proc, 500, bad, 16, 5, False, None))
+
+
 @pytest.mark.parametrize("tie", [True, False])
 def test_sparse_native_matches_python(tie):
     data = synthetic_molecules(100, seed=4)

@@ -501,6 +501,103 @@ def test_single_graph_fast_pack_untied(tmp_path):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.parametrize("variant,extra", [
+    ("dense", {"batch_size": 2}),
+    ("blocked", {"batch_size": 4}),
+    ("gcn_blocked", {"batch_size": 4}),
+])
+def test_single_graph_dense_fast_pack_bit_identical(variant, extra,
+                                                    tmp_path):
+    """The dense-family batch-of-one fast pack
+    (Predictor._pack_single_dense) must be BIT-identical, leaf for
+    leaf, to the corpus pipeline's batch for the same 1-graph request
+    (bucket choice, adjacency layout, dtype), and __call__ on one
+    graph must match Runner.predict."""
+    import dataclasses
+
+    runner = _train_tiny(variant, tmp_path, extra)
+    predictor = Predictor.from_checkpoint(
+        runner.best_model_file, variant, max_nodes=512, max_graphs=64)
+    from ggnn_tpu.data.loader import DatasetMeta
+    for seed in range(8):
+        mol = synthetic_molecules(1, seed=300 + seed)
+        ann = len(mol[0]["node_features"][0])
+        fast = predictor._pack_single_dense(mol[0], ann)
+        # The general route (_call_dense), minus the forward.
+        processed = predictor.adapter.preprocess(list(mol), False)
+        predictor.adapter.meta = DatasetMeta(
+            max_num_vertices=predictor.meta.max_num_vertices,
+            num_edge_types=predictor.meta.num_edge_types,
+            annotation_size=ann)
+        slow = list(predictor.adapter.batches(processed, False))
+        assert len(slow) == 1
+        for field in dataclasses.fields(fast):
+            a = np.asarray(getattr(fast, field.name))
+            b = np.asarray(getattr(slow[0], field.name))
+            assert a.dtype == b.dtype, (seed, field.name)
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"seed {seed}: {field.name}")
+        out = predictor(mol)
+        want = runner.predict(mol)[0]
+        np.testing.assert_allclose(out[:, 0], want[:, 0],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_async_schedule_cache_reuses_topology(tmp_path, monkeypatch):
+    """Async serving caches schedule compilation per topology: the
+    cached processed entry packs bit-identically to a fresh
+    preprocess_async, and a repeat request does NOT re-run the DAG
+    leveller (graph_to_propagation_schedules)."""
+    import dataclasses
+
+    from ggnn_tpu.data import async_schedule
+
+    runner = _train_tiny("async", tmp_path,
+                         {"num_nodes": 300, "propagation_substeps": 24})
+    predictor = Predictor.from_checkpoint(
+        runner.best_model_file, "async", max_nodes=512, max_graphs=64)
+    mols = synthetic_molecules(3, seed=9)
+    ann = len(mols[0]["node_features"][0])
+    cfg = predictor.config
+
+    # Cached-path batches == fresh preprocess_async batches, bit-exact.
+    ref_processed = async_schedule.preprocess_async(
+        mols, predictor.meta.num_edge_types, cfg["tie_fwd_bkwd"],
+        cfg["propagation_rounds"], cfg["propagation_substeps"],
+        predictor.task_ids, {}, False)
+    ref = list(async_schedule.pack_async_batches(
+        ref_processed, predictor.meta.num_edge_types,
+        predictor.caps.nodes + 1, predictor.caps,
+        cfg["propagation_rounds"], cfg["propagation_substeps"],
+        cfg["hidden_size"], ann, False, None))
+    got = list(predictor._batches(mols, ann))
+    assert len(got) == len(ref)
+    for g_b, r_b in zip(got, ref):
+        for field in dataclasses.fields(g_b):
+            a, b = getattr(g_b, field.name), getattr(r_b, field.name)
+            if a is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=field.name)
+    assert len(predictor._async_sched_cache) == 3
+
+    out1 = predictor(mols[:1])
+    calls = {"n": 0}
+    orig = async_schedule.graph_to_propagation_schedules
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(async_schedule,
+                        "graph_to_propagation_schedules", spy)
+    out2 = predictor(mols[:1])  # same topology -> cache hit
+    assert calls["n"] == 0, "schedule recompiled on a repeat request"
+    np.testing.assert_array_equal(out1, out2)
+    want = runner.predict(mols[:1])[0]
+    np.testing.assert_allclose(out1[:, 0], want[:, 0],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_prediction_server_concurrent_single_and_microbatched(trained):
     """Batch-of-one requests (the fast pack) racing envelope-exceeding
     requests (micro-batched inside the Predictor) through the server:
