@@ -112,6 +112,8 @@ class Predictor:
         kwargs = {"drop_remainder": False} if variant in _DENSE_FAMILY else {}
         self.adapter = make_adapter(variant, self.config, meta, **kwargs)
         self.params = state["params"]
+        import collections
+        self._async_sched_cache = collections.OrderedDict()
         if variant in ("sparse", "rgcn", "gcn"):
             self.caps = packing.PackCapacities(
                 nodes=max_nodes,
@@ -462,13 +464,9 @@ class Predictor:
         topology-keyed schedule cache (LRU, bounded). The cached value
         is exactly preprocess_async's `flat_schedules` (data/
         async_schedule.py:391-410); `init`/`labels` are per-request."""
-        import collections
-
         cfg = self.config
         edges = np.asarray(g.get("graph", ()), np.int64).reshape(-1, 3)
         n = len(g["node_features"])
-        if not hasattr(self, "_async_sched_cache"):
-            self._async_sched_cache = collections.OrderedDict()
         cache = self._async_sched_cache
         key = (n, edges.tobytes())
         flat = cache.get(key)
