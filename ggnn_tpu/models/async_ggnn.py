@@ -41,20 +41,34 @@ class AsyncGGNN:
         self.cell_init, self.cell_apply = make_cell(
             cell_type, config["graph_rnn_activation"],
             config["graph_state_dropout_keep_prob"])
-        # Auto-remat HBM budget, snapshotted ONCE at construction: a
-        # per-trace read of free HBM would let the same config compile
-        # with or without remat depending on what happens to be
-        # resident when a shape is (re)traced — nondeterministic step
-        # time/memory across runs. ~1/6 of free HBM when the runtime
-        # exposes it, else the v5e-calibrated 2.5 GiB estimate.
-        self._remat_limit = int(2.5 * 2**30)
-        try:
-            stats = jax.devices()[0].memory_stats() or {}
-            free = stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0)
-            if free > 0:
-                self._remat_limit = free // 6
-        except Exception:
-            pass
+        # Auto-remat HBM budget, snapshotted ONCE at the first forward
+        # trace (lazily — see _get_remat_limit): a per-trace read of
+        # free HBM would let the same config compile with or without
+        # remat depending on what happens to be resident when a shape
+        # is (re)traced — nondeterministic step time/memory across
+        # runs; a construction-time read would run BEFORE params and
+        # optimizer state are allocated and systematically overestimate
+        # the free pool. ~1/6 of free HBM when the runtime exposes it,
+        # else the v5e-calibrated 2.5 GiB estimate.
+        self._remat_limit = None
+
+    def _get_remat_limit(self) -> int:
+        """Remat HBM budget, snapshotted on first use (the first
+        forward trace — after the caller has allocated params and
+        optimizer state) and frozen thereafter so the policy is
+        deterministic across traces within a run."""
+        if self._remat_limit is None:
+            limit = int(2.5 * 2**30)
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                free = (stats.get("bytes_limit", 0)
+                        - stats.get("bytes_in_use", 0))
+                if free > 0:
+                    limit = free // 6
+            except Exception:
+                pass
+            self._remat_limit = limit
+        return self._remat_limit
 
     def init_params(self, key: jax.Array) -> Dict:
         h = self.hidden_size
@@ -235,7 +249,7 @@ class AsyncGGNN:
             # Threshold: the construction-time HBM snapshot (so
             # smaller-memory devices engage remat earlier, while remat
             # policy stays deterministic across traces — see __init__).
-            use_remat = saved_floats * 4 > self._remat_limit
+            use_remat = saved_floats * 4 > self._get_remat_limit()
         else:
             use_remat = bool(remat_cfg)
         feats_ext = jnp.concatenate(

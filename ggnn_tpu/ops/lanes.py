@@ -125,8 +125,13 @@ def pad_cell_params(params: Dict, d: int, hp: int) -> Dict:
 
 def resolve_lane_pad(config: Dict, hidden_size: int) -> bool:
     """`lane_pad` config key: True / False / "auto" (default). Auto
-    pads whenever the hidden size is off the 128-lane grid."""
+    pads whenever the hidden size is off the 128-lane grid. Strings
+    other than "auto" raise — bool("false") is True, so a JSON config
+    typo like "lane_pad": "off" must not silently ENABLE padding."""
     mode = config.get("lane_pad", "auto")
     if mode == "auto":
         return hidden_size % LANE != 0
-    return bool(mode)
+    if not isinstance(mode, bool):
+        raise ValueError(
+            f"lane_pad must be true, false, or \"auto\"; got {mode!r}")
+    return mode

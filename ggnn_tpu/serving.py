@@ -472,7 +472,8 @@ class Predictor:
         flat = cache.get(key)
         if flat is None:
             schedules = async_schedule.graph_to_propagation_schedules(
-                g["graph"], self.meta.num_edge_types, cfg["tie_fwd_bkwd"],
+                g.get("graph", ()), self.meta.num_edge_types,
+                cfg["tie_fwd_bkwd"],
                 cfg["propagation_rounds"], cfg["propagation_substeps"],
                 num_nodes=n)
             flat = async_schedule._flatten_schedules(

@@ -432,18 +432,23 @@ class Runner:
         return node_shard.shard_and_stack(group, caps, n_data=n_data,
                                           exchange=exchange)
 
-    @staticmethod
-    def _caps_exceed(need, caps) -> bool:
-        """True when `need` exceeds `caps` in ANY field, including the
-        per-shift boundary capacities of the shift-bucketed layout."""
-        return (need.nodes_local > caps.nodes_local
-                or need.edges_local > caps.edges_local
-                or need.edges_boundary > caps.edges_boundary
-                or need.boundary > caps.boundary
-                or need.boundary_send_total > caps.boundary_send_total
-                or need.boundary_recv_total > caps.boundary_recv_total
-                or any(n > c for n, c in zip(need.boundary_shifts,
-                                             caps.boundary_shifts)))
+    def _caps_exceed(self, need, caps) -> bool:
+        """True when `need` exceeds `caps` in any field the CONFIGURED
+        transport consumes (checking the ragged totals under
+        alltoall/shift — or vice versa — would trigger spurious regrow
+        replans for capacities never materialized)."""
+        exchange = self.config.get("boundary_exchange", "alltoall")
+        if need.nodes_local > caps.nodes_local \
+                or need.edges_local > caps.edges_local \
+                or need.edges_boundary > caps.edges_boundary:
+            return True
+        if exchange == "alltoall":
+            return need.boundary > caps.boundary
+        if exchange == "shift":
+            return any(n > c for n, c in zip(need.boundary_shifts,
+                                             caps.boundary_shifts))
+        return (need.boundary_send_total > caps.boundary_send_total
+                or need.boundary_recv_total > caps.boundary_recv_total)
 
     @staticmethod
     def _merge_grown_caps(old, grown):

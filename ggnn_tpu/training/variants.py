@@ -305,10 +305,20 @@ class AsyncAdapter:
         self.caps = None
         # Corpus-level epoch-packing caches, keyed by processed-list
         # identity (the held reference keeps each id() valid). Built
-        # lazily on the first epoch over a corpus.
+        # lazily on the first epoch over a corpus; FIFO-capped so a
+        # long-lived adapter fed many distinct corpora (a service, a
+        # notebook re-preprocessing per run) cannot pin them all —
+        # each entry holds the full processed list, and in
+        # async_epoch_shuffle="batches" mode every packed batch too.
         self._pack_caches: Dict[int, Any] = {}
         # Packed-batch caches for async_epoch_shuffle="batches".
         self._batch_caches: Dict[int, Any] = {}
+        self._cache_cap = 4  # a Runner holds train + valid
+
+    def _cache_put(self, caches: Dict[int, Any], key: int, value) -> None:
+        while len(caches) >= self._cache_cap:
+            caches.pop(next(iter(caches)))
+        caches[key] = value
 
     def build_model(self):
         return AsyncGGNN(self.config, self.meta.num_edge_types)
@@ -352,7 +362,8 @@ class AsyncAdapter:
             processed, self.config["propagation_rounds"],
             self.config["propagation_substeps"],
             self.meta.num_edge_types)
-        self._pack_caches[id(processed)] = (processed, cache)
+        self._cache_put(self._pack_caches, id(processed),
+                        (processed, cache))
         return cache
 
     def _pack(self, processed, is_training: bool, rng):
@@ -383,8 +394,8 @@ class AsyncAdapter:
             entry = self._batch_caches.get(id(processed))
             if entry is None or entry[0] is not processed:
                 packed = list(self._pack(processed, False, None))
-                self._batch_caches[id(processed)] = (processed, packed)
-                entry = self._batch_caches[id(processed)]
+                entry = (processed, packed)
+                self._cache_put(self._batch_caches, id(processed), entry)
             packed = entry[1]
             if is_training and rng is not None:
                 return (packed[i] for i in rng.permutation(len(packed)))

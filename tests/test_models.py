@@ -544,6 +544,20 @@ def test_async_rejects_out_of_range_edge_types():
                          4, True, 2, 5, [0], {}, False)
 
 
+def test_lane_pad_rejects_string_modes():
+    """bool("false") is True — a JSON typo like "lane_pad": "off" must
+    raise, not silently ENABLE padding."""
+    import pytest
+
+    from ggnn_tpu.ops.lanes import resolve_lane_pad
+    assert resolve_lane_pad({"lane_pad": "auto"}, 100) is True
+    assert resolve_lane_pad({"lane_pad": "auto"}, 128) is False
+    assert resolve_lane_pad({"lane_pad": False}, 100) is False
+    for bad in ("false", "off", "none", 0.5):
+        with pytest.raises(ValueError, match="lane_pad"):
+            resolve_lane_pad({"lane_pad": bad}, 100)
+
+
 def test_lane_padding_matches_unpadded():
     """The 128-lane compute padding (ops/lanes.py) is numerics-
     preserving: forward states and parameter gradients match the

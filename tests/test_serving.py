@@ -597,6 +597,16 @@ def test_async_schedule_cache_reuses_topology(tmp_path, monkeypatch):
     np.testing.assert_allclose(out1[:, 0], want[:, 0],
                                rtol=1e-5, atol=1e-6)
 
+    # A request dict WITHOUT a "graph" key (edgeless molecule) must
+    # work on a COLD cache too — the miss path once dereferenced
+    # g["graph"] while the cache key used g.get("graph", ()).
+    monkeypatch.setattr(async_schedule,
+                        "graph_to_propagation_schedules", orig)
+    edgeless = {"targets": [[0.0]],
+                "node_features": [[1.0, 0.0, 0.0, 0.0, 0.0]] * 2}
+    out_cold = predictor([edgeless])
+    assert np.isfinite(out_cold).all()
+
 
 def test_prediction_server_concurrent_single_and_microbatched(trained):
     """Batch-of-one requests (the fast pack) racing envelope-exceeding
