@@ -62,11 +62,12 @@ SPARSE_DEFAULTS: Dict = {
     #   "edge_parallelism" ("node_shard" | "type_tp") — edge-axis mesh
     #       strategy (parallel/node_shard.py / parallel/tp.py);
     #   "boundary_exchange" ("alltoall" | "shift" | "ragged" |
-    #       "ragged_emulated") — node-shard boundary transport: one
-    #       dense all_to_all vs per-ring-shift ppermutes sized to each
-    #       shift's worst pair vs ONE ragged_all_to_all moving the true
-    #       per-pair sizes (TPU; _emulated validates the same layout on
-    #       CPU) (parallel/node_shard.py);
+    #       "ragged_emulated" | "auto") — node-shard boundary
+    #       transport: one dense all_to_all vs per-ring-shift ppermutes
+    #       sized to each shift's worst pair vs ONE ragged_all_to_all
+    #       moving the true per-pair sizes (TPU; _emulated validates
+    #       the same layout on CPU); "auto" = ragged on TPU, shift
+    #       elsewhere (parallel/node_shard.py);
     #   "locality_reorder" (bool, False) — DFS-preorder vertex
     #       relabeling for giant graphs (data/reorder.py);
     #   "edges_sorted_by_target", "combined_edge_lanes" — packer layout

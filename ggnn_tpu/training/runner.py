@@ -423,8 +423,10 @@ class Runner:
         # sized to ITS worst pair. "ragged": ONE ragged_all_to_all
         # moving the true per-pair sizes — zero wire padding (TPU
         # only; "ragged_emulated" validates the same layout on CPU).
-        # See NodeShardCaps.
-        exchange = self.config.get("boundary_exchange", "alltoall")
+        # "auto": the lowest-wire-cost transport the backend can run —
+        # ragged on TPU, shift elsewhere (XLA:CPU has no
+        # ragged-all-to-all kernel). See NodeShardCaps.
+        exchange = self._resolve_exchange()
         if self._mesh_kind == "gcn":
             return node_shard.gcn_shard_and_stack(group, caps,
                                                   n_data=n_data,
@@ -432,12 +434,19 @@ class Runner:
         return node_shard.shard_and_stack(group, caps, n_data=n_data,
                                           exchange=exchange)
 
+    def _resolve_exchange(self) -> str:
+        exchange = self.config.get("boundary_exchange", "alltoall")
+        if exchange == "auto":
+            return ("ragged" if jax.default_backend() == "tpu"
+                    else "shift")
+        return exchange
+
     def _caps_exceed(self, need, caps) -> bool:
         """True when `need` exceeds `caps` in any field the CONFIGURED
         transport consumes (checking the ragged totals under
         alltoall/shift — or vice versa — would trigger spurious regrow
         replans for capacities never materialized)."""
-        exchange = self.config.get("boundary_exchange", "alltoall")
+        exchange = self._resolve_exchange()
         if need.nodes_local > caps.nodes_local \
                 or need.edges_local > caps.edges_local \
                 or need.edges_boundary > caps.edges_boundary:

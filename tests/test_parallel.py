@@ -637,6 +637,29 @@ def test_gcn_runner_trains_node_sharded():
     assert log[-1]["train_results"][0] < log[0]["train_results"][0] * 1.5
 
 
+def test_boundary_exchange_auto_resolves_per_backend():
+    """"boundary_exchange": "auto" picks the lowest-wire transport the
+    backend can execute: ragged on TPU, shift on CPU (XLA:CPU has no
+    ragged-all-to-all kernel) — and the CPU resolution trains."""
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 1, "hidden_size": 16, "batch_size": 150,'
+        ' "boundary_exchange": "auto",'
+        ' "edge_weight_dropout_keep_prob": 1.0}')
+    mesh = make_mesh(n_data=2, n_edge=2)
+    runner = Runner("sparse", cfg, log_dir="/tmp/mesh_auto_exchange",
+                    train_data=synthetic_molecules(48, seed=0),
+                    valid_data=synthetic_molecules(12, seed=1),
+                    quiet=True, tensorboard=False, mesh=mesh)
+    assert runner._resolve_exchange() == "shift"  # tests run on CPU
+    log = runner.train()
+    assert np.isfinite(log[0]["train_results"][0])
+
+
 @pytest.mark.parametrize("n_data,n_edge", [(4, 2), (2, 4)])
 def test_type_tp_matches_single_device(n_data, n_edge):
     """Tensor parallelism over the [T, H, H] edge weights: sharding the
