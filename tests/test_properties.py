@@ -177,6 +177,65 @@ def test_node_shard_is_exact_relayout(raw, n_shards):
 
 
 @settings(max_examples=15, deadline=None)
+@given(corpora(), st.integers(2, 4))
+def test_ragged_node_shard_is_exact_relayout(raw, n_shards):
+    """The ragged transport's routing tables resolve every boundary
+    edge to the same global source the collective would deliver: each
+    receive-table row decodes (through the receiver's owner-major true
+    offsets and the sender's dest-major packed buffer) to exactly one
+    (owner != self, slot), and the reconstructed edge multiset equals
+    the packed batch's — same contract the alltoall/shift layouts pin
+    above."""
+    from ggnn_tpu.parallel.node_shard import (plan_node_shard_caps,
+                                              shard_batch)
+    meta = infer_metadata([raw], True)
+    proc = packing.preprocess_sparse(raw, meta.num_edge_types, True,
+                                     [0], {}, False)
+    caps = packing.plan_capacities(proc, meta.num_edge_types, 40)
+    t_dim = meta.num_edge_types
+    for b in packing.pack_sparse_batches(
+            proc, meta.num_edge_types, 40, caps, 8, meta.annotation_size,
+            False, None):
+        ns_caps = plan_node_shard_caps([b], n_shards)
+        sb = shard_batch(b, ns_caps, exchange="ragged")
+        spec = sb.send_idx
+        nl = ns_caps.nodes_local
+        io = np.asarray(spec.input_offsets)   # [owner, dest]
+        ss = np.asarray(spec.send_sizes)      # [owner, dest]
+        recv_off = np.asarray(spec.output_offsets).T  # [receiver, owner]
+        np.testing.assert_array_equal(np.asarray(spec.recv_sizes), ss.T)
+        gather = np.asarray(spec.gather)      # [owner, SEND_CAP]
+        want = []
+        m = np.asarray(b.edge_mask) > 0
+        for t in range(t_dim):
+            for s_, d_ in zip(np.asarray(b.edge_sources)[t][m[t]],
+                              np.asarray(b.edge_targets)[t][m[t]]):
+                want.append((int(s_), int(d_), t))
+        got = []
+        for s in range(n_shards):
+            lm = np.asarray(sb.loc_mask)[s] > 0
+            for src, ty, tg in zip(np.asarray(sb.loc_src)[s][lm],
+                                   np.asarray(sb.loc_type)[s][lm],
+                                   np.asarray(sb.loc_tgt)[s][lm]):
+                got.append((s * nl + int(src), s * nl + int(tg), int(ty)))
+            bm = np.asarray(sb.bnd_mask)[s] > 0
+            for row, ty, tg in zip(np.asarray(sb.bnd_src)[s][bm],
+                                   np.asarray(sb.bnd_type)[s][bm],
+                                   np.asarray(sb.bnd_tgt)[s][bm]):
+                row = int(row)
+                owners = [o for o in range(n_shards)
+                          if recv_off[s, o] <= row
+                          < recv_off[s, o] + ss[o, s]]
+                assert len(owners) == 1, (s, row, owners)
+                o = owners[0]
+                assert o != s  # boundary rows come from peers
+                slot = row - int(recv_off[s, o])
+                global_src = o * nl + int(gather[o, int(io[o, s]) + slot])
+                got.append((global_src, s * nl + int(tg), int(ty)))
+        assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=15, deadline=None)
 @given(corpora(), st.integers(1, 4))
 def test_gcn_node_shard_conserves_weighted_edges(raw, n_shards):
     """GCN node sharding preserves the weighted edge multiset of the
