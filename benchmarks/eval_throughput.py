@@ -31,15 +31,20 @@ key, kg, kh = jax.random.split(jax.random.PRNGKey(0), 3)
 params = {"graph": model.init_params(kg), "heads": init_output_heads(kh, cfg["hidden_size"], cfg["task_ids"])}
 
 def eval_step(state, batch, rng_key):
+    # The loss ACCUMULATES into the carry: a pass-through carry would
+    # leave every batch's forward dead (the harness consumes only the
+    # last loss) and XLA eliminates the whole epoch — measured 9.6x
+    # "too fast" before this line existed.
     final = model.forward(state["p"]["graph"], batch)
     computed = model.readout(state["p"]["heads"], cfg["task_ids"], final, batch)
     loss, _ = masked_regression_loss(computed, batch.targets, batch.target_mask, cfg["task_ids"], {})
-    return state, loss
+    state = {"p": state["p"], "acc": state["acc"] + loss}
+    return state, state["acc"]
 
 import jax.tree_util as jtu
 stacked = [jax.device_put(jtu.tree_map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *g)) for g in groups.values()]
 gkeys = [jax.device_put(jax.random.split(jax.random.fold_in(key, i), len(g))) for i, g in enumerate(groups.values())]
-state = jax.device_put({"p": params})
+state = jax.device_put({"p": params, "acc": jnp.zeros(())})
 fn = make_epochs_fn(eval_step)
 per, loss = time_epochs(fn, state, stacked, gkeys, 1, 26)
 n2 = int(np.clip(10.0/per, 26, 40000))
