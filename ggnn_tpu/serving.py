@@ -263,6 +263,10 @@ class Predictor:
             batch = self._pack_single_sparse(raw_graphs[0], annotation_size)
             computed = self._forward(self.params, jax.device_put(batch))
             return np.asarray(computed)[:, :1]
+        if len(raw_graphs) == 1 and self.variant == "async":
+            batch = self._pack_single_async(raw_graphs[0], annotation_size)
+            computed = self._forward(self.params, jax.device_put(batch))
+            return np.asarray(computed)[:, :1]
         outs: List[np.ndarray] = []
         for batch in self._batches(raw_graphs, annotation_size):
             computed = self._forward(self.params, jax.device_put(batch))
@@ -492,6 +496,56 @@ class Predictor:
             "flat_schedules": flat,
             "labels": labels,
         }
+
+    _ASYNC_BATCH_CACHE_CAP = 256
+
+    def _pack_single_async(self, g: Dict, annotation_size: int):
+        """Batch-of-one async pack with a per-topology PACKED-BATCH
+        cache: all schedule-derived leaves (initial/sending/receiving
+        tables, segments, compact-slot maps) depend only on the
+        topology, so a repeat request swaps just the feature/target
+        leaves onto the cached batch — no schedule compilation, no
+        scatter assembly. First-seen topologies pay the full pipeline
+        (through the schedule cache). Swapped leaves reproduce the
+        packer's conventions exactly (zero-pad features to
+        [nodes, hidden]; targets zero-padded [K, graphs] with column 0
+        real — data/async_schedule.py:1288-1291), pinned bit-identical
+        in tests/test_serving.py."""
+        import collections
+        import dataclasses as _dc
+
+        from ggnn_tpu.data.packing import (_extract_labels,
+                                           _labels_to_values_and_mask)
+
+        if not hasattr(self, "_async_batch_cache"):
+            self._async_batch_cache = collections.OrderedDict()
+        cache = self._async_batch_cache
+        edges = np.asarray(g.get("graph", ()), np.int64).reshape(-1, 3)
+        n = len(g["node_features"])
+        key = (n, edges.tobytes(), annotation_size)
+        cached = cache.get(key)
+        if cached is None:
+            batches = list(self._batches([g], annotation_size))
+            assert len(batches) == 1
+            cache[key] = batches[0]
+            if len(cache) > self._ASYNC_BATCH_CACHE_CAP:
+                cache.popitem(last=False)
+            return batches[0]
+        cache.move_to_end(key)
+        hidden = int(self.config["hidden_size"])
+        feats = np.zeros((cached.node_capacity, hidden), np.float32)
+        feats[:n, :annotation_size] = np.asarray(g["node_features"],
+                                                 dtype=np.float32)
+        values, mask = _labels_to_values_and_mask(
+            _extract_labels(g, self.task_ids) if "targets" in g
+            else [None] * len(self.task_ids))
+        targets = np.zeros((len(self.task_ids), cached.graph_capacity),
+                           np.float32)
+        target_mask = np.zeros_like(targets)
+        targets[:, 0] = values
+        target_mask[:, 0] = mask
+        return _dc.replace(cached, node_features=feats,
+                           targets=targets, target_mask=target_mask)
 
     def _pack_single_dense(self, g: Dict, annotation_size: int):
         """One-graph bucket pack for the dense family (the serving

@@ -607,6 +607,33 @@ def test_async_schedule_cache_reuses_topology(tmp_path, monkeypatch):
     out_cold = predictor([edgeless])
     assert np.isfinite(out_cold).all()
 
+    # Packed-batch cache (batch-of-one fast path): a repeat request
+    # with the SAME topology but DIFFERENT features/targets swaps only
+    # the feature/target leaves — the result must be bit-identical to
+    # a fresh corpus-pipeline pack of the new graph, and serve the
+    # same prediction as Runner.predict.
+    import copy
+
+    g2 = copy.deepcopy(mols[0])
+    g2["node_features"] = [[v * 0.5 + 0.125 for v in row]
+                           for row in g2["node_features"]]
+    g2["targets"] = [[0.731]]
+    _ = predictor([mols[0]])  # seed the batch cache with this topology
+    assert (len(mols[0]["node_features"]),
+            np.asarray(mols[0]["graph"], np.int64).reshape(-1, 3)
+            .tobytes(), ann) in predictor._async_batch_cache
+    fast = predictor._pack_single_async(g2, ann)
+    fresh = list(predictor._batches([g2], ann))[0]
+    fa = jax.tree_util.tree_leaves(fast)
+    fb = jax.tree_util.tree_leaves(fresh)
+    assert len(fa) == len(fb)
+    for a, b in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_g2 = predictor([g2])
+    want_g2 = runner.predict([g2])[0]
+    np.testing.assert_allclose(out_g2[:, 0], want_g2[:, 0],
+                               rtol=1e-5, atol=1e-6)
+
 
 def test_prediction_server_concurrent_single_and_microbatched(trained):
     """Batch-of-one requests (the fast pack) racing envelope-exceeding
