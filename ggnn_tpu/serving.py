@@ -215,6 +215,12 @@ class Predictor:
                 processed, self.meta.num_edge_types, node_budget,
                 self.caps, cfg["hidden_size"], annotation_size, False, None)
         if self.variant == "gcn":
+            if _use_native(cfg):
+                processed = native_pack.preprocess_gcn_native(
+                    raw_graphs, self.task_ids, {}, False)
+                return native_pack.pack_gcn_batches_native(
+                    processed, node_budget, self.caps, cfg["hidden_size"],
+                    annotation_size, False, None)
             processed = packing.preprocess_gcn(raw_graphs, self.task_ids,
                                                {}, False)
             return packing.pack_gcn_batches(
