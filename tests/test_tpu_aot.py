@@ -94,6 +94,37 @@ def test_node_sharded_step_lowers_on_tpu(n_data, n_edge, exchange):
         f"no {want} op")
 
 
+def test_gcn_node_sharded_ragged_lowers_on_tpu():
+    """The GCN node-shard layout under the ragged transport also
+    lowers on XLA:TPU (single weighted lane pair instead of typed
+    lanes — a different program from the sparse case)."""
+    from test_parallel import _gcn_setup
+
+    from ggnn_tpu.models.base import init_output_heads
+    from ggnn_tpu.models.gcn import GCN
+    from ggnn_tpu.parallel.node_shard import (gcn_shard_and_stack,
+                                              plan_gcn_shard_caps)
+
+    n_data, n_edge = 2, 4
+    cfg, meta, batches = _gcn_setup()
+    mesh = _topo_mesh(n_data, n_edge)
+    model = GCN(cfg, edge_axis="edge")
+    key = jax.random.PRNGKey(7)
+    params = {"graph": model.init_params(key),
+              "heads": init_output_heads(key, cfg["hidden_size"],
+                                         cfg["task_ids"])}
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": params, "opt_state": opt.init(params)}
+    train_step, _ = make_parallel_steps(model, opt, cfg, cfg["task_ids"],
+                                        mesh, batch_kind="gcn")
+    ns_caps = plan_gcn_shard_caps(batches, n_edge)
+    stack = gcn_shard_and_stack(batches, ns_caps, n_data=n_data,
+                                exchange="ragged")
+    hlo = _compile_for_topology(train_step, state, stack,
+                                "gcn node_shard 2x4 ragged")
+    assert "ragged-all-to-all" in hlo
+
+
 def test_type_tp_step_lowers_on_tpu():
     n_data, n_edge = 4, 2
     cfg, meta, batches = _setup()
