@@ -114,6 +114,8 @@ class Predictor:
         self.params = state["params"]
         import collections
         self._async_sched_cache = collections.OrderedDict()
+        self._async_batch_cache = collections.OrderedDict()
+        self._async_batch_cache_bytes = 0
         if variant in ("sparse", "rgcn", "gcn"):
             self.caps = packing.PackCapacities(
                 nodes=max_nodes,
@@ -255,7 +257,12 @@ class Predictor:
         """
         if not raw_graphs:
             raise ValueError("empty prediction request")
-        annotation_size = len(raw_graphs[0]["node_features"][0])
+        first = raw_graphs[0].get("node_features") or []
+        if not first:
+            raise ValueError(
+                "graph 0: node_features must be non-empty with a "
+                "consistent width across the request")
+        annotation_size = len(first[0])
         for i, g in enumerate(raw_graphs):
             if (not g.get("node_features")
                     or len(g["node_features"][0]) != annotation_size):
@@ -285,8 +292,6 @@ class Predictor:
         pack_single_sparse): one call fills every array. Returns None
         when the native library is unavailable or the envelope exceeds
         the kernel's 21-bit id fields (the numpy path takes over)."""
-        from ggnn_tpu.data.packing import (_extract_labels,
-                                           _labels_to_values_and_mask)
         from ggnn_tpu.graph import GraphBatch
         from ggnn_tpu.native import get_lib
 
@@ -336,13 +341,7 @@ class Predictor:
             raise ValueError(
                 f"graph with {2 * len(edges)} directed edges exceeds "
                 f"pack capacities {self.caps}")
-        values, mask = _labels_to_values_and_mask(
-            _extract_labels(g, self.task_ids) if "targets" in g
-            else [None] * len(self.task_ids))
-        targets = np.zeros((len(self.task_ids), caps.graphs), np.float32)
-        target_mask = np.zeros_like(targets)
-        targets[:, 0] = values
-        target_mask[:, 0] = mask
+        targets, target_mask = self._single_graph_targets(g, caps.graphs)
         extra = {}
         if ea:
             extra = dict(edge_sources_all=comb_src, edge_types_all=comb_typ,
@@ -366,8 +365,6 @@ class Predictor:
         sorted with dump-slot padding, the type-combined
         (target, type)-sorted lane, per-type in-degrees, and the
         labels->values/mask convention."""
-        from ggnn_tpu.data.packing import (_extract_labels,
-                                           _labels_to_values_and_mask)
         from ggnn_tpu.graph import GraphBatch
 
         caps = self.caps
@@ -428,13 +425,7 @@ class Predictor:
         edge_targets[t_s, slots] = d_s
         edge_mask[t_s, slots] = 1.0
 
-        values, mask = _labels_to_values_and_mask(
-            _extract_labels(g, self.task_ids) if "targets" in g
-            else [None] * len(self.task_ids))
-        targets = np.zeros((len(self.task_ids), caps.graphs), np.float32)
-        target_mask = np.zeros_like(targets)
-        targets[:, 0] = values
-        target_mask[:, 0] = mask
+        targets, target_mask = self._single_graph_targets(g, caps.graphs)
 
         common = dict(
             node_features=node_features,
@@ -475,10 +466,9 @@ class Predictor:
         is exactly preprocess_async's `flat_schedules` (data/
         async_schedule.py:391-410); `init`/`labels` are per-request."""
         cfg = self.config
-        edges = np.asarray(g.get("graph", ()), np.int64).reshape(-1, 3)
         n = len(g["node_features"])
         cache = self._async_sched_cache
-        key = (n, edges.tobytes())
+        key = self._topology_key(g)
         flat = cache.get(key)
         if flat is None:
             schedules = async_schedule.graph_to_propagation_schedules(
@@ -504,6 +494,31 @@ class Predictor:
         }
 
     _ASYNC_BATCH_CACHE_CAP = 256
+    _ASYNC_BATCH_CACHE_BYTES = 256 * 2**20
+
+    @staticmethod
+    def _topology_key(g: Dict):
+        """Canonical topology identity for the async caches — ONE
+        recipe (n, edge-bytes) shared by the schedule and packed-batch
+        caches so their keying can never drift."""
+        edges = np.asarray(g.get("graph", ()), np.int64).reshape(-1, 3)
+        return len(g["node_features"]), edges.tobytes()
+
+    def _single_graph_targets(self, g: Dict, graph_cap: int):
+        """The packers' single-graph targets convention, shared by
+        every batch-of-one fast path: labels->values/mask on an
+        optional "targets" key, zero-padded [K, graph_cap] with column
+        0 real."""
+        from ggnn_tpu.data.packing import (_extract_labels,
+                                           _labels_to_values_and_mask)
+        values, mask = _labels_to_values_and_mask(
+            _extract_labels(g, self.task_ids) if "targets" in g
+            else [None] * len(self.task_ids))
+        targets = np.zeros((len(self.task_ids), graph_cap), np.float32)
+        target_mask = np.zeros_like(targets)
+        targets[:, 0] = values
+        target_mask[:, 0] = mask
+        return targets, target_mask
 
     def _pack_single_async(self, g: Dict, annotation_size: int):
         """Batch-of-one async pack with a per-topology PACKED-BATCH
@@ -512,44 +527,42 @@ class Predictor:
         topology, so a repeat request swaps just the feature/target
         leaves onto the cached batch — no schedule compilation, no
         scatter assembly. First-seen topologies pay the full pipeline
-        (through the schedule cache). Swapped leaves reproduce the
-        packer's conventions exactly (zero-pad features to
-        [nodes, hidden]; targets zero-padded [K, graphs] with column 0
-        real — data/async_schedule.py:1288-1291), pinned bit-identical
-        in tests/test_serving.py."""
-        import collections
+        (through the schedule cache). Cached batches are
+        envelope-padded, so the cache is BYTE-bounded (256 MB) on top
+        of the entry cap — a big envelope must not let 256 entries pin
+        gigabytes of host RAM. Swapped leaves reproduce the packer's
+        conventions exactly (zero-pad features to [nodes, hidden];
+        targets zero-padded [K, graphs] with column 0 real —
+        data/async_schedule.py:1288-1291), pinned bit-identical in
+        tests/test_serving.py."""
         import dataclasses as _dc
 
-        from ggnn_tpu.data.packing import (_extract_labels,
-                                           _labels_to_values_and_mask)
-
-        if not hasattr(self, "_async_batch_cache"):
-            self._async_batch_cache = collections.OrderedDict()
         cache = self._async_batch_cache
-        edges = np.asarray(g.get("graph", ()), np.int64).reshape(-1, 3)
         n = len(g["node_features"])
-        key = (n, edges.tobytes(), annotation_size)
+        key = self._topology_key(g) + (annotation_size,)
         cached = cache.get(key)
         if cached is None:
             batches = list(self._batches([g], annotation_size))
             assert len(batches) == 1
-            cache[key] = batches[0]
-            if len(cache) > self._ASYNC_BATCH_CACHE_CAP:
-                cache.popitem(last=False)
+            nbytes = sum(np.asarray(leaf).nbytes for leaf in
+                         jax.tree_util.tree_leaves(batches[0]))
+            if nbytes <= self._ASYNC_BATCH_CACHE_BYTES:
+                cache[key] = (batches[0], nbytes)
+                self._async_batch_cache_bytes += nbytes
+                while (len(cache) > self._ASYNC_BATCH_CACHE_CAP
+                       or self._async_batch_cache_bytes
+                       > self._ASYNC_BATCH_CACHE_BYTES):
+                    _, (_, old_bytes) = cache.popitem(last=False)
+                    self._async_batch_cache_bytes -= old_bytes
             return batches[0]
         cache.move_to_end(key)
+        cached = cached[0]
         hidden = int(self.config["hidden_size"])
         feats = np.zeros((cached.node_capacity, hidden), np.float32)
         feats[:n, :annotation_size] = np.asarray(g["node_features"],
                                                  dtype=np.float32)
-        values, mask = _labels_to_values_and_mask(
-            _extract_labels(g, self.task_ids) if "targets" in g
-            else [None] * len(self.task_ids))
-        targets = np.zeros((len(self.task_ids), cached.graph_capacity),
-                           np.float32)
-        target_mask = np.zeros_like(targets)
-        targets[:, 0] = values
-        target_mask[:, 0] = mask
+        targets, target_mask = self._single_graph_targets(
+            g, cached.graph_capacity)
         return _dc.replace(cached, node_features=feats,
                            targets=targets, target_mask=target_mask)
 
@@ -565,8 +578,6 @@ class Predictor:
         phantom-vertex validation, [T,V,V] type adjacency vs [1,V,V]
         normalized GCN block, labels->values/mask)."""
         from ggnn_tpu.data.packing import (DENSE_BUCKET_SIZES,
-                                           _extract_labels,
-                                           _labels_to_values_and_mask,
                                            _normalized_dense_adjacency,
                                            build_dense_adjacency)
         from ggnn_tpu.graph import DenseGraphBatch
@@ -611,13 +622,7 @@ class Predictor:
             adjacency = np.zeros((b_cap, t_dim, v, v), adj_dtype)
             adjacency[0] = build_dense_adjacency(edges, v, t_dim,
                                                  cfg["tie_fwd_bkwd"])
-        values, mask = _labels_to_values_and_mask(
-            _extract_labels(g, self.task_ids) if "targets" in g
-            else [None] * len(self.task_ids))
-        targets = np.zeros((len(self.task_ids), b_cap), np.float32)
-        target_mask = np.zeros_like(targets)
-        targets[:, 0] = values
-        target_mask[:, 0] = mask
+        targets, target_mask = self._single_graph_targets(g, b_cap)
         return DenseGraphBatch(
             node_features=init, adjacency=adjacency, node_mask=node_mask,
             targets=targets, target_mask=target_mask,

@@ -437,8 +437,11 @@ class Runner:
     def _resolve_exchange(self) -> str:
         exchange = self.config.get("boundary_exchange", "alltoall")
         if exchange == "auto":
-            return ("ragged" if jax.default_backend() == "tpu"
-                    else "shift")
+            # Resolve from the MESH's devices, not the default backend:
+            # a CPU debug mesh on a TPU-equipped host must still get
+            # the transport its devices can execute.
+            plat = next(iter(self.mesh.devices.flat)).platform
+            return "ragged" if plat == "tpu" else "shift"
         return exchange
 
     def _caps_exceed(self, need, caps) -> bool:
