@@ -145,7 +145,13 @@ def graph_to_propagation_schedules(edges, num_edge_types: int,
     would be invisible to the edge-derived schedule, and the compact
     segmented layout would map them to the dump slot (state 0) while
     the plain path preserves their features."""
-    assert propagation_rounds % 2 == 0, "propagation_rounds must be even"
+    if propagation_rounds % 2 != 0:
+        # ValueError, not assert: schedules come in forward/backward
+        # ROUND PAIRS (async.py:228-259), so an odd count is a config
+        # error a user can hit — and asserts vanish under python -O.
+        raise ValueError(
+            f"propagation_rounds must be even (forward/backward round "
+            f"pairs); got {propagation_rounds}")
     num_fwd = num_edge_types if tie_fwd_bkwd else num_edge_types // 2
 
     num_incoming: Dict[int, int] = {}
