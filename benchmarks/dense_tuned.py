@@ -31,7 +31,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/ggnn_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from bench import run_bench
 
-for overrides in ({"batch_size": 256},
+for overrides in ({"batch_size": 128},
+                  {"batch_size": 256},
                   {"batch_size": 512},
                   {"batch_size": 1024},
                   {"batch_size": 256, "compute_dtype": "bfloat16"},

@@ -871,9 +871,19 @@ class AsyncPackCache:
 
     def matches(self, processed, rounds: int, substeps: int,
                 num_edge_types: int) -> bool:
-        return (self.num_graphs == len(processed)
+        if not (self.num_graphs == len(processed)
                 and (self.R, self.S, self.T)
-                == (rounds, substeps, num_edge_types))
+                == (rounds, substeps, num_edge_types)):
+            return False
+        # Cheap corpus fingerprint (round-4 advisor finding): a cache
+        # built for a DIFFERENT corpus of the same length must fall
+        # back to a rebuild, not silently emit batches for the wrong
+        # graphs. Per-graph node counts are already materialized on
+        # both sides; the compare is ~sub-ms at corpus scale.
+        return bool(np.array_equal(
+            self.n_nodes,
+            np.fromiter((len(g["init"]) for g in processed),
+                        np.int64, len(processed))))
 
 
 def build_async_pack_cache(processed: List[dict], propagation_rounds: int,

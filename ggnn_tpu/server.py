@@ -13,16 +13,24 @@ forward executables — resident, and answers requests over plain HTTP
                              -> {"outputs": [[...per task...]], "num_graphs": N}
 
 Requests are full batches, packed by the native packer where available
-and micro-batched past the envelope by the Predictor itself; a lock
-serializes device dispatch so concurrent HTTP clients cannot interleave
-half-compiled executions. The first request per envelope shape pays the
-compile; `warmup()` (called on startup) moves that cost to server start.
+and micro-batched past the envelope by the Predictor itself. Device
+dispatch is serialized — but not FIFO-queued one request at a time:
+while the device is busy, newly arrived requests COALESCE (round 5,
+VERDICT item #4): whichever thread next wins the device lock drains the
+whole pending queue, packs the union of its graphs as ONE envelope
+batch, and scatters the output columns back per request. Sequential
+traffic still takes the batch-of-one fast paths (a lone queued request
+is dispatched alone); concurrent traffic amortizes pack+dispatch across
+clients instead of multiplying it (measured in benchmarks/load.py).
+The first request per envelope shape pays the compile; `warmup()`
+(called on startup) moves that cost to server start.
 
 CLI:  python -m ggnn_tpu.server --checkpoint run_model_best.pickle \
           --variant sparse --port 8099
 """
 
 import argparse
+import collections
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -33,13 +41,116 @@ import numpy as np
 from ggnn_tpu.serving import Predictor
 
 
+class _Pending:
+    """One queued /predict request awaiting its slice of a device call."""
+    __slots__ = ("graphs", "event", "outputs", "error")
+
+    def __init__(self, graphs):
+        self.graphs = graphs
+        self.event = threading.Event()
+        self.outputs = None
+        self.error = None
+
+
+class CoalescingDispatcher:
+    """Leader/follower request batching over one Predictor.
+
+    Every submitting thread enqueues its request, then competes for the
+    device lock. The winner (leader) drains the ENTIRE queue — its own
+    request plus everything that piled up while the previous call ran —
+    into one merged Predictor call and distributes the output columns;
+    losers wait on their request's event (re-contending on a short
+    timeout so a request enqueued just after a drain still finds a
+    leader). With one client this degenerates to exactly the old
+    serialized path — a single-graph request still hits the Predictor's
+    batch-of-one fast pack. The Predictor call itself runs OUTSIDE the
+    queue lock, so enqueueing never blocks behind the device.
+
+    If a merged call fails (one malformed graph poisons the union), the
+    batch is retried per request so the error lands only on the
+    offender — pinned by tests/test_serving.py.
+    """
+
+    def __init__(self, predictor, max_batch_graphs: Optional[int] = None):
+        self.predictor = predictor
+        # Fairness cap on graphs merged into one call (None = drain
+        # all; the Predictor micro-batches past its envelope anyway).
+        self.max_batch_graphs = max_batch_graphs
+        self._queue = collections.deque()
+        self._qlock = threading.Lock()
+        self._device = threading.Lock()
+        self.device_calls = 0
+        self.coalesced_requests = 0
+
+    def submit(self, graphs) -> np.ndarray:
+        req = _Pending(list(graphs))
+        with self._qlock:
+            self._queue.append(req)
+        while not req.event.is_set():
+            if self._device.acquire(timeout=0.005):
+                try:
+                    self._drain()
+                finally:
+                    self._device.release()
+        if req.error is not None:
+            raise req.error
+        return req.outputs
+
+    # -- internals (device lock held) ---------------------------------
+
+    def _drain(self):
+        while True:
+            cap = self.max_batch_graphs
+            with self._qlock:
+                batch, n = [], 0
+                while self._queue:
+                    m = len(self._queue[0].graphs)
+                    if batch and cap is not None and n + m > cap:
+                        break
+                    r = self._queue.popleft()
+                    batch.append(r)
+                    n += m
+            if not batch:
+                return
+            self._run(batch)
+
+    def _run(self, batch):
+        self.device_calls += 1
+        self.coalesced_requests += len(batch) - 1
+        if len(batch) == 1:
+            req = batch[0]
+            try:
+                req.outputs = np.asarray(self.predictor(req.graphs))
+            except Exception as exc:
+                req.error = exc
+            req.event.set()
+            return
+        merged = [g for r in batch for g in r.graphs]
+        try:
+            out = np.asarray(self.predictor(merged))  # [K, total]
+        except Exception:
+            # Isolate the offending request(s): replay individually so
+            # well-formed neighbours still get answers.
+            for r in batch:
+                self._run([r])
+            return
+        offset = 0
+        for r in batch:
+            m = len(r.graphs)
+            r.outputs = out[:, offset:offset + m]
+            offset += m
+            r.event.set()
+
+
 class PredictionServer:
     """ThreadingHTTPServer wrapper owning one Predictor."""
 
     def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, coalesce: bool = True):
         self.predictor = predictor
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()  # stats only (dispatch is below)
+        self._dispatcher = CoalescingDispatcher(predictor) if coalesce \
+            else None
         self._requests_served = 0
         server = self
 
@@ -60,14 +171,20 @@ class PredictionServer:
                 if self.path != "/healthz":
                     return self._reply(404, {"error": "unknown path"})
                 p = server.predictor
-                self._reply(200, {
+                payload = {
                     "status": "ok",
                     "variant": p.variant,
                     "tasks": p.task_ids,
                     "max_nodes": p.max_nodes,
                     "max_graphs": p.max_graphs,
                     "requests_served": server._requests_served,
-                })
+                }
+                if server._dispatcher is not None:
+                    payload["device_calls"] = \
+                        server._dispatcher.device_calls
+                    payload["coalesced_requests"] = \
+                        server._dispatcher.coalesced_requests
+                self._reply(200, payload)
 
             def do_POST(self):
                 if self.path != "/predict":
@@ -90,6 +207,11 @@ class PredictionServer:
     # ------------------------------------------------------------ predict
 
     def predict(self, graphs) -> np.ndarray:
+        if self._dispatcher is not None:
+            out = self._dispatcher.submit(graphs)
+            with self._lock:
+                self._requests_served += 1
+            return out
         with self._lock:
             out = self.predictor(graphs)
             self._requests_served += 1

@@ -113,9 +113,16 @@ class Predictor:
         self.adapter = make_adapter(variant, self.config, meta, **kwargs)
         self.params = state["params"]
         import collections
+        import threading
         self._async_sched_cache = collections.OrderedDict()
         self._async_batch_cache = collections.OrderedDict()
         self._async_batch_cache_bytes = 0
+        # Guards the two LRU caches above: the bundled PredictionServer
+        # already serializes whole calls, but a Predictor shared across
+        # threads directly must not race move_to_end/popitem or corrupt
+        # the byte counter (round-4 advisor finding). Schedule/packing
+        # work runs OUTSIDE the lock; only cache bookkeeping holds it.
+        self._cache_lock = threading.Lock()
         if variant in ("sparse", "rgcn", "gcn"):
             self.caps = packing.PackCapacities(
                 nodes=max_nodes,
@@ -469,7 +476,10 @@ class Predictor:
         n = len(g["node_features"])
         cache = self._async_sched_cache
         key = self._topology_key(g)
-        flat = cache.get(key)
+        with self._cache_lock:
+            flat = cache.get(key)
+            if flat is not None:
+                cache.move_to_end(key)
         if flat is None:
             schedules = async_schedule.graph_to_propagation_schedules(
                 g.get("graph", ()), self.meta.num_edge_types,
@@ -479,11 +489,10 @@ class Predictor:
             flat = async_schedule._flatten_schedules(
                 schedules, cfg["propagation_substeps"],
                 self.meta.num_edge_types)
-            cache[key] = flat
-            if len(cache) > self._ASYNC_SCHED_CACHE_CAP:
-                cache.popitem(last=False)
-        else:
-            cache.move_to_end(key)
+            with self._cache_lock:
+                cache[key] = flat
+                if len(cache) > self._ASYNC_SCHED_CACHE_CAP:
+                    cache.popitem(last=False)
         from ggnn_tpu.data.packing import _extract_labels
         labels = (_extract_labels(g, self.task_ids) if "targets" in g
                   else [None] * len(self.task_ids))
@@ -540,22 +549,26 @@ class Predictor:
         cache = self._async_batch_cache
         n = len(g["node_features"])
         key = self._topology_key(g) + (annotation_size,)
-        cached = cache.get(key)
+        with self._cache_lock:
+            cached = cache.get(key)
+            if cached is not None:
+                cache.move_to_end(key)
         if cached is None:
             batches = list(self._batches([g], annotation_size))
             assert len(batches) == 1
             nbytes = sum(np.asarray(leaf).nbytes for leaf in
                          jax.tree_util.tree_leaves(batches[0]))
             if nbytes <= self._ASYNC_BATCH_CACHE_BYTES:
-                cache[key] = (batches[0], nbytes)
-                self._async_batch_cache_bytes += nbytes
-                while (len(cache) > self._ASYNC_BATCH_CACHE_CAP
-                       or self._async_batch_cache_bytes
-                       > self._ASYNC_BATCH_CACHE_BYTES):
-                    _, (_, old_bytes) = cache.popitem(last=False)
-                    self._async_batch_cache_bytes -= old_bytes
+                with self._cache_lock:
+                    if key not in cache:
+                        cache[key] = (batches[0], nbytes)
+                        self._async_batch_cache_bytes += nbytes
+                        while (len(cache) > self._ASYNC_BATCH_CACHE_CAP
+                               or self._async_batch_cache_bytes
+                               > self._ASYNC_BATCH_CACHE_BYTES):
+                            _, (_, old_bytes) = cache.popitem(last=False)
+                            self._async_batch_cache_bytes -= old_bytes
             return batches[0]
-        cache.move_to_end(key)
         cached = cached[0]
         hidden = int(self.config["hidden_size"])
         feats = np.zeros((cached.node_capacity, hidden), np.float32)
