@@ -1,0 +1,112 @@
+"""Performance regression gate (round-5 VERDICT item #8).
+
+Times one compiled train step per compute path with the chained
+differenced methodology (shared with roofline.py) and FAILS LOUDLY
+(exit 1) if any path runs >5% slower than the recorded baseline —
+protecting the 102x headline from silent regressions now that the perf
+work has plateaued. Runs in ~2 minutes warm (persistent compile cache;
+the first cold run pays the remote compiles once).
+
+Baselines are per-step milliseconds measured on ONE v5e chip
+(2026-08-20, round 5) at regress.py's exact shapes — the same
+corpus/config as roofline.py, so the two scripts cannot drift apart.
+Re-baseline deliberately (after a verified improvement) by running with
+--rebaseline and pasting the printed dict.
+
+Usage: python benchmarks/regress.py [variants...] [--tolerance 0.05]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from roofline import VARIANT_OVERRIDES, _build_runner, _time_chained
+
+# step-ms baselines, one v5e, 2026-08-20 (round 5). See module docstring.
+BASELINES_MS = {
+    "dense": 0.463,
+    "blocked": 1.093,
+    "sparse": 9.19,
+    "gcn": 4.524,
+    # 0.127 from the round-5 two-stage timing (~3s of sized device
+    # work); consistent with gcn_blocked_train.py's 0.117 ms epoch
+    # average. Earlier 0.045-0.049 readings (incl. the round-4
+    # roofline row) were a short-run artifact: 64 steps x 50us = 3ms
+    # of device work differenced against multi-ms RTT jitter.
+    "gcn_blocked": 0.127,
+    "async": 14.266,
+}
+
+
+def measure(variant: str) -> float:
+    import jax
+    runner = _build_runner(variant)
+    batches = list(runner.adapter.batches(runner.train_processed, True,
+                                          runner.np_rng))
+    batch = max(batches, key=lambda b: np.asarray(b.node_features).size)
+    batch = jax.device_put(batch)
+    state = jax.device_put(runner.state)
+    inner = runner._make_step(is_training=True)
+
+    def step(s, b, k):
+        s, loss, _ = inner(s, b, k)
+        return s, loss
+
+    return _time_chained(jax, step, state, batch, jax.random.PRNGKey(7),
+                         variant)
+
+
+def main():
+    # Default 15%: back-to-back runs on the shared tunneled host agree
+    # to ~1-3%, but the band across HOURS is +/-10-16% (dense measured
+    # 0.398 -> 0.462 ms same day — tenant load, not code). The gate is
+    # for silent structural regressions (layout flips, lost fusions),
+    # which cost >15%; on dedicated hardware tighten with
+    # `--tolerance 0.05`.
+    tolerance = 0.15
+    argv = sys.argv[1:]
+    if "--tolerance" in argv:
+        tolerance = float(argv[argv.index("--tolerance") + 1])
+    variants = [a for a in argv if a in BASELINES_MS] \
+        or list(BASELINES_MS)
+    rebaseline = "--rebaseline" in argv
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ggnn_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    if jax.default_backend() == "cpu":
+        print("WARNING: CPU backend — baselines are v5e numbers; this "
+              "run only checks the harness, not performance",
+              file=sys.stderr)
+
+    t0 = time.time()
+    failed = []
+    measured = {}
+    for v in variants:
+        ms = measure(v) * 1e3
+        measured[v] = round(ms, 3)
+        base = BASELINES_MS[v]
+        ratio = ms / base
+        status = "ok" if ratio <= 1.0 + tolerance else "REGRESSION"
+        print(f"{v:>12}: {ms:8.3f} ms/step vs baseline {base:8.3f} "
+              f"({ratio * 100 - 100:+5.1f}%)  {status}")
+        if status != "ok":
+            failed.append(v)
+    print(f"total {time.time() - t0:.0f}s")
+    if rebaseline:
+        print(f"BASELINES_MS = {measured}")
+        return 0
+    if failed and jax.default_backend() != "cpu":
+        print(f"FAIL: {failed} regressed more than "
+              f"{tolerance * 100:.0f}% — investigate before shipping",
+              file=sys.stderr)
+        return 1
+    print("all paths within tolerance")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -18,11 +18,26 @@ accessed, measures the step time with the chained-scan methodology
     from bytes for exactly that reason; the FLOP floor is the only
     defensible speed-of-light denominator this method yields.
 
+Padded programs (round 5, VERDICT item #5): the 128-lane compute
+layout (`lane_pad`, ops/lanes.py) adds zero-lane FLOPs that XLA's cost
+analysis counts as real work — the padded blocked program reports 111%
+of the f32 rate, i.e. the padding itself. The honest utilisation
+denominator is therefore the UNPADDED program's FLOP count over the
+PADDED program's measured time; this script now computes both itself
+(it compiles a `lane_pad: false` twin of every step for cost analysis
+only, and times the shipped default), so the MFU table regenerates
+from one command with no hand-derivation.
+
+Also emitted per variant: an `<variant>_eval` row (forward + masked
+loss, no backward/optimizer — the validation-epoch step), and for
+sparse a `sparse_serving` row (the Predictor's batch-forward on the
+2048-node serving envelope — the deployed inference path).
+
 Peaks default to one TPU v5e chip: 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
 
 Usage:
   python benchmarks/roofline.py [dense sparse gcn blocked ...]
-         [--peak-tflops 197] [--peak-gbs 819]
+         [--peak-tflops 197] [--peak-gbs 819] [--no-eval] [--no-serving]
 
 Reference context: the reference has no per-kernel perf accounting at
 all (SURVEY §6 — one instances/sec line, chem_tensorflow.py:252); this
@@ -69,60 +84,14 @@ def cost_of(compiled):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
-def analyze(variant: str, peak_tflops: float, peak_gbs: float):
-    import jax
-    from ggnn_tpu.data.synthetic import synthetic_molecules
-    from ggnn_tpu.training.config import resolve_config
-    from ggnn_tpu.training.runner import Runner
-
-    cfg = resolve_config(variant, None, VARIANT_OVERRIDES[variant])
-    runner = Runner(variant, cfg, log_dir="/tmp/roofline_runs",
-                    train_data=synthetic_molecules(6400, seed=0),
-                    valid_data=synthetic_molecules(64, seed=1),
-                    quiet=True, tensorboard=False)
-    # The largest training batch is the steady-state shape (dense
-    # bucketing emits a few small-bucket stragglers).
-    batches = list(runner.adapter.batches(runner.train_processed, True,
-                                          runner.np_rng))
-    batch = max(batches, key=lambda b: np.asarray(b.node_features).size)
-    n_graphs = int(batch.num_graphs)
-    batch = jax.device_put(batch)
-    state = jax.device_put(runner.state)
-    key = jax.random.PRNGKey(7)
-
-    inner = runner._make_step(is_training=True)
-
-    def step(s, b, k):
-        s, loss, _ = inner(s, b, k)
-        return s, loss
-
-    # Cost analysis of ONE optimized step (what the scan body runs).
-    compiled = jax.jit(step).lower(state, batch, key).compile()
-    flops, bytes_accessed = cost_of(compiled)
-
-    # Timing: chain steps on device, difference two run lengths.
-    def run(s, n):
-        def body(i, carry):
-            s, _ = carry
-            return step(s, batch, jax.random.fold_in(key, i))
-        import jax.numpy as jnp
-        return jax.lax.fori_loop(0, n, body, (s, jnp.zeros(())))
-
-    g = jax.jit(run, static_argnums=())
-    t0 = time.time()
-    _, l = g(state, 1)
-    float(l)
-    log(f"{variant}: compile {time.time() - t0:.0f}s")
-    t0 = time.time(); _, l = g(state, 4); float(l); t1 = time.time()
-    _, l = g(state, 68); float(l); t2 = time.time()
-    step_s = ((t2 - t1) - (t1 - t0)) / 64
-
+def _emit(name, n_graphs, step_s, flops, bytes_accessed, peak_tflops,
+          peak_gbs, extra=None):
     tflops = flops / step_s / 1e12
     apparent_gbs = bytes_accessed / step_s / 1e9
     # f32 matmuls decompose into 3 bf16 MXU passes.
     f32_peak_tflops = peak_tflops / 3.0
     result = {
-        "variant": variant,
+        "variant": name,
         "graphs_per_batch": n_graphs,
         "step_ms": round(step_s * 1e3, 3),
         "graphs_per_s": round(n_graphs / step_s),
@@ -135,8 +104,183 @@ def analyze(variant: str, peak_tflops: float, peak_gbs: float):
         "apparent_gbs_exceeds_hbm": apparent_gbs > peak_gbs,
         "flop_floor_ms": round(flops / (peak_tflops * 1e12) * 1e3, 3),
     }
+    result.update(extra or {})
     print(json.dumps(result), flush=True)
     return result
+
+
+def _time_chained(jax, step, state, batch, key, warm_label):
+    """Differenced chained-step timing (utils/timing.py methodology).
+
+    An eval step passes its state through unchanged and ignores the rng
+    key, so a naive loop is loop-invariant and XLA hoists the entire
+    forward out (accumulating the loss alone is NOT enough — the first
+    attempts here measured 0.001 then 0.025 ms/step for dense_eval,
+    i.e. the cost of one add). The accumulated loss is therefore fed
+    BACK into the batch features (x + acc*1e-30 — adds nothing at f32,
+    but XLA cannot prove that), making every iteration's forward depend
+    on the previous one. Same trap family as eval_throughput.py."""
+    import dataclasses
+
+    def run(s, n):
+        import jax.numpy as jnp
+
+        def body(i, carry):
+            s, acc = carry
+            b = dataclasses.replace(
+                batch, node_features=batch.node_features + acc * 1e-30)
+            s, loss = step(s, b, jax.random.fold_in(key, i))
+            return s, acc + loss
+        return jax.lax.fori_loop(0, n, body, (s, jnp.zeros(())))
+
+    g = jax.jit(run)
+    t0 = time.time()
+    _, l = g(state, 1)
+    float(l)
+    log(f"{warm_label}: compile {time.time() - t0:.0f}s")
+    # Three runs of increasing length; consecutive differences cancel
+    # the fixed ~30ms round-trip. The probe run is sized off the naive
+    # pilot, the final run off the RTT-FREE probe estimate — a fixed
+    # step count under-measures fast steps badly (gcn_blocked at
+    # ~50us/step over 64 steps = 3ms of device work differenced
+    # against multi-ms RTT jitter measured 0.045-0.156 ms/step across
+    # runs; with work sized to ~3s it is stable).
+    t0 = time.time(); _, l = g(state, 4); float(l); t1 = time.time()
+    n_p = int(np.clip(2.0 / max((t1 - t0) / 4, 1e-6), 16, 400))
+    _, l = g(state, n_p); float(l); t2 = time.time()
+    step_est = max(((t2 - t1) - (t1 - t0)) / (n_p - 4), 1e-7)
+    n2 = int(np.clip(3.0 / step_est, 4 * n_p, 100000))
+    _, l = g(state, n2); float(l); t3 = time.time()
+    return ((t3 - t2) - (t2 - t1)) / (n2 - n_p)
+
+
+def _build_runner(variant, config_extra=None):
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = resolve_config(variant, None, VARIANT_OVERRIDES[variant])
+    cfg.update(config_extra or {})
+    return Runner(variant, cfg, log_dir="/tmp/roofline_runs",
+                  train_data=synthetic_molecules(6400, seed=0),
+                  valid_data=synthetic_molecules(64, seed=1),
+                  quiet=True, tensorboard=False)
+
+
+def analyze(variant: str, peak_tflops: float, peak_gbs: float,
+            with_eval: bool = True):
+    import jax
+
+    runner = _build_runner(variant)
+    # The largest training batch is the steady-state shape (dense
+    # bucketing emits a few small-bucket stragglers).
+    batches = list(runner.adapter.batches(runner.train_processed, True,
+                                          runner.np_rng))
+    batch = max(batches, key=lambda b: np.asarray(b.node_features).size)
+    n_graphs = int(batch.num_graphs)
+    batch = jax.device_put(batch)
+    state = jax.device_put(runner.state)
+    key = jax.random.PRNGKey(7)
+
+    # Unpadded-FLOP twin: the same step with the 128-lane compute
+    # padding disabled. Costs come from THIS program; time from the
+    # shipped default — the zero-lane FLOPs the padded program adds are
+    # layout overhead, not work, and counting them overstates MFU
+    # (111% of the f32 rate for blocked). For variants the lane layout
+    # does not touch, the twin compiles to the same cost counts.
+    unpadded = _build_runner(variant, {"lane_pad": False})
+
+    results = []
+    for is_training, name in [(True, variant)] + (
+            [(False, f"{variant}_eval")] if with_eval else []):
+        inner = runner._make_step(is_training=is_training)
+        inner_u = unpadded._make_step(is_training=is_training)
+
+        def step(s, b, k, _inner=inner):
+            s, loss, _ = _inner(s, b, k)
+            return s, loss
+
+        def step_u(s, b, k, _inner=inner_u):
+            s, loss, _ = _inner(s, b, k)
+            return s, loss
+
+        # Cost analysis of ONE optimized step (what the scan body runs)
+        # on the UNPADDED twin; padded counts kept for the delta.
+        flops_u, bytes_u = cost_of(
+            jax.jit(step_u).lower(state, batch, key).compile())
+        flops_p, _ = cost_of(
+            jax.jit(step).lower(state, batch, key).compile())
+        step_s = _time_chained(jax, step, state, batch, key, name)
+        results.append(_emit(
+            name, n_graphs, step_s, flops_u, bytes_u, peak_tflops,
+            peak_gbs,
+            extra={"padded_gflops_per_step": round(flops_p / 1e9, 2),
+                   "pad_flop_overhead_pct": round(
+                       100 * (flops_p - flops_u) / max(flops_u, 1), 1)}))
+    return results
+
+
+def analyze_serving(peak_tflops: float, peak_gbs: float):
+    """sparse_serving row: the Predictor's envelope batch-forward (the
+    deployed inference path — forward only, no loss)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from ggnn_tpu.data.loader import infer_metadata
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.models.base import init_output_heads
+    from ggnn_tpu.serving import Predictor
+    from ggnn_tpu.training.config import resolve_config
+
+    cfg = resolve_config("sparse", None, VARIANT_OVERRIDES["sparse"])
+    pool = synthetic_molecules(256, seed=0)
+    meta = infer_metadata([pool], cfg["tie_fwd_bkwd"])
+    model_probe = __import__(
+        "ggnn_tpu.models.sparse_ggnn", fromlist=["SparseGGNN"]
+    ).SparseGGNN(cfg, meta.num_edge_types)
+    k = jax.random.PRNGKey(0)
+    state = {"params": {
+        "graph": model_probe.init_params(k),
+        "heads": init_output_heads(k, cfg["hidden_size"],
+                                   cfg["task_ids"])}}
+    predictor = Predictor("sparse", cfg, meta, state)
+    annotation = meta.annotation_size
+    batch = next(iter(predictor._batches(pool, annotation)))
+    n_graphs = int(batch.num_graphs)
+    batch = jax.device_put(batch)
+    params = jax.device_put(predictor.params)
+
+    forward = predictor._forward
+    compiled = jax.jit(lambda p, b: forward(p, b)).lower(
+        params, batch).compile()
+    flops, bytes_accessed = cost_of(compiled)
+
+    def step(p, b, _k):
+        # acc-perturbed features defeat cross-iteration CSE; the
+        # perturbation is 1e-30-scaled (adds nothing at f32).
+        out = forward(p, b)
+        return p, jnp.sum(out)
+
+    def run(p, n):
+        def body(i, carry):
+            p, acc = carry
+            b = dataclasses.replace(
+                batch,
+                node_features=batch.node_features + acc * 1e-30)
+            return step(p, b, None)
+        return jax.lax.fori_loop(0, n, body, (p, jnp.zeros(())))
+
+    g = jax.jit(run)
+    t0 = time.time(); _, l = g(params, 1); float(l)
+    log(f"sparse_serving: compile {time.time() - t0:.0f}s")
+    t0 = time.time(); _, l = g(params, 4); float(l); t1 = time.time()
+    _, l = g(params, 68); float(l); t2 = time.time()
+    step_s = ((t2 - t1) - (t1 - t0)) / 64
+    return _emit("sparse_serving", n_graphs, step_s, flops,
+                 bytes_accessed, peak_tflops, peak_gbs,
+                 extra={"envelope_nodes": predictor.max_nodes,
+                        "envelope_graphs": predictor.max_graphs})
 
 
 def main():
@@ -159,8 +303,11 @@ def main():
         pass
     log(f"platform: {jax.default_backend()}; roofs: "
         f"{peak_tflops} TFLOP/s, {peak_gbs} GB/s")
+    with_eval = "--no-eval" not in sys.argv
     for v in variants:
-        analyze(v, peak_tflops, peak_gbs)
+        analyze(v, peak_tflops, peak_gbs, with_eval=with_eval)
+    if "sparse" in variants and "--no-serving" not in sys.argv:
+        analyze_serving(peak_tflops, peak_gbs)
 
 
 if __name__ == "__main__":

@@ -142,9 +142,15 @@ def main(argv=None) -> int:
     if args.synthetic is not None:
         from ggnn_tpu.data.synthetic import synthetic_molecules
         n = args.synthetic
-        train_data = synthetic_molecules(n, seed=config["random_seed"])
+        # Emit as many target columns as the configured task ids need
+        # (reference _extract_labels indexes targets BY task id), so
+        # multi-task configs train on --synthetic out of the box.
+        n_targets = max(config["task_ids"]) + 1
+        train_data = synthetic_molecules(n, seed=config["random_seed"],
+                                         num_targets=n_targets)
         valid_data = synthetic_molecules(
-            max(1, n // 10), seed=config["random_seed"] + 1)
+            max(1, n // 10), seed=config["random_seed"] + 1,
+            num_targets=n_targets)
 
     try:
         runner = Runner(
