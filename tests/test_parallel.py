@@ -784,3 +784,15 @@ def test_runner_trains_giant_graph_corpus_on_mesh(tmp_path):
     preds = np.concatenate(
         [np.asarray(o) for o in resumed.predict(valid)], axis=1)
     assert preds.shape == (1, 2) and np.isfinite(preds).all()
+
+
+def test_overlap_compiler_options_platform_gating():
+    """TPU-only: the async-collective/latency-hiding options must be
+    empty on CPU meshes (XLA:CPU rejects xla_tpu_* options) and on
+    single-device meshes (nothing to overlap)."""
+    from ggnn_tpu.parallel import overlap_compiler_options
+
+    cpu_mesh = make_mesh(n_data=2, n_edge=2)
+    assert overlap_compiler_options(cpu_mesh) == {}
+    single = make_mesh(n_data=1, n_edge=1)
+    assert overlap_compiler_options(single) == {}
