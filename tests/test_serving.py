@@ -885,3 +885,124 @@ def test_prediction_server_coalesced_outputs_match_solo(trained):
         assert "device_calls" in stats and "coalesced_requests" in stats
     finally:
         server.shutdown()
+
+
+def test_prediction_server_http_error_isolation(trained):
+    """HTTP-level error isolation under coalescing: a malformed request
+    gets ITS 400; concurrent well-formed requests still get 200s with
+    correct outputs (the merged call's failure replays per request)."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from ggnn_tpu.server import PredictionServer
+
+    predictor = Predictor.from_checkpoint(
+        trained.best_model_file, "sparse", max_nodes=256, max_graphs=32)
+    server = PredictionServer(predictor, port=0)
+    server.warmup()
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    good = [synthetic_molecules(2, seed=400 + i) for i in range(4)]
+    bad = [{"targets": [[0.0]], "graph": [[0, 1, 1]],
+            "node_features": []}]  # empty features -> pack-time error
+    want = [np.asarray(predictor(p)) for p in good]
+    got = [None] * 4
+    bad_status = [None]
+    errors = []
+
+    def client(i, payload, sink):
+        try:
+            req = urllib.request.Request(
+                f"{base}/predict",
+                data=_json.dumps({"graphs": payload}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                sink(np.asarray(_json.load(r)["outputs"]))
+        except urllib.error.HTTPError as exc:
+            sink(("http_error", exc.code))
+        except Exception as exc:
+            errors.append((i, exc))
+
+    threads = [threading.Thread(
+        target=client, args=(i, good[i],
+                             lambda v, i=i: got.__setitem__(i, v)))
+        for i in range(4)]
+    threads.append(threading.Thread(
+        target=client, args=(99, bad,
+                             lambda v: bad_status.__setitem__(0, v))))
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        assert bad_status[0] == ("http_error", 400), bad_status
+        for i in range(4):
+            assert not isinstance(got[i], tuple), got[i]
+            np.testing.assert_allclose(got[i], want[i], rtol=1e-5,
+                                       atol=1e-6, err_msg=f"client {i}")
+    finally:
+        server.shutdown()
+
+
+def test_prediction_server_coalesces_async_variant(tmp_path):
+    """The coalescing path composes with the async variant's
+    packed-batch serving caches: concurrent single-graph requests merge
+    into multi-graph packs (general pipeline) and still match solo
+    predictions."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from ggnn_tpu.server import PredictionServer
+    from ggnn_tpu.data.synthetic import synthetic_molecules as _mols
+    from ggnn_tpu.training.config import default_params_for
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = default_params_for("async")
+    cfg.update({"hidden_size": 16, "num_epochs": 1, "num_nodes": 300,
+                "propagation_substeps": 25})
+    runner = Runner("async", cfg, log_dir=str(tmp_path), quiet=True,
+                    tensorboard=False,
+                    train_data=_mols(40, seed=0),
+                    valid_data=_mols(10, seed=1))
+    runner.train()
+    predictor = Predictor.from_checkpoint(
+        runner.best_model_file, "async", max_nodes=256, max_graphs=16)
+    server = PredictionServer(predictor, port=0)
+    server.warmup()
+    server.start()
+    host, port = server.address
+    base = f"http://{host}:{port}"
+    payloads = [_mols(1, seed=500 + i) for i in range(5)]
+    want = [np.asarray(predictor(p)) for p in payloads]
+    got = [None] * 5
+    errors = []
+
+    def client(i):
+        try:
+            req = urllib.request.Request(
+                f"{base}/predict",
+                data=_json.dumps({"graphs": payloads[i]}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                got[i] = np.asarray(_json.load(r)["outputs"])
+        except Exception as exc:
+            errors.append((i, exc))
+
+    try:
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        for i in range(5):
+            np.testing.assert_allclose(got[i], want[i], rtol=1e-5,
+                                       atol=1e-6, err_msg=f"client {i}")
+    finally:
+        server.shutdown()
