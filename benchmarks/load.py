@@ -83,10 +83,18 @@ def drive(base: str, pool, n_clients: int, duration: float):
     start.wait(timeout=60)
     for t in threads:
         t.join(timeout=duration + 120)
+    if any(t.is_alive() for t in threads):
+        raise RuntimeError(
+            "client thread(s) still running past the join timeout — "
+            "refusing to compute stats from a list under mutation")
     wall = time.time() - t_begin
     if errors:
         raise errors[0]
     flat = sorted(x for l in latencies for x in l)
+    if not flat:
+        raise RuntimeError(
+            f"no requests completed within --duration={duration}s "
+            "(raise it; each request must finish inside the window)")
     return flat, len(flat), wall
 
 

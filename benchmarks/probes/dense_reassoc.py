@@ -128,8 +128,7 @@ def main():
     variants = [("A einsum-pair", prop_einsum_pair),
                 ("B reassociated", prop_reassoc),
                 ("C reassoc+pre-transposed", prop_reassoc_pre),
-                ("D in-loop W reshape (trap)", prop_reassoc_pre and
-                 prop_reshape_trap)]
+                ("D in-loop W reshape (trap)", prop_reshape_trap)]
 
     adj_d = jax.device_put(adj)
     adj_pre_d = jax.device_put(adj_pre)

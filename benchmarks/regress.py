@@ -2,10 +2,13 @@
 
 Times one compiled train step per compute path with the chained
 differenced methodology (shared with roofline.py) and FAILS LOUDLY
-(exit 1) if any path runs >5% slower than the recorded baseline —
-protecting the 102x headline from silent regressions now that the perf
-work has plateaued. Runs in ~2 minutes warm (persistent compile cache;
-the first cold run pays the remote compiles once).
+(exit 1) if any path runs >15% slower than the recorded baseline
+(default tolerance — sized to the shared tunneled host's hour-scale
++/-10-16% load band; on dedicated hardware tighten with
+`--tolerance 0.05`). Protects the 102x headline from silent structural
+regressions (lost fusions, layout flips — typically >15%) now that the
+perf work has plateaued. Runs in ~2 minutes warm (persistent compile
+cache; the first cold run pays the remote compiles once).
 
 Baselines are per-step milliseconds measured on ONE v5e chip
 (2026-08-20, round 5) at regress.py's exact shapes — the same
@@ -13,7 +16,7 @@ corpus/config as roofline.py, so the two scripts cannot drift apart.
 Re-baseline deliberately (after a verified improvement) by running with
 --rebaseline and pasting the printed dict.
 
-Usage: python benchmarks/regress.py [variants...] [--tolerance 0.05]
+Usage: python benchmarks/regress.py [variants...] [--tolerance 0.15]
 """
 import os
 import sys

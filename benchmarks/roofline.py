@@ -186,9 +186,16 @@ def analyze(variant: str, peak_tflops: float, peak_gbs: float,
     # padding disabled. Costs come from THIS program; time from the
     # shipped default — the zero-lane FLOPs the padded program adds are
     # layout overhead, not work, and counting them overstates MFU
-    # (111% of the f32 rate for blocked). For variants the lane layout
-    # does not touch, the twin compiles to the same cost counts.
-    unpadded = _build_runner(variant, {"lane_pad": False})
+    # (111% of the f32 rate for blocked). Only built for the variants
+    # whose models resolve `lane_pad` (the dense/blocked/gcn_blocked
+    # family); edge-list variants compile to identical counts, so the
+    # twin would just burn a duplicate corpus build + remote compile.
+    from ggnn_tpu.ops.lanes import resolve_lane_pad
+    lane_padded = (variant in ("dense", "blocked", "gcn_blocked")
+                   and resolve_lane_pad(runner.config,
+                                        runner.config["hidden_size"]))
+    unpadded = (_build_runner(variant, {"lane_pad": False})
+                if lane_padded else runner)
 
     results = []
     for is_training, name in [(True, variant)] + (

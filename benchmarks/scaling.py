@@ -313,6 +313,20 @@ def _ring_alltoall_time(v_bytes, n):
             + (n / 2.0) * ICI_HOP_LATENCY)
 
 
+def _shift_time(shift_volumes_bytes, n):
+    """Time for the shift-bucketed transport: one ppermute per ring
+    shift k, whose B_k rows travel EXACTLY min(k, n-k) hops (the
+    per-pair distance is fixed by the shift — unlike the all_to_all
+    model above, no average-hop factor applies on top, they would
+    double-charge distance). Transit traffic shares the axis's 2
+    directed links; the shifts are independent, so the latency floor is
+    one pipeline depth, not one per shift."""
+    link_s = sum(v * min(k + 1, n - (k + 1))
+                 for k, v in enumerate(shift_volumes_bytes))
+    return (link_s / (ICI_LINKS_PER_AXIS * ICI_LINK_BW)
+            + (n / 2.0) * ICI_HOP_LATENCY)
+
+
 def project_main():
     import jax
     backend = jax.default_backend()
@@ -427,8 +441,15 @@ def project_main():
                                          hidden, variant, exchange)
                 # Forward exchange + its transposed reverse in the
                 # backward pass move the same volume: 2 exchanges per
-                # propagation step.
-                t_comm = 2 * prop_steps * _ring_alltoall_time(v, n_edge)
+                # propagation step. Shift gets its own hop accounting
+                # (per-shift distances are exact, not averaged).
+                if exchange == "shift":
+                    t_one = _shift_time(
+                        [b * hidden * 4
+                         for b in ns_caps.boundary_shifts], n_edge)
+                else:
+                    t_one = _ring_alltoall_time(v, n_edge)
+                t_comm = 2 * prop_steps * t_one
                 t_compute = t1_batch / n_edge
                 # Serial bracket: every byte waits.
                 t_serial = t_compute + t_comm

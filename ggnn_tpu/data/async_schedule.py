@@ -871,19 +871,62 @@ class AsyncPackCache:
 
     def matches(self, processed, rounds: int, substeps: int,
                 num_edge_types: int) -> bool:
-        if not (self.num_graphs == len(processed)
+        """Corpus fingerprint (round-4 advisor finding, strengthened in
+        round 5): a cache built for a DIFFERENT corpus must fall back
+        to a rebuild, not silently emit batches for the wrong graphs.
+        Checked per graph: node counts, exact labels (values AND
+        masks), float64 feature sums, and every round's edge/receiver/
+        initial table lengths. Costs ~0.1s at 25.6k graphs — once per
+        pack call, ~10% of the cached epoch pack. Residual blind spot
+        (documented): an edit that preserves ALL of those — e.g.
+        permuting edge targets within one graph's schedule step — can
+        still slip; in-repo callers additionally guard by cache object
+        identity (AsyncAdapter)."""
+        G = len(processed)
+        if not (self.num_graphs == G
                 and (self.R, self.S, self.T)
                 == (rounds, substeps, num_edge_types)):
             return False
-        # Cheap corpus fingerprint (round-4 advisor finding): a cache
-        # built for a DIFFERENT corpus of the same length must fall
-        # back to a rebuild, not silently emit batches for the wrong
-        # graphs. Per-graph node counts are already materialized on
-        # both sides; the compare is ~sub-ms at corpus scale.
-        return bool(np.array_equal(
-            self.n_nodes,
-            np.fromiter((len(g["init"]) for g in processed),
-                        np.int64, len(processed))))
+        if not np.array_equal(
+                self.n_nodes,
+                np.fromiter((len(g["init"]) for g in processed),
+                            np.int64, G)):
+            return False
+        for g_idx, g in enumerate(processed):
+            v, m = _labels_to_values_and_mask(g["labels"])
+            # Stored values were cast f32 on assignment at build time;
+            # compare post-cast or exact labels would spuriously reject.
+            if (not np.array_equal(self.values[g_idx],
+                                   np.asarray(v, np.float32))
+                    or not np.array_equal(self.masks[g_idx],
+                                          np.asarray(m, np.float32))):
+                return False
+        feat_sums = np.add.reduceat(
+            self.feats.sum(axis=1, dtype=np.float64),
+            self.fstart[:-1]) if len(self.feats) else np.zeros(G)
+        got_sums = np.fromiter(
+            (float(np.asarray(g["init"], np.float64).sum())
+             for g in processed), np.float64, G)
+        # allclose, not equality: the two sides reduce in different
+        # orders (reduceat vs pairwise); a last-ulp difference must not
+        # spuriously reject the cache (that would silently disable it).
+        if not np.allclose(feat_sums, got_sums, rtol=1e-9, atol=1e-6):
+            return False
+        for r in range(self.R):
+            if not (np.array_equal(
+                        np.diff(self.egstart[r]),
+                        np.fromiter((len(g["flat_schedules"].key[r])
+                                     for g in processed), np.int64, G))
+                    and np.array_equal(
+                        np.diff(self.rgstart[r]),
+                        np.fromiter((len(g["flat_schedules"].recv_s[r])
+                                     for g in processed), np.int64, G))
+                    and np.array_equal(
+                        np.diff(self.igstart[r]),
+                        np.fromiter((len(g["flat_schedules"].initial[r])
+                                     for g in processed), np.int64, G))):
+                return False
+        return True
 
 
 def build_async_pack_cache(processed: List[dict], propagation_rounds: int,

@@ -115,42 +115,63 @@ class CoalescingDispatcher:
             self._run(batch)
 
     def _run(self, batch):
-        self.device_calls += 1
-        self.coalesced_requests += len(batch) - 1
-        if len(batch) == 1:
-            req = batch[0]
-            try:
-                req.outputs = np.asarray(self.predictor(req.graphs))
-            except Exception as exc:
-                req.error = exc
-            req.event.set()
-            return
-        merged = [g for r in batch for g in r.graphs]
+        # The finally backstop guarantees every dequeued request's event
+        # is eventually set even if something escapes the handlers below
+        # (a BaseException from the predictor, a malformed output shape
+        # in the scatter loop, ...) — an unset event would leave its
+        # submitter spinning in submit() forever.
         try:
-            out = np.asarray(self.predictor(merged))  # [K, total]
-        except Exception:
-            # Isolate the offending request(s): replay individually so
-            # well-formed neighbours still get answers.
+            self.device_calls += 1
+            self.coalesced_requests += len(batch) - 1
+            if len(batch) == 1:
+                req = batch[0]
+                try:
+                    req.outputs = np.asarray(self.predictor(req.graphs))
+                except Exception as exc:
+                    req.error = exc
+                req.event.set()
+                return
+            merged = [g for r in batch for g in r.graphs]
+            try:
+                out = np.asarray(self.predictor(merged))  # [K, total]
+            except Exception:
+                # Isolate the offending request(s): replay individually
+                # so well-formed neighbours still get answers.
+                for r in batch:
+                    self._run([r])
+                return
+            offset = 0
             for r in batch:
-                self._run([r])
-            return
-        offset = 0
-        for r in batch:
-            m = len(r.graphs)
-            r.outputs = out[:, offset:offset + m]
-            offset += m
-            r.event.set()
+                m = len(r.graphs)
+                r.outputs = out[:, offset:offset + m]
+                offset += m
+                r.event.set()
+        finally:
+            for r in batch:
+                if not r.event.is_set():
+                    if r.error is None:
+                        r.error = RuntimeError(
+                            "prediction dispatch failed before producing "
+                            "this request's outputs")
+                    r.event.set()
 
 
 class PredictionServer:
     """ThreadingHTTPServer wrapper owning one Predictor."""
 
     def __init__(self, predictor: Predictor, host: str = "127.0.0.1",
-                 port: int = 0, coalesce: bool = True):
+                 port: int = 0, coalesce: bool = True,
+                 max_coalesced_graphs: Optional[int] = None):
+        """`max_coalesced_graphs` bounds one merged device call (the
+        dispatcher's fairness cap): under sustained load the leader
+        otherwise keeps draining newly arrived requests, delaying its
+        own client's response by the whole drain streak. None = drain
+        everything (the Predictor micro-batches past its envelope)."""
         self.predictor = predictor
         self._lock = threading.Lock()  # stats only (dispatch is below)
-        self._dispatcher = CoalescingDispatcher(predictor) if coalesce \
-            else None
+        self._dispatcher = CoalescingDispatcher(
+            predictor, max_batch_graphs=max_coalesced_graphs) \
+            if coalesce else None
         self._requests_served = 0
         server = self
 
@@ -229,6 +250,11 @@ class PredictionServer:
              "node_features": [[1.0] + [0.0] * (annotation - 1)] * 2}
         self.predict([g])
         self._requests_served = 0
+        if self._dispatcher is not None:
+            # Keep /healthz's coalescing counters consistent with
+            # requests_served (the warmup call is not traffic).
+            self._dispatcher.device_calls = 0
+            self._dispatcher.coalesced_requests = 0
 
     # ------------------------------------------------------------- serve
 
@@ -282,6 +308,12 @@ def main(argv=None):
                         help="serving envelope (default 256; ignored "
                              "for .ggnnx artifacts)")
     parser.add_argument("--annotation-size", type=int, default=None)
+    parser.add_argument("--max-coalesced-graphs", type=int, default=None,
+                        help="fairness cap: max graphs merged into one "
+                             "coalesced device call (default unbounded)")
+    parser.add_argument("--no-coalesce", action="store_true",
+                        help="serialize requests one device call each "
+                             "(pre-coalescing behavior)")
     args = parser.parse_args(argv)
 
     if args.checkpoint.endswith(".ggnnx"):
@@ -310,7 +342,9 @@ def main(argv=None):
             args.checkpoint, args.variant, max_nodes=args.max_nodes,
             max_graphs=args.max_graphs,
             annotation_size=args.annotation_size)
-    server = PredictionServer(predictor, host=args.host, port=args.port)
+    server = PredictionServer(predictor, host=args.host, port=args.port,
+                              coalesce=not args.no_coalesce,
+                              max_coalesced_graphs=args.max_coalesced_graphs)
     print(f"warming up ({args.variant}, envelope {args.max_nodes} nodes / "
           f"{args.max_graphs} graphs)...", flush=True)
     server.warmup()

@@ -552,3 +552,35 @@ def test_async_batch_shuffle_mode():
     assert {id(x) for x in e1} == {id(x) for x in a}
     e2 = list(adapter.batches(proc, True, np.random.RandomState(1)))
     assert {id(x) for x in e2} == {id(x) for x in a}
+
+
+def test_async_pack_cache_rejects_foreign_corpus():
+    """matches() must reject a same-length corpus with different
+    labels, features, or edges (round-4 advisor finding; strengthened
+    fingerprint in round 5)."""
+    import copy
+
+    from ggnn_tpu.data import async_schedule as asn
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+
+    data = synthetic_molecules(12, seed=3)
+    proc = asn.preprocess_async(data, 4, True, 4, 40, [0], {}, False)
+    cache = asn.build_async_pack_cache(proc, 4, 40, 4)
+    assert cache is not None and cache.matches(proc, 4, 40, 4)
+
+    # Different labels, same topology.
+    relabeled = [dict(g, labels=[l + 1.0 if l is not None else None
+                                 for l in g["labels"]]) for g in proc]
+    assert not cache.matches(relabeled, 4, 40, 4)
+
+    # Different features, same counts.
+    refeat = [dict(g, init=np.asarray(g["init"]) * 2.0) for g in proc]
+    assert not cache.matches(refeat, 4, 40, 4)
+
+    # Different graph schedule (a same-node-count corpus with other
+    # edges): regenerate from different molecules.
+    other = synthetic_molecules(12, seed=3)
+    for g in other:
+        g["graph"] = g["graph"][:-1]  # drop one edge per graph
+    proc2 = asn.preprocess_async(other, 4, True, 4, 40, [0], {}, False)
+    assert not cache.matches(proc2, 4, 40, 4)
