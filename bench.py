@@ -143,9 +143,32 @@ def run_bench(jax, smoke: bool = False, overrides=None):
     if per_epoch <= 0:  # jitter ate the short pilot: size conservatively
         log("pilot differenced time nonpositive; falling back to 26 epochs")
         per_epoch = (time.time() - t0) / 27
+    pilot_epoch = per_epoch
     n2 = int(np.clip(target_s / per_epoch, 26, 20000))
     per_epoch, loss = time_epochs(epochs_fn, state, stacked, group_keys,
                                   1, n2)
+    # The shared tunneled chip occasionally hits a multi-x contention
+    # window from another tenant (observed: pilot 36.97ms, long run
+    # 114.26ms, next run 36.72ms). An unattended run must not record
+    # that as the framework's number: when the long run lands far above
+    # its own pilot, re-measure (up to twice) and keep the best.
+    retries = 0
+    while per_epoch > pilot_epoch * 1.5 and retries < 2:
+        retries += 1
+        log(f"long run {per_epoch * 1e3:.2f}ms/epoch is "
+            f"{per_epoch / pilot_epoch:.1f}x its own pilot "
+            f"({pilot_epoch * 1e3:.2f}ms) — transient chip contention; "
+            f"re-measuring (retry {retries})")
+        retry_epoch, retry_loss = time_epochs(
+            epochs_fn, state, stacked, group_keys, 1, n2)
+        if 0 < retry_epoch < per_epoch:
+            per_epoch, loss = retry_epoch, retry_loss
+        if 0 < retry_epoch and abs(retry_epoch - per_epoch) \
+                < 0.1 * per_epoch:
+            # Two long runs agree: the short PILOT was the outlier
+            # (typical for --smoke, where 26 tiny epochs sit inside the
+            # RTT jitter); accept the measured value.
+            break
     instances_per_sec = total_graphs / per_epoch
     log(f"timing took {time.time() - t0:.1f}s (n2={n2}); "
         f"epoch = {per_epoch * 1e3:.2f}ms -> {instances_per_sec:.1f} "
