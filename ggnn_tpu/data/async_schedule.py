@@ -192,9 +192,17 @@ def graph_to_propagation_schedules(edges, num_edge_types: int,
             if extra_seed not in depths:
                 dfs_depths(outgoing, extra_seed, depths)
         max_depth = max(depths.values())
-        assert max_depth <= propagation_substeps, (
-            f"schedule depth {max_depth} exceeds propagation_substeps "
-            f"{propagation_substeps}")
+        if max_depth > propagation_substeps:
+            # ValueError, not assert: user-reachable (any chain-like
+            # graph deeper than propagation_substeps — e.g. a linear
+            # 17-atom molecule at the default 15 — including arbitrary
+            # serving requests through Predictor), and asserts vanish
+            # under python -O leaving an opaque downstream IndexError.
+            raise ValueError(
+                f"schedule depth {max_depth} exceeds propagation_substeps "
+                f"{propagation_substeps}; raise \"propagation_substeps\" "
+                f"in the config (the reference asserts here too, "
+                f"chem_tensorflow_async.py:315)")
         fwd: List[List[Tuple[int, int, int]]] = [[] for _ in range(max_depth)]
         bwd: List[List[Tuple[int, int, int]]] = [[] for _ in range(max_depth)]
         for (v, typ, w) in edges:
@@ -582,7 +590,22 @@ class _SegmentOverflow(Exception):
     pass
 
 
-def _build_segments(plan, R, T, caps, i_cap, m_dump, node_to_compact,
+def _expand_seg_caps(caps, R: int, S: int):
+    """Per-(round, step) lane caps from the segment plan, expanded to
+    dense [R, S] tables (no-plan -> unbounded). Shared by the flat,
+    cached, and loop packers so their fits() semantics cannot drift."""
+    plan = getattr(caps, "plan", None)
+    seg_sea_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
+    seg_rc_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
+    if plan is not None:
+        for r in range(R):
+            for (lo, hi, sea, rc) in plan[r]:
+                seg_sea_cap[r, lo:min(hi, S)] = sea
+                seg_rc_cap[r, lo:min(hi, S)] = rc
+    return seg_sea_cap, seg_rc_cap
+
+
+def _build_segments(plan, R, T, caps, m_dump, node_to_compact,
                     recv_base, recv_offsets, sending_nodes, msg_targets,
                     receiving_nodes):
     """Per-round AsyncSegment tuples from the uniform packed arrays."""
@@ -664,6 +687,11 @@ def pack_async_batches(processed: List[dict], num_edge_types: int,
     preprocess-time flat tables) whenever the processed graphs carry
     matching `flat_schedules`; the legacy per-(graph, step, type) loop
     remains as the fallback/oracle."""
+    if not processed:
+        # Zero batches, not an IndexError from the loop packer's
+        # processed[0] — an empty validation split is a supported input
+        # (the planner handles it explicitly).
+        return iter(())
     if (cache is not None and use_flat is not False
             and cache.matches(processed, propagation_rounds,
                               propagation_substeps, num_edge_types)):
@@ -698,14 +726,7 @@ def _pack_async_batches_flat(processed: List[dict], num_edge_types: int,
         rng.shuffle(processed)
     num_tasks = len(processed[0]["labels"])
     R, S, T = propagation_rounds, propagation_substeps, num_edge_types
-    _plan = getattr(caps, "plan", None)
-    seg_sea_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
-    seg_rc_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
-    if _plan is not None:
-        for r in range(R):
-            for (lo, hi, sea, rc) in _plan[r]:
-                seg_sea_cap[r, lo:hi] = sea
-                seg_rc_cap[r, lo:hi] = rc
+    seg_sea_cap, seg_rc_cap = _expand_seg_caps(caps, R, S)
     rc_eff = np.minimum(seg_rc_cap, caps.receiving_nodes)  # [R, S]
     idx = 0
     while idx < len(processed):
@@ -901,9 +922,13 @@ class AsyncPackCache:
                     or not np.array_equal(self.masks[g_idx],
                                           np.asarray(m, np.float32))):
                 return False
-        feat_sums = np.add.reduceat(
-            self.feats.sum(axis=1, dtype=np.float64),
-            self.fstart[:-1]) if len(self.feats) else np.zeros(G)
+        # Per-graph sums via cumsum-diff, NOT np.add.reduceat: reduceat
+        # misbehaves on repeated indices (a zero-node graph would read
+        # its neighbour's first row) and raises when the final index
+        # equals len(feats).
+        row_cum = np.concatenate(
+            [[0.0], np.cumsum(self.feats.sum(axis=1, dtype=np.float64))])
+        feat_sums = row_cum[self.fstart[1:]] - row_cum[self.fstart[:-1]]
         got_sums = np.fromiter(
             (float(np.asarray(g["init"], np.float64).sum())
              for g in processed), np.float64, G)
@@ -1053,14 +1078,7 @@ def _pack_async_batches_cached(cache: AsyncPackCache, num_edge_types: int,
     order = np.asarray(order, np.int64)
     num_tasks = cache.values.shape[1]
 
-    _plan = getattr(caps, "plan", None)
-    seg_sea_cap = np.full((R, su), np.iinfo(np.int64).max, np.int64)
-    seg_rc_cap = np.full((R, su), np.iinfo(np.int64).max, np.int64)
-    if _plan is not None:
-        for r in range(R):
-            for (lo, hi, sea, rc) in _plan[r]:
-                seg_sea_cap[r, lo:min(hi, su)] = sea
-                seg_rc_cap[r, lo:min(hi, su)] = rc
+    seg_sea_cap, seg_rc_cap = _expand_seg_caps(caps, R, su)
     rc_eff = np.minimum(seg_rc_cap, caps.receiving_nodes)  # [R, su]
 
     i = 0
@@ -1162,14 +1180,7 @@ def _pack_async_batches_loop(processed: List[dict], num_edge_types: int,
     # check below, so a shuffled batch can never overflow a planned
     # segment mid-epoch (the _SegmentOverflow fallback would change the
     # batch pytree structure, which the stacked mesh paths cannot absorb).
-    _plan = getattr(caps, "plan", None)
-    seg_sea_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
-    seg_rc_cap = np.full((R, S), np.iinfo(np.int64).max, np.int64)
-    if _plan is not None:
-        for r in range(R):
-            for (lo, hi, sea, rc) in _plan[r]:
-                seg_sea_cap[r, lo:hi] = sea
-                seg_rc_cap[r, lo:hi] = rc
+    seg_sea_cap, seg_rc_cap = _expand_seg_caps(caps, R, S)
     idx = 0
     while idx < len(processed):
         feats, graph_ids, values, masks = [], [], [], []
@@ -1288,43 +1299,48 @@ def _finalize_async_batch(caps, R, S, T, num_tasks,
     send lanes — then the AsyncGraphBatch assembly."""
     i_cap = caps.initial_nodes
     plan = getattr(caps, "plan", None)
-    # default=8 MUST match models/async_ggnn.py's max_rc fallback:
-    # the model re-derives the dump row from the batch's segment
-    # shapes, and a divergent degenerate default (edgeless corpora,
-    # empty plans) would bake out-of-bounds dump indices that only
-    # "work" through XLA's gather clamping.
-    max_rc_seg = max((seg[3] for segs in (plan or ()) for seg in segs),
-                     default=8)
-    m_dump = i_cap + caps.nodes + max_rc_seg
-    node_to_compact = np.full((R, caps.nodes + 1), m_dump, np.int32)
-    recv_base = np.zeros((R, S), np.int32)
-    for r in range(R):
-        real = initial_nodes[r] != caps.nodes
-        node_to_compact[r][initial_nodes[r][real]] = (
-            np.nonzero(real)[0].astype(np.int32))
-        base = 0
-        for s in range(S):
-            cnt = int(recv_offsets[r, s])
-            recv_base[r, s] = base
-            rn = receiving_nodes[r, s, :cnt]
-            node_to_compact[r][rn] = i_cap + base + np.arange(
-                cnt, dtype=np.int32)
-            base += cnt
-    init_prev = np.empty_like(initial_nodes)
-    for r in range(R):
-        if r == 0:
-            # Round 0 reads previous states straight from the
-            # [N+1, H] feature buffer: keep global ids.
-            init_prev[r] = initial_nodes[r]
-        else:
-            init_prev[r] = node_to_compact[r - 1][initial_nodes[r]]
-    final_compact = node_to_compact[R - 1][:caps.nodes]
-
     seg_rounds = None
+    init_prev = None
+    final_compact = None
+    # The compact-slot tables (node_to_compact, init_prev,
+    # final_compact) exist for the SEGMENTED fast path only — with no
+    # plan, _forward_plain never reads them, so skip the O(R * nodes)
+    # host fills and ship None leaves instead of dead arrays.
     if plan is not None:
+        # default=8 MUST match models/async_ggnn.py's max_rc fallback:
+        # the model re-derives the dump row from the batch's segment
+        # shapes, and a divergent degenerate default (edgeless corpora,
+        # empty plans) would bake out-of-bounds dump indices that only
+        # "work" through XLA's gather clamping.
+        max_rc_seg = max((seg[3] for segs in plan for seg in segs),
+                         default=8)
+        m_dump = i_cap + caps.nodes + max_rc_seg
+        node_to_compact = np.full((R, caps.nodes + 1), m_dump, np.int32)
+        recv_base = np.zeros((R, S), np.int32)
+        for r in range(R):
+            real = initial_nodes[r] != caps.nodes
+            node_to_compact[r][initial_nodes[r][real]] = (
+                np.nonzero(real)[0].astype(np.int32))
+            base = 0
+            for s in range(S):
+                cnt = int(recv_offsets[r, s])
+                recv_base[r, s] = base
+                rn = receiving_nodes[r, s, :cnt]
+                node_to_compact[r][rn] = i_cap + base + np.arange(
+                    cnt, dtype=np.int32)
+                base += cnt
+        init_prev = np.empty_like(initial_nodes)
+        for r in range(R):
+            if r == 0:
+                # Round 0 reads previous states straight from the
+                # [N+1, H] feature buffer: keep global ids.
+                init_prev[r] = initial_nodes[r]
+            else:
+                init_prev[r] = node_to_compact[r - 1][initial_nodes[r]]
+        final_compact = node_to_compact[R - 1][:caps.nodes]
         try:
             seg_rounds = _build_segments(
-                plan, R, T, caps, i_cap, m_dump, node_to_compact,
+                plan, R, T, caps, m_dump, node_to_compact,
                 recv_base, recv_offsets, sending_nodes, msg_targets,
                 receiving_nodes)
         except _SegmentOverflow as e:

@@ -584,3 +584,28 @@ def test_async_pack_cache_rejects_foreign_corpus():
         g["graph"] = g["graph"][:-1]  # drop one edge per graph
     proc2 = asn.preprocess_async(other, 4, True, 4, 40, [0], {}, False)
     assert not cache.matches(proc2, 4, 40, 4)
+
+
+def test_async_schedule_depth_overflow_is_value_error():
+    """A chain deeper than propagation_substeps raises ValueError with
+    the config remedy — user-reachable (serving accepts arbitrary
+    graphs), so no bare assert (vanishes under python -O)."""
+    import pytest
+
+    from ggnn_tpu.data import async_schedule as asn
+
+    chain = [[i, 1, i + 1] for i in range(20)]  # depth 20 > 15
+    with pytest.raises(ValueError, match="propagation_substeps"):
+        asn.graph_to_propagation_schedules(chain, 4, True, 2, 15,
+                                           num_nodes=21)
+
+
+def test_pack_async_batches_empty_corpus_yields_nothing():
+    """An empty validation split packs to zero batches (the planner
+    explicitly supports it; the loop packer used to IndexError)."""
+    from ggnn_tpu.data import async_schedule as asn
+
+    caps = asn.AsyncCapacities(nodes=64, graphs=8, initial_nodes=64,
+                               sending_edges=64, receiving_nodes=64)
+    assert list(asn.pack_async_batches([], 4, 100, caps, 4, 15, 8, 3,
+                                       False, None)) == []
