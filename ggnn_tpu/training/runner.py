@@ -47,6 +47,14 @@ def _batch_edge_count(batch) -> float:
         return float(np.count_nonzero(np.asarray(batch.adjacency)))
     if hasattr(batch, "edge_weights"):
         return float(np.count_nonzero(np.asarray(batch.edge_weights)))
+    if hasattr(batch, "msg_targets"):
+        # Async: each real edge fires exactly once per round, so edges
+        # = real message slots / R. Padded slots carry the per-step
+        # receiver dump id RC (graph.py AsyncGraphBatch: "pad -> RC"),
+        # where RC is the receiving-node capacity axis.
+        mt = np.asarray(batch.msg_targets)
+        rc_cap = batch.receiving_nodes.shape[-1]
+        return float((mt < rc_cap).sum()) / max(mt.shape[0], 1)
     return 0.0
 
 
@@ -347,7 +355,18 @@ class Runner:
             num_graphs = int(batch.num_graphs)
             processed_graphs += num_graphs
             processed_edges += _batch_edge_count(batch)
-            self.key, rng = jax.random.split(self.key)
+            # Only TRAINING consumes the key chain. Eval dropout is
+            # disabled (keep-probs forced to 1.0), so a validation
+            # split would be pure stream consumption — and it would
+            # break exact-resume under dropout: a mid-epoch restore
+            # replays the interrupted epoch from the saved key, but the
+            # restore-time "Resumed (validation)" epoch would have
+            # advanced the chain past what the uninterrupted run used
+            # for the remaining train batches.
+            if is_training:
+                self.key, rng = jax.random.split(self.key)
+            else:
+                rng = jax.random.PRNGKey(0)  # unused by the eval step
             batch = jax.device_put(batch)
             self.state, loss, accs = step_fn(self.state, batch, rng)
             step_metrics.append((loss, accs))
@@ -381,12 +400,16 @@ class Runner:
                 self.summaries.add_batch(split, step_base + i, float(l), a,
                                          self.task_ids)
         if processed_graphs == 0:
+            hint = ("the corpus split is empty — check the data files "
+                    "and any --restrict_data truncation.")
+            if getattr(self.adapter, "drop_remainder", False):
+                hint = ("with the dense variant's reference-compatible "
+                        "remainder dropping, every bucket needs at least "
+                        "batch_size graphs (set config \"drop_remainder\": "
+                        "false — or use the `blocked` variant — to "
+                        "process all).")
             raise RuntimeError(
-                f"{epoch_name}: no batches produced — with the dense "
-                "variant's reference-compatible remainder dropping, every "
-                "bucket needs at least batch_size graphs (set config "
-                "\"drop_remainder\": false — or use the `blocked` variant "
-                "— to process all).")
+                f"{epoch_name}: no batches produced — {hint}")
         accuracies = np.sum(accumulated, axis=0) / processed_graphs
         mean_loss = total_loss / processed_graphs
         error_ratios = accuracies / chem_acc
@@ -566,6 +589,17 @@ class Runner:
     def _run_epoch_mesh(self, epoch_name: str, processed, is_training: bool):
         """Multi-chip epoch: stacks of n_data packed batches per step,
         split over the mesh's data axis (edges over the edge axis)."""
+        if is_training and getattr(self, "_skip_steps", 0):
+            # A mid-epoch iterator state was restored but mesh epochs
+            # consume STACKED batches — "skip k single-chip steps" has
+            # no aligned meaning here and silently retraining consumed
+            # batches would double-count their gradients.
+            raise ValueError(
+                "restored a mid-epoch iterator state into a mesh Runner: "
+                "mesh epochs checkpoint at epoch granularity only. "
+                "Resume this checkpoint single-chip to finish the "
+                "interrupted epoch, or resume from an epoch-boundary "
+                "checkpoint on the mesh.")
         from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
         from ggnn_tpu.parallel.stacking import (empty_masked_batch_like,
                                                 stack_any_batches,
@@ -624,7 +658,12 @@ class Runner:
                                                   n_data=n_data)
             else:
                 stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
-            self.key, rng = jax.random.split(self.key)
+            # Same key policy as the single-chip path: only training
+            # consumes the chain (exact-resume under dropout).
+            if is_training:
+                self.key, rng = jax.random.split(self.key)
+            else:
+                rng = jax.random.PRNGKey(0)  # unused by the eval step
             if not already_global and jax.process_count() == 1:
                 # Multi-process fallback paths (non-row-aligned mesh,
                 # dense/data_only kinds) must pass host arrays
@@ -875,8 +914,18 @@ class Runner:
             if self.mesh is not None and getattr(model, "edge_axis", None):
                 model = self.adapter.build_model()
 
+            use_graph = self.config["use_graph"]
+
             def _predict(params, batch):
-                final = model.forward(params["graph"], batch)
+                # use_graph=False ablation (chem_tensorflow.py:144-147):
+                # the readout must see ZEROED final states, exactly as
+                # the training loss did — running the forward through
+                # the never-trained graph params would produce outputs
+                # unrelated to the reported metrics.
+                if use_graph:
+                    final = model.forward(params["graph"], batch)
+                else:
+                    final = jnp.zeros_like(batch.node_features)
                 return model.readout(params["heads"], self.task_ids,
                                      final, batch)
             self._predict_fn = jax.jit(_predict)
@@ -888,6 +937,7 @@ class Runner:
             self.adapter.drop_remainder = False
         try:
             processed = self.adapter.preprocess(raw_graphs, False)
+            order = self._dense_request_order(processed)
             outputs = []
             for batch in self.adapter.batches(processed, False):
                 batch = jax.device_put(batch)
@@ -897,7 +947,33 @@ class Runner:
         finally:
             if saved_drop is not None:
                 self.adapter.drop_remainder = saved_drop
+        if order is not None:
+            # Dense bucketing re-orders graphs; scatter outputs back to
+            # REQUEST order (same contract as serving.Predictor) so row
+            # i is raw_graphs[i]'s prediction.
+            packed = np.concatenate(outputs, axis=1)
+            result = np.empty_like(packed)
+            result[:, np.asarray(order)] = packed
+            return [result]
         return outputs
+
+    def _dense_request_order(self, processed):
+        """Request-index order of the packed dense-family graphs, or
+        None when packing preserves request order (sparse/gcn/async
+        pack sequentially). Mirrors serving.Predictor._call_dense."""
+        if getattr(self.adapter, "drop_remainder", None) is None:
+            return None  # not the dense family
+        try:
+            from ggnn_tpu.data import native_pack
+            if isinstance(processed, native_pack.DenseProcessed):
+                order = [int(i) for ids in processed.bucket_order
+                         for i in ids]
+            else:
+                order = [int(g["graph_id"]) for bucket in
+                         processed.values() for g in bucket]
+        except (AttributeError, KeyError, TypeError):
+            return None  # unexpected processed shape: keep pack order
+        return order
 
     def example_evaluation(self, valid_file: Optional[str] = None,
                            n_example_molecules: int = 10,

@@ -613,3 +613,104 @@ def test_tf1_heads_partial_presence_raises():
     with pytest.raises(KeyError):
         heads_from_tf1(w, [0], fallback={"task0": {"gate": 0}},
                        log=lambda *a: None)
+
+
+def test_mid_epoch_resume_exact_with_dropout(tmp_path):
+    """Exact resume must hold WITH dropout active (round-5 review):
+    only training steps consume the key chain (validation epochs —
+    including the restore-time revalidation — draw nothing), so the
+    resumed run's dropout stream replays the uninterrupted run's
+    exactly and final params match bit-for-bit at float tolerance."""
+    import shutil
+
+    import jax
+    from ggnn_tpu.training import runner as runner_mod
+    from ggnn_tpu.training.checkpoint import load_iterator_state
+
+    data = synthetic_molecules(60, seed=0)
+    valid = synthetic_molecules(12, seed=1)
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 2, "hidden_size": 16, "batch_size": 120,'
+        ' "edge_weight_dropout_keep_prob": 0.8,'
+        ' "out_layer_dropout_keep_prob": 0.8,'
+        ' "graph_state_dropout_keep_prob": 0.9}')
+
+    ref = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "ref"),
+                 train_data=data, valid_data=valid, quiet=True,
+                 tensorboard=False)
+    ref.train()
+
+    runner = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "a"),
+                    train_data=data, valid_data=valid, quiet=True,
+                    tensorboard=False, checkpoint_every_steps=1)
+    orig_save = runner_mod.save_checkpoint
+
+    def capture_save(path, config, state, ts, vs, iterator_state=None):
+        orig_save(path, config, state, ts, vs,
+                  iterator_state=iterator_state)
+        if iterator_state and iterator_state["epoch"] == 2 \
+                and iterator_state["steps_done"] == 1:
+            shutil.copy(path, str(tmp_path / "preempt.pickle"))
+
+    runner_mod.save_checkpoint = capture_save
+    try:
+        runner.train()
+    finally:
+        runner_mod.save_checkpoint = orig_save
+
+    ckpt = tmp_path / "preempt.pickle"
+    assert ckpt.exists()
+    assert load_iterator_state(str(ckpt))["steps_done"] == 1
+    resumed = Runner("sparse", dict(cfg), log_dir=str(tmp_path / "b"),
+                     train_data=data, valid_data=valid, quiet=True,
+                     tensorboard=False, restore=str(ckpt))
+    resumed.train()
+    for a, b in zip(jax.tree_util.tree_leaves(ref.state["params"]),
+                    jax.tree_util.tree_leaves(resumed.state["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dense_predict_returns_request_order(tmp_path):
+    """Dense bucketing re-orders graphs internally; Runner.predict must
+    scatter outputs back to REQUEST order (round-5 review — it used to
+    return bucket order, silently attributing predictions to the wrong
+    molecules). Oracle: per-graph single predictions."""
+    cfg = resolve_config(
+        "blocked", None,
+        '{"num_epochs": 1, "hidden_size": 16, "batch_size": 4}')
+    # Mix sizes so graphs land in different buckets.
+    mols = synthetic_molecules(12, seed=9)
+    runner = Runner("blocked", cfg, log_dir=str(tmp_path),
+                    train_data=mols, valid_data=mols[:4], quiet=True,
+                    tensorboard=False)
+    runner.train()
+    got = np.concatenate([np.asarray(o) for o in runner.predict(mols)],
+                         axis=1)
+    want = np.concatenate(
+        [np.asarray(runner.predict([m])[0]) for m in mols], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_use_graph_false_predict_matches_training_semantics(tmp_path):
+    """With the use_graph=False ablation, predict() must feed the
+    readout ZEROED final states (what training optimized), not a
+    forward pass through the never-trained graph params (round-5
+    review). Oracle: outputs must be identical for two graphs with the
+    same node-feature multiset but different edges."""
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 1, "hidden_size": 16, "batch_size": 60,'
+        ' "use_graph": false}')
+    mols = synthetic_molecules(20, seed=4)
+    runner = Runner("sparse", cfg, log_dir=str(tmp_path),
+                    train_data=mols, valid_data=mols[:5], quiet=True,
+                    tensorboard=False)
+    runner.train()
+    g = dict(synthetic_molecules(1, seed=42)[0])
+    g2 = dict(g)
+    g2["graph"] = [[0, 1, 1]]  # different topology, same features
+    out1 = np.asarray(runner.predict([g])[0])
+    out2 = np.asarray(runner.predict([g2])[0])
+    np.testing.assert_allclose(out1, out2, rtol=0, atol=0)
