@@ -236,13 +236,23 @@ def _flatten_edges(batch: GraphBatch):
 
 
 def _plan_caps(edge_lists, node_caps, n_shards: int,
-               margin: float) -> NodeShardCaps:
+               margin: float, nodes_local: int = None) -> NodeShardCaps:
     """Shared cap counting over per-batch flattened (src, tgt) arrays.
 
     `nl` must be the max over ALL batches before any owner arithmetic,
     so the callers stream their batches once, retaining only the int
-    edge arrays (not the padded feature tensors)."""
+    edge arrays (not the padded feature tensors).
+
+    `nodes_local` PINS the per-shard node range to an existing layout
+    (floored by what the batches require): a replan over a SUBSET of
+    batches must count edges under the same owner arithmetic as the
+    active caps, or its counts are incomparable — a smaller derived nl
+    spreads the same nodes over more shards and under-counts per-shard
+    edges, making an overflow pre-check pass while the real shard
+    relayout overflows (round-5 review finding)."""
     nl = max([8] + [_shard_ranges(nc, n_shards) for nc in node_caps])
+    if nodes_local is not None:
+        nl = max(nl, int(nodes_local))
     max_el, max_eb = 1, 0
     send_tot, recv_tot = 0, 0
     pair_max = np.zeros((n_shards, n_shards), np.int64)
@@ -285,17 +295,21 @@ def _plan_caps(edge_lists, node_caps, n_shards: int,
 
 
 def plan_node_shard_caps(batches: Iterable[GraphBatch], n_shards: int,
-                         margin: float = 1.3) -> NodeShardCaps:
+                         margin: float = 1.3,
+                         nodes_local: int = None) -> NodeShardCaps:
     """Walk (dry-pack) batches and size EL/EB/B for the epoch, with a
     shuffle margin (same policy as the packers' capacity planning).
     Streams the iterable, keeping only flattened int edge arrays — a
-    full-corpus dry pack must not hold every padded batch in memory."""
+    full-corpus dry pack must not hold every padded batch in memory.
+    Pass `nodes_local` when replanning against existing caps (see
+    _plan_caps)."""
     edge_lists, node_caps = [], []
     for batch in batches:
         f_src, f_tgt, _, _ = _flatten_edges(batch)
         edge_lists.append((f_src, f_tgt))
         node_caps.append(batch.node_capacity)
-    return _plan_caps(edge_lists, node_caps, n_shards, margin)
+    return _plan_caps(edge_lists, node_caps, n_shards, margin,
+                      nodes_local=nodes_local)
 
 
 def _build_pair_sends(owner_s, owner_d, local_rows):
@@ -517,9 +531,25 @@ def exchange_boundary(h, send_idx, axis, h_dim):
     return recv.reshape(-1, h_dim)
 
 
+def _check_node_capacity(batch, caps: NodeShardCaps):
+    """The shard layout must cover every node row, or nodes/edges past
+    S*nl would be silently dropped (zero-filled rows, vanished edges)
+    and out-of-range owners would crash _materialize_sends with a raw
+    numpy IndexError that bypasses the runner's ValueError-triggered
+    capacity regrow (round-5 review findings)."""
+    total = caps.n_shards * caps.nodes_local
+    if batch.node_capacity > total:
+        raise ValueError(
+            f"batch node capacity {batch.node_capacity} exceeds the "
+            f"shard layout {caps.n_shards} x {caps.nodes_local} = "
+            f"{total} rows; replan the caps over this batch "
+            f"(plan_node_shard_caps / plan_gcn_shard_caps)")
+
+
 def shard_batch(batch: GraphBatch, caps: NodeShardCaps,
                 exchange: str = "alltoall") -> NodeShardedGraphBatch:
     """Re-lay one packed GraphBatch into S node shards (host, numpy)."""
+    _check_node_capacity(batch, caps)
     s_count = caps.n_shards
     nl = caps.nodes_local
     el_l, el_b = caps.edges_local, caps.edges_boundary
@@ -617,6 +647,9 @@ def shard_and_stack(batches: List[GraphBatch], caps: NodeShardCaps,
                     ) -> NodeShardedGraphBatch:
     """shard_batch each + stack along a new leading step axis padded to
     a multiple of n_data with empty fillers."""
+    if not batches:
+        raise ValueError("shard_and_stack: empty batch group (an empty "
+                         "corpus split packs to zero batches)")
     sharded = [shard_batch(b, caps, exchange) for b in batches]
     if len(sharded) % n_data != 0:
         filler = empty_sharded_batch_like(sharded[0])
@@ -683,7 +716,8 @@ def _flatten_gcn_edges(batch):
 
 
 def plan_gcn_shard_caps(batches: Iterable, n_shards: int,
-                        margin: float = 1.3) -> NodeShardCaps:
+                        margin: float = 1.3,
+                        nodes_local: int = None) -> NodeShardCaps:
     """Size EL/EB/B for an epoch of GCN batches (see
     plan_node_shard_caps; identical policy, single edge type)."""
     edge_lists, node_caps = [], []
@@ -691,12 +725,14 @@ def plan_gcn_shard_caps(batches: Iterable, n_shards: int,
         f_src, f_tgt, _ = _flatten_gcn_edges(batch)
         edge_lists.append((f_src, f_tgt))
         node_caps.append(batch.node_capacity)
-    return _plan_caps(edge_lists, node_caps, n_shards, margin)
+    return _plan_caps(edge_lists, node_caps, n_shards, margin,
+                      nodes_local=nodes_local)
 
 
 def shard_gcn_batch(batch, caps: NodeShardCaps,
                     exchange: str = "alltoall") -> GCNNodeShardedBatch:
     """Re-lay one packed GCNGraphBatch into S node shards."""
+    _check_node_capacity(batch, caps)
     s_count = caps.n_shards
     nl = caps.nodes_local
     el_l, el_b = caps.edges_local, caps.edges_boundary
@@ -768,6 +804,9 @@ def empty_gcn_sharded_like(b: GCNNodeShardedBatch) -> GCNNodeShardedBatch:
 def gcn_shard_and_stack(batches: List, caps: NodeShardCaps,
                         n_data: int, exchange: str = "alltoall"
                         ) -> GCNNodeShardedBatch:
+    if not batches:
+        raise ValueError("gcn_shard_and_stack: empty batch group (an "
+                         "empty corpus split packs to zero batches)")
     sharded = [shard_gcn_batch(b, caps, exchange) for b in batches]
     if len(sharded) % n_data != 0:
         filler = empty_gcn_sharded_like(sharded[0])
@@ -792,7 +831,7 @@ def _send_spec(sharded, template):
     return sharded
 
 
-def gcn_sharded_batch_specs(n_edge: int, template=None):
+def gcn_sharded_batch_specs(template=None):
     from jax.sharding import PartitionSpec as P
     from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
     sharded = P(DATA_AXIS, EDGE_AXIS)
@@ -806,7 +845,7 @@ def gcn_sharded_batch_specs(n_edge: int, template=None):
     )
 
 
-def sharded_batch_specs(n_edge: int, template=None):
+def sharded_batch_specs(template=None):
     """PartitionSpecs for a stacked NodeShardedGraphBatch: leading step
     axis over "data", shard axis over "edge" (replicated leaves: data
     only)."""

@@ -165,12 +165,12 @@ def make_parallel_steps(model, optimizer, config: Dict,
         # Node-sharded GCN (parallel/node_shard.py GCN section): the
         # step consumes stacked GCNNodeShardedBatch pytrees.
         from ggnn_tpu.parallel.node_shard import gcn_sharded_batch_specs
-        batch_specs = gcn_sharded_batch_specs(n_edge)
+        batch_specs = gcn_sharded_batch_specs()
     elif n_edge > 1:
         # Node-sharded edge partitioning (parallel/node_shard.py): the
         # step consumes stacked NodeShardedGraphBatch pytrees.
         from ggnn_tpu.parallel.node_shard import sharded_batch_specs
-        batch_specs = sharded_batch_specs(n_edge)
+        batch_specs = sharded_batch_specs()
     else:
         batch_specs = stacked_batch_specs(n_edge)
     train_metric_specs = P()

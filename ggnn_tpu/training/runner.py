@@ -422,22 +422,26 @@ class Runner:
             if processed_edges else None)
         return mean_loss, accuracies, error_ratios, instance_per_sec, steps
 
-    def _nodeshard_plan(self, batches, n_shards, margin=None):
+    def _nodeshard_plan(self, batches, n_shards, margin=None,
+                        nodes_local=None):
         """Variant-matched node-shard capacity planner (sparse vs GCN
         layouts share NodeShardCaps but count edges differently). Uses
         the packers' tight default margin (`pack_margin` config key,
         1.05): lane occupancy multiplies the per-step gather/scatter
         cost, and a shuffled epoch that still overflows regrows the
-        caps instead of dying (see _run_epoch_mesh)."""
+        caps instead of dying (see _run_epoch_mesh). `nodes_local`
+        pins the owner arithmetic to the ACTIVE caps' layout — a replan
+        over a subset of batches is only comparable to those caps under
+        the same per-shard node range."""
         from ggnn_tpu.data.packing import DEFAULT_PACK_MARGIN
         from ggnn_tpu.parallel import node_shard
         if margin is None:
             margin = self.config.get("pack_margin") or DEFAULT_PACK_MARGIN
         if self._mesh_kind == "gcn":
-            return node_shard.plan_gcn_shard_caps(batches, n_shards,
-                                                  margin=margin)
-        return node_shard.plan_node_shard_caps(batches, n_shards,
-                                               margin=margin)
+            return node_shard.plan_gcn_shard_caps(
+                batches, n_shards, margin=margin, nodes_local=nodes_local)
+        return node_shard.plan_node_shard_caps(
+            batches, n_shards, margin=margin, nodes_local=nodes_local)
 
     def _nodeshard_stack(self, group, caps, n_data):
         from ggnn_tpu.parallel import node_shard
@@ -565,9 +569,11 @@ class Runner:
             # edges) numpy, comparable to the shard relayout itself and
             # the price of never diverging compiled shapes across hosts
             # (the single-process path uses try/except instead).
-            need = self._nodeshard_plan(group, caps.n_shards, margin=1.0)
+            need = self._nodeshard_plan(group, caps.n_shards, margin=1.0,
+                                        nodes_local=caps.nodes_local)
             if self._caps_exceed(need, caps):
-                grown = self._nodeshard_plan(group, caps.n_shards)
+                grown = self._nodeshard_plan(
+                    group, caps.n_shards, nodes_local=caps.nodes_local)
                 self._nodeshard_caps = self._merge_grown_caps(caps, grown)
                 if not self.quiet:
                     print(f"[node-shard] capacity overflow; regrew "
@@ -576,10 +582,10 @@ class Runner:
                 local, self._nodeshard_caps,
                 n_data=len(self._proc_data_rows))
             specs = (node_shard.gcn_sharded_batch_specs(
-                         n_edge, template=stack_local)
+                         template=stack_local)
                      if self._mesh_kind == "gcn"
                      else node_shard.sharded_batch_specs(
-                         n_edge, template=stack_local))
+                         template=stack_local))
         else:
             stack_local = stack_batches(
                 local, n_data=len(self._proc_data_rows), n_edge=n_edge)
@@ -647,7 +653,15 @@ class Runner:
                     # run (same fallback policy as the packers' ELL
                     # overflow).
                     old = self._nodeshard_caps
+                    # No nodes_local pin here: a batch whose node
+                    # capacity outgrew the whole S*nl layout (the
+                    # _check_node_capacity ValueError) needs a LARGER
+                    # per-shard range, which the replan derives.
                     grown = self._nodeshard_plan(group, old.n_shards)
+                    if grown.nodes_local < old.nodes_local:
+                        grown = self._nodeshard_plan(
+                            group, old.n_shards,
+                            nodes_local=old.nodes_local)
                     self._nodeshard_caps = self._merge_grown_caps(old,
                                                                   grown)
                     if not self.quiet:

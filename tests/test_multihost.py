@@ -90,7 +90,7 @@ half = len(batches) // 2  # caps planned globally above; shapes agree
 local_batches = batches[:half] if proc_id == 0 else batches[half:]
 local_stack = shard_and_stack(local_batches, ns_caps, n_data=1)
 global_stack = stack_from_process_local(local_stack, mesh,
-                                        sharded_batch_specs(n_edge))
+                                        sharded_batch_specs())
 _, eval_step = make_parallel_steps(model, opt, cfg, [0], mesh)
 _, metrics2 = eval_step(state, global_stack, None)
 loss2 = float(metrics2["loss"])

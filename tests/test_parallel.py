@@ -796,3 +796,50 @@ def test_overlap_compiler_options_platform_gating():
     assert overlap_compiler_options(cpu_mesh) == {}
     single = make_mesh(n_data=1, n_edge=1)
     assert overlap_compiler_options(single) == {}
+
+
+def test_shard_batch_rejects_undersized_layout():
+    """A batch whose node capacity exceeds S * nodes_local must raise
+    ValueError (round-5 review: it used to silently ZERO the overflow
+    node rows and DROP their edges — wrong results, no error — and cut
+    edges to out-of-range owners died with a raw numpy IndexError that
+    bypassed the runner's ValueError-triggered capacity regrow)."""
+    import dataclasses
+
+    import pytest
+    from ggnn_tpu.parallel.node_shard import (plan_node_shard_caps,
+                                              shard_batch)
+
+    cfg, meta, batches = _setup()
+    caps = plan_node_shard_caps(batches, 2)
+    small = dataclasses.replace(caps, nodes_local=batches[0].node_capacity
+                                // 4)
+    with pytest.raises(ValueError, match="exceeds the shard layout"):
+        shard_batch(batches[0], small)
+
+
+def test_plan_caps_nodes_local_pin():
+    """Replanning a SUBSET of batches with nodes_local pinned to the
+    active caps must count edges under the active owner arithmetic
+    (round-5 review: an unpinned subset replan derived a smaller nl,
+    under-counted per-shard edges, and passed the overflow pre-check
+    while the real shard relayout overflowed)."""
+    from ggnn_tpu.parallel.node_shard import (plan_node_shard_caps,
+                                              shard_batch)
+
+    cfg, meta, batches = _setup()
+    caps = plan_node_shard_caps(batches, 2, margin=1.0)
+    # Subset replan, pinned: must reproduce counts that shard_batch
+    # with the ACTIVE caps can actually satisfy.
+    sub = [batches[0]]
+    need = plan_node_shard_caps(sub, 2, margin=1.0,
+                                nodes_local=caps.nodes_local)
+    assert need.nodes_local == caps.nodes_local
+    # Pinned counts are an upper bound wrt the active layout: sharding
+    # under caps grown to `need` succeeds.
+    import dataclasses
+    grown = dataclasses.replace(
+        caps,
+        edges_local=max(caps.edges_local, need.edges_local),
+        edges_boundary=max(caps.edges_boundary, need.edges_boundary))
+    shard_batch(sub[0], grown)  # must not raise
