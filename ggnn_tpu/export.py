@@ -250,6 +250,19 @@ class ExportedPredictor(Predictor):
         super().__init__(variant, config, meta, state,
                          max_nodes=max_nodes, max_graphs=max_graphs)
 
+    def _dense_adjacency_dtype(self):
+        """The ARTIFACT's adjacency dtype, read from the baked
+        signatures (the adjacency is the only 4-d leaf of a dense
+        batch): serving-host native-library availability must not
+        change the shape/dtype dispatch key the artifact was exported
+        with — a mismatch would reject every request."""
+        import numpy as np
+        for sig in self._exported_fns:
+            for shape, dtype in sig:
+                if len(shape) == 4:
+                    return np.dtype(dtype)
+        return super()._dense_adjacency_dtype()
+
     def _build_forward(self):
         self.model = None
         # Artifact weights arrive as host numpy; pin them on device once

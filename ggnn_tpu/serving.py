@@ -70,8 +70,6 @@ def _infer_geometry(payload: Dict, variant: str, config: Dict):
                   "graph_model/Variable", "graph_model/Variable:0")
         if w is not None:
             return int(w.shape[0]), hidden
-    elif variant == "gcn":
-        return 1, hidden
     elif variant == "async":
         # Per-type leaves (models/async_ggnn.py stores a LIST of [H, H]
         # weights so per-leaf clip == the reference's per-variable clip).
@@ -115,6 +113,7 @@ class Predictor:
         import collections
         import threading
         self._async_sched_cache = collections.OrderedDict()
+        self._async_sched_cache_bytes = 0
         self._async_batch_cache = collections.OrderedDict()
         self._async_batch_cache_bytes = 0
         # Guards the two LRU caches above: the bundled PredictionServer
@@ -195,7 +194,8 @@ class Predictor:
         # restore warns about the unused opt_state entries.
         restored, _, _ = restore_checkpoint(
             path, config, skeleton, log=lambda *a: None,
-            variant=variant, num_edge_types=num_edge_types)
+            variant=variant, num_edge_types=num_edge_types,
+            payload=payload)
         return cls(variant, config, meta, restored,
                    max_nodes=max_nodes, max_graphs=max_graphs)
 
@@ -203,6 +203,12 @@ class Predictor:
 
     def _batches(self, raw_graphs: Sequence, annotation_size: int):
         cfg = self.config
+        if self.variant in _DENSE_FAMILY:
+            # Before touching self.caps — dense predictors have none,
+            # and the AttributeError would mask this guidance.
+            raise ValueError(
+                f"_batches does not serve variant '{self.variant}' "
+                "(dense family routes through _call_dense)")
         # The packers' fit check is strict (`offset + n < budget`,
         # reference semantics), so budget = envelope + 1 lets a request
         # graph of exactly max_nodes through — the arrays are sized by
@@ -277,6 +283,21 @@ class Predictor:
                     f"graph {i}: node_features must be non-empty with a "
                     f"consistent width ({annotation_size}) across the "
                     "request")
+            # Vertex-id range check at the ENTRY for every variant and
+            # packing path (round-5 review): the native sparse kernel
+            # rejects out-of-range ids (rc -5), but the python multi-
+            # graph paths and the async schedule compiler did not — an
+            # id past this graph's node count would silently gather/
+            # scatter ANOTHER request graph's rows in a packed batch
+            # (and the async per-topology cache would then pin the
+            # poisoned batch).
+            n = len(g["node_features"])
+            edges = np.asarray(g.get("graph", ()),
+                               np.int64).reshape(-1, 3)
+            if edges.size and (edges[:, [0, 2]].min() < 0
+                               or edges[:, [0, 2]].max() >= n):
+                raise ValueError(
+                    f"graph {i}: edge vertex id out of range [0, {n})")
         if self.variant in _DENSE_FAMILY:
             return self._call_dense(raw_graphs, annotation_size)
         if len(raw_graphs) == 1 and self.variant in ("sparse", "rgcn"):
@@ -466,6 +487,19 @@ class Predictor:
         return GraphBatch(**common)
 
     _ASYNC_SCHED_CACHE_CAP = 2048
+    _ASYNC_SCHED_CACHE_BYTES = 256 * 2**20
+
+    @staticmethod
+    def _flat_nbytes(flat) -> int:
+        """Host bytes of one cached _FlatSchedules (dataclass whose
+        fields are numpy arrays or tuples of them)."""
+        import dataclasses as _dc
+        total = 0
+        for f in _dc.fields(flat):
+            field = getattr(flat, f.name)
+            for arr in (field if isinstance(field, tuple) else (field,)):
+                total += getattr(arr, "nbytes", 0)
+        return total
 
     def _async_processed(self, g: Dict) -> Dict:
         """Processed entry for one async request graph, with the
@@ -477,9 +511,10 @@ class Predictor:
         cache = self._async_sched_cache
         key = self._topology_key(g)
         with self._cache_lock:
-            flat = cache.get(key)
-            if flat is not None:
+            hit = cache.get(key)
+            if hit is not None:
                 cache.move_to_end(key)
+        flat = hit[0] if hit is not None else None
         if flat is None:
             schedules = async_schedule.graph_to_propagation_schedules(
                 g.get("graph", ()), self.meta.num_edge_types,
@@ -489,10 +524,20 @@ class Predictor:
             flat = async_schedule._flatten_schedules(
                 schedules, cfg["propagation_substeps"],
                 self.meta.num_edge_types)
+            nbytes = self._flat_nbytes(flat)
             with self._cache_lock:
-                cache[key] = flat
-                if len(cache) > self._ASYNC_SCHED_CACHE_CAP:
-                    cache.popitem(last=False)
+                if key not in cache:
+                    cache[key] = (flat, nbytes)
+                    self._async_sched_cache_bytes += nbytes
+                    # Entry-capped AND byte-bounded (round-5 review —
+                    # the batch cache was byte-bounded for exactly this
+                    # risk: envelope-sized schedules are ~MBs each and
+                    # 2048 of them would pin gigabytes of host RAM).
+                    while (len(cache) > self._ASYNC_SCHED_CACHE_CAP
+                           or self._async_sched_cache_bytes
+                           > self._ASYNC_SCHED_CACHE_BYTES):
+                        _, (_, old_b) = cache.popitem(last=False)
+                        self._async_sched_cache_bytes -= old_b
         from ggnn_tpu.data.packing import _extract_labels
         labels = (_extract_labels(g, self.task_ids) if "targets" in g
                   else [None] * len(self.task_ids))
@@ -621,18 +666,13 @@ class Predictor:
         node_mask = np.zeros((b_cap, v), np.float32)
         node_mask[0, :n] = 1.0
         if self.variant == "gcn_blocked":
-            adjacency = np.zeros((b_cap, 1, v, v), np.float32)
+            adjacency = np.zeros((b_cap, 1, v, v),
+                                 self._dense_adjacency_dtype())
             adjacency[0, 0, :n, :n] = _normalized_dense_adjacency(edges, n)
         else:
             t_dim = self.meta.num_edge_types
-            adj_dtype = np.float32
-            # Match DenseAdapter.batches: the bf16 adjacency cast rides
-            # the native pipeline only (the python packer emits f32).
-            if (cfg.get("compute_dtype", "float32") == "bfloat16"
-                    and _use_native(cfg)):
-                import ml_dtypes
-                adj_dtype = np.dtype(ml_dtypes.bfloat16)
-            adjacency = np.zeros((b_cap, t_dim, v, v), adj_dtype)
+            adjacency = np.zeros((b_cap, t_dim, v, v),
+                                 self._dense_adjacency_dtype())
             adjacency[0] = build_dense_adjacency(edges, v, t_dim,
                                                  cfg["tie_fwd_bkwd"])
         targets, target_mask = self._single_graph_targets(g, b_cap)
@@ -641,15 +681,42 @@ class Predictor:
             targets=targets, target_mask=target_mask,
             num_graphs=np.int32(1))
 
+    def _dense_adjacency_dtype(self):
+        """Adjacency dtype of the dense-family serving batches. Live
+        predictors match the training pipeline (bf16 rides the native
+        packer only; the python packer emits f32 — numerics are equal
+        either way, the model casts at compute time). ExportedPredictor
+        OVERRIDES this from the artifact's baked signatures: the
+        serving host's native-library availability must not change the
+        shape/dtype dispatch key a .ggnnx was exported with (round-5
+        review)."""
+        cfg = self.config
+        if (self.variant != "gcn_blocked"
+                and cfg.get("compute_dtype", "float32") == "bfloat16"
+                and _use_native(cfg)):
+            import ml_dtypes
+            return np.dtype(ml_dtypes.bfloat16)
+        return np.dtype(np.float32)
+
     def _call_dense(self, raw_graphs: Sequence, annotation_size: int):
         if len(raw_graphs) == 1:
             batch = self._pack_single_dense(raw_graphs[0], annotation_size)
             computed = self._forward(self.params, jax.device_put(batch))
             return np.asarray(computed)[:, :1]
+        # A request-LOCAL adapter carries this request's annotation
+        # width: mutating the shared self.adapter.meta here would race
+        # concurrent dense requests of different widths (a Predictor
+        # shared across threads is supported — round-5 review; the
+        # native packer would read feature rows at the wrong stride).
+        kwargs = {"drop_remainder": False}
+        adapter = make_adapter(self.variant, self.config, DatasetMeta(
+            max_num_vertices=self.meta.max_num_vertices,
+            num_edge_types=self.meta.num_edge_types,
+            annotation_size=annotation_size), **kwargs)
         # Dense bucketing re-orders graphs; tag each with its request
         # index via a sentinel extra target so outputs scatter back.
         order: List[int] = []
-        processed = self.adapter.preprocess(list(raw_graphs), False)
+        processed = adapter.preprocess(list(raw_graphs), False)
         if isinstance(processed, native_pack.DenseProcessed):
             for ids in processed.bucket_order:
                 order.extend(int(i) for i in ids)
@@ -660,12 +727,18 @@ class Predictor:
             # no re-derivation of the bucket-assignment formula.
             for bucket in processed.values():
                 order.extend(int(g["graph_id"]) for g in bucket)
-        self.adapter.meta = DatasetMeta(
-            max_num_vertices=self.meta.max_num_vertices,
-            num_edge_types=self.meta.num_edge_types,
-            annotation_size=annotation_size)
         outs: List[np.ndarray] = []
-        for batch in self.adapter.batches(processed, False):
+        import dataclasses as _dc
+        want_dtype = self._dense_adjacency_dtype()
+        for batch in adapter.batches(processed, False):
+            # Coerce the adjacency dtype to the predictor's dispatch
+            # contract (_dense_adjacency_dtype): the python packer
+            # always emits f32 and the native one follows config —
+            # an ExportedPredictor's signature match must not depend
+            # on which pipeline this host happens to run.
+            if np.asarray(batch.adjacency).dtype != want_dtype:
+                batch = _dc.replace(batch, adjacency=np.asarray(
+                    batch.adjacency).astype(want_dtype))
             computed = self._forward(self.params, jax.device_put(batch))
             outs.append(np.asarray(computed)[:, :int(batch.num_graphs)])
         packed = np.concatenate(outs, axis=1)

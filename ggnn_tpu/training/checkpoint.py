@@ -170,7 +170,8 @@ def _looks_tf1(payload: Dict) -> bool:
 
 def restore_checkpoint(path: str, config: Dict, state_tree,
                        log=print, *, variant: str = None,
-                       num_edge_types: int = None) -> Tuple[object, int, int]:
+                       num_edge_types: int = None,
+                       payload: Dict = None) -> Tuple[object, int, int]:
     """Returns (restored_state_tree, train_step, valid_step).
 
     Accepts this framework's checkpoints (pickle or Orbax dir) AND
@@ -179,8 +180,13 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
     converted through ggnn_tpu.compat.tf1 and the optimizer state stays
     freshly initialized (the reference stores TF-Adam slots that have no
     place in the optax tree).
+
+    `payload` skips the load when the caller already holds the loaded
+    checkpoint (serving loads it once for geometry inference — a second
+    full Orbax restore/pickle parse would double the load cost).
     """
-    payload = _load_payload(path)
+    if payload is None:
+        payload = _load_payload(path)
 
     if _looks_tf1(payload):
         if variant is None or num_edge_types is None:

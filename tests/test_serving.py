@@ -1006,3 +1006,27 @@ def test_prediction_server_coalesces_async_variant(tmp_path):
                                        atol=1e-6, err_msg=f"client {i}")
     finally:
         server.shutdown()
+
+
+def test_predictor_rejects_out_of_range_edge_ids(trained):
+    """Vertex-id validation at the serving ENTRY (round-5 review): an
+    edge id past the graph's node count must raise ValueError on EVERY
+    path — the python multi-graph packers and the async schedule
+    compiler used to silently gather/scatter another request graph's
+    rows in a packed batch (and the async topology cache would pin the
+    poisoned batch)."""
+    predictor = Predictor.from_checkpoint(
+        trained.best_model_file, "sparse", max_nodes=256, max_graphs=32)
+    bad = {"targets": [[0.0]], "graph": [[0, 1, 999]],
+           "node_features": [[1.0, 0.0, 0.0, 0.0, 0.0]] * 3}
+    good = synthetic_molecules(2, seed=77)
+    with pytest.raises(ValueError, match="edge vertex id out of range"):
+        predictor([bad])
+    with pytest.raises(ValueError, match="graph 1"):
+        predictor([good[0], bad])
+    neg = dict(bad, graph=[[0, 1, -2]])
+    with pytest.raises(ValueError, match="edge vertex id out of range"):
+        predictor([neg])
+    # Well-formed neighbours still serve.
+    out = predictor(good)
+    assert out.shape == (1, 2) and np.isfinite(out).all()
