@@ -416,6 +416,13 @@ def pack_sparse_batches_native(processed: SparseProcessed,
                                ) -> Iterator[GraphBatch]:
     lib = require_lib()
     corpus = processed.corpus
+    # Same pack-time re-validation as the dense path (round-5 review):
+    # preprocess may have run under a different num_edge_types /
+    # tie_fwd_bkwd, and an unvalidated out-of-range type would make
+    # the C kernel write edge rows past the [T, E] slab — silent heap
+    # corruption instead of this ValueError.
+    _validate_edge_types(
+        corpus, num_edge_types if tie_fwd_bkwd else num_edge_types // 2)
     _validate_feature_geometry(corpus, hidden_size, annotation_size)
     order = processed.order.copy()
     if is_training and rng is not None:

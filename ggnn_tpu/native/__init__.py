@@ -2,7 +2,8 @@
 
 The library is compiled on first use with g++ (-O3, shared) and cached
 next to the source keyed by a source hash; no pybind11 — plain C ABI +
-ctypes. Set GGNN_TPU_NO_NATIVE=1 to force the pure-python pipeline.
+ctypes. Set GGNN_TPU_NO_NATIVE=1 (or "true"/"yes") to force the
+pure-python pipeline.
 """
 
 import ctypes
@@ -10,6 +11,7 @@ import hashlib
 import os
 import platform
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -18,35 +20,67 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "packer.cpp")
 _LIB: Optional[ctypes.CDLL] = None
 _LOAD_ERROR: Optional[str] = None
+_BUILD_LOCK = threading.Lock()
+
+
+def _no_native_env() -> bool:
+    """GGNN_TPU_NO_NATIVE parsed as a boolean: '0'/'false'/'' mean
+    native stays ON (a launcher exporting =0 to mean 'enabled' must not
+    silently disable the 20-60x faster pipeline — round-5 review)."""
+    return os.environ.get("GGNN_TPU_NO_NATIVE", "").strip().lower() in (
+        "1", "true", "yes", "on")
 
 
 def _host_salt() -> str:
     """CPU-identity salt for the build cache: the artifact is compiled
     with -march=native, so a checkout shared between heterogeneous
-    machines (NFS, baked container images) must not reuse it."""
-    cpu = platform.machine()
+    machines (NFS, baked container images) must not reuse it. x86
+    /proc/cpuinfo names the part in 'model name'; aarch64 uses
+    'CPU implementer'/'CPU part' (and has no 'model name'), so both
+    families are collected — a salt that degenerates to
+    platform.machine() would reuse a Neoverse-V2 build on an N1 and
+    SIGILL mid-serving."""
+    parts = [platform.machine(), platform.processor() or ""]
     try:
         with open("/proc/cpuinfo") as f:
+            seen = set()
             for line in f:
-                if line.startswith(("model name", "Model")):
-                    cpu += line.split(":", 1)[1].strip()
-                    break
+                key = line.split(":", 1)[0].strip()
+                if key in ("model name", "Model", "CPU implementer",
+                           "CPU part", "CPU variant", "CPU revision",
+                           "cpu", "machine") and key not in seen:
+                    seen.add(key)
+                    parts.append(line.split(":", 1)[1].strip())
     except OSError:
         pass
-    return hashlib.sha256(cpu.encode()).hexdigest()[:8]
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:8]
 
 
 def _build_and_load() -> ctypes.CDLL:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    lib_path = os.path.join(_HERE, f"libpacker_{digest}_{_host_salt()}.so")
+    salt = _host_salt()
+    lib_path = os.path.join(_HERE, f"libpacker_{digest}_{salt}.so")
     if not os.path.exists(lib_path):
-        tmp = f"{lib_path}.{os.getpid()}.tmp"
+        # Thread-ident in the tmp name + the build lock: two threads of
+        # one process share the pid, and a pid-only tmp raced g++ vs
+        # os.replace (one thread could dlopen a half-written ELF and
+        # permanently disable native packing — round-5 review).
+        tmp = f"{lib_path}.{os.getpid()}.{threading.get_ident()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
              "-o", tmp, _SRC],
             check=True, capture_output=True)
         os.replace(tmp, lib_path)  # atomic vs concurrent builders
+        # Prune artifacts of superseded source digests for this host
+        # (each source edit would otherwise leak a ~30KB .so forever).
+        import glob
+        for old in glob.glob(os.path.join(_HERE, f"libpacker_*_{salt}.so")):
+            if old != lib_path:
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
     lib = ctypes.CDLL(lib_path)
 
     i32 = ctypes.c_int32
@@ -97,13 +131,22 @@ def _build_and_load() -> ctypes.CDLL:
 def get_lib() -> Optional[ctypes.CDLL]:
     """The loaded native library, or None (disabled or build failed)."""
     global _LIB, _LOAD_ERROR
-    if os.environ.get("GGNN_TPU_NO_NATIVE"):
+    if _no_native_env():
         return None
     if _LIB is None and _LOAD_ERROR is None:
-        try:
-            _LIB = _build_and_load()
-        except (OSError, subprocess.CalledProcessError) as e:
-            _LOAD_ERROR = str(e)
+        with _BUILD_LOCK:
+            if _LIB is None and _LOAD_ERROR is None:
+                try:
+                    _LIB = _build_and_load()
+                except (OSError, subprocess.CalledProcessError) as e:
+                    detail = str(e)
+                    stderr = getattr(e, "stderr", None)
+                    if stderr:
+                        # The compiler's actual message, not just the
+                        # exit status — require_lib's diagnostic is
+                        # useless without it.
+                        detail += "\n" + stderr.decode(errors="replace")
+                    _LOAD_ERROR = detail
     return _LIB
 
 
@@ -118,7 +161,7 @@ def require_lib() -> ctypes.CDLL:
     lib = get_lib()
     if lib is None:
         reason = ("disabled via GGNN_TPU_NO_NATIVE"
-                  if os.environ.get("GGNN_TPU_NO_NATIVE")
+                  if _no_native_env()
                   else f"build/load failed: {_LOAD_ERROR}")
         raise RuntimeError(
             "native packer library unavailable (%s); use the pure-python "

@@ -191,8 +191,16 @@ int32_t pack_sparse_batch(
 // in-degrees, node features zero-padded to hidden, node graph ids, and
 // the type-combined (target, type, source)-sorted lane. Byte-identical
 // to data/packing.py's pack_sparse_batches on a 1-graph corpus
-// (pinned by tests/test_serving.py). Returns 0 ok, -1 per-type edge
-// overflow, -2 combined-lane overflow, -3 bad edge type.
+// (pinned by tests/test_serving.py). Returns 0 ok; negative on
+// rejection — INPUT validation first (matching the numpy fallback's
+// order), then capacity:
+//   -3 bad edge type (outside [1, num_fwd])
+//   -5 edge vertex id out of range [0, n)
+//   -4 envelope exceeds the 21-bit key fields (node_capacity or
+//      num_edge_types >= 2^21; caller falls back to numpy)
+//   -6 bad feature geometry (annotation > hidden, or n > capacity)
+//   -1 per-type edge lane overflow
+//   -2 combined-lane overflow
 int32_t pack_single_sparse(
     const int32_t* edges,        // [E, 3] (src, 1-based type, dst)
     int64_t n_edges,
@@ -226,7 +234,6 @@ int32_t pack_single_sparse(
   // into, and the real node count must fit the arrays.
   if (annotation_size > hidden_size || n > node_capacity) return -6;
   const int64_t m = n_edges * 2;  // directed edges after doubling
-  if (edges_all_cap > 0 && m > edges_all_cap) return -2;
   // (type, target, source) rows, sorted once; the per-type lanes are
   // its type-partitioned runs and the combined lane is a second order.
   std::vector<int64_t> keys(m);   // typ<<42 | dst<<21 | src
@@ -241,6 +248,11 @@ int32_t pack_single_sparse(
     keys[e * 2] = (typ << 42) | (dst << 21) | src;
     keys[e * 2 + 1] = (btyp << 42) | (src << 21) | dst;
   }
+  // Capacity AFTER input validation: a graph that is both malformed
+  // and oversized must report the malformation (the numpy fallback
+  // validates types/ids first, and the raised error must not depend
+  // on which path served the request).
+  if (edges_all_cap > 0 && m > edges_all_cap) return -2;
   std::sort(keys.begin(), keys.end());
   // Outputs are caller-ALLOCATED, not caller-initialised: fill pads.
   for (int32_t t = 0; t < num_edge_types; ++t) {

@@ -323,6 +323,12 @@ class Predictor:
         from ggnn_tpu.graph import GraphBatch
         from ggnn_tpu.native import get_lib
 
+        if not _use_native(self.config):
+            # "native_pack": false is the documented escape hatch for a
+            # suspect native build; the batch-of-one latency path must
+            # honor it like every multi-graph path does (round-5
+            # review — it used to call the C kernel regardless).
+            return None
         lib = get_lib()
         if lib is None:
             return None
