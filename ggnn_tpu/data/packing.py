@@ -129,10 +129,11 @@ def preprocess_sparse(raw_data: Sequence[Any], num_edge_types: int,
                       rng: Optional[np.random.RandomState] = None) -> List[dict]:
     processed = []
     for d in raw_data:
+        n = len(d["node_features"])
+        _validate_vertex_ids(d["graph"], n)
         adj_lists, in_deg_dicts = graph_to_adjacency_lists(
             d["graph"], num_edge_types, tie_fwd_bkwd
         )
-        n = len(d["node_features"])
         in_degrees = np.zeros((n, num_edge_types), dtype=np.float32)
         for e_type, counts in in_deg_dicts.items():
             for node_id, cnt in counts.items():
@@ -193,6 +194,17 @@ def plan_capacities_from_walk(sizes, num_edge_types: int, node_budget: int,
     cur_nodes, cur_graphs = 0, 0
     cur_edges = np.zeros(num_edge_types, dtype=np.int64)
     for n, edge_counts in sizes:
+        if n >= node_budget:
+            # Fail at PLAN time with the remedy, not at pack time with
+            # a generic capacity error: a single graph that can never
+            # fit the budget (the packer's fits() is strict <) would
+            # otherwise be tallied here as a valid one-graph batch and
+            # then rejected mid-epoch (round-5 review).
+            raise ValueError(
+                f"graph with {n} nodes cannot fit the node budget "
+                f"{node_budget} (the packer's fit check is strict '<', "
+                f"chem_tensorflow_sparse.py:289 semantics); raise "
+                f"\"batch_size\" past {n}")
         if cur_nodes + n >= node_budget and cur_graphs > 0:
             max_graphs = max(max_graphs, cur_graphs)
             max_edges = np.maximum(max_edges, cur_edges)
@@ -216,8 +228,11 @@ def plan_capacities_from_walk(sizes, num_edge_types: int, node_budget: int,
 def build_combined_lane(edge_sources, edge_targets, edge_mask,
                         edges_all_cap: int, node_capacity: int) -> Dict:
     """Type-combined (target, type)-sorted edge lane from per-type
-    lanes. Returns {} when not planned; falls back to {} (typed-path
-    batch) with a warning when a shuffled batch overflows the cap."""
+    lanes. Returns {} when not planned (edges_all_cap falsy); RAISES on
+    overflow — both packers pre-enforce the cap in fits(), so overflow
+    here means a caller bug, and silently degrading to a typed-path
+    batch would change the batch pytree structure mid-stream, which
+    jitted/stacked consumers cannot absorb."""
     if not edges_all_cap:
         return {}
     t_dim = edge_sources.shape[0]
@@ -231,11 +246,10 @@ def build_combined_lane(edge_sources, edge_targets, edge_mask,
     tgt = np.concatenate(tgts)
     typ = np.concatenate(typs)
     if len(src) > edges_all_cap:
-        import logging
-        logging.getLogger(__name__).warning(
-            "combined edge lane overflow (%d > %d); batch uses the "
-            "typed-lane path", len(src), edges_all_cap)
-        return {}
+        raise ValueError(
+            f"combined edge lane overflow ({len(src)} > {edges_all_cap}): "
+            "the packer's fits() check must enforce caps.edges_all "
+            "before building the lane")
     order = np.lexsort((typ, tgt))
     ea = edges_all_cap
     out_src = np.zeros(ea, np.int32)
@@ -272,6 +286,8 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
         # replays the epoch-start RNG state over the pristine order).
         processed = list(processed)
         rng.shuffle(processed)
+    if not processed:
+        return  # empty split packs to zero batches
     num_tasks = len(processed[0]["labels"])
     idx = 0
     while idx < len(processed):
@@ -359,13 +375,23 @@ def pack_sparse_batches(processed: List[dict], num_edge_types: int,
         common.update(build_combined_lane(
             edge_sources, edge_targets, edge_mask, caps.edges_all,
             caps.nodes))
-        layout = None
         if ell_block:
             from ggnn_tpu.data.ell import try_build_ell_layout
             layout = try_build_ell_layout(edge_sources, edge_targets,
                                           edge_mask, caps.nodes, ell_block,
                                           ell_k)
-        if layout is not None:
+            if layout is None:
+                # RAISE rather than degrade to a plain GraphBatch: a
+                # mid-epoch pytree CLASS change is exactly what the
+                # combined-lane fits() guard exists to prevent — the
+                # stream's consumers compile against one structure.
+                # (ELL is an archived experimental surface; a shuffled
+                # epoch overflowing ell_k must be re-planned, not
+                # silently served a different batch type.)
+                raise ValueError(
+                    f"blocked-ELL layout overflow (ell_k={ell_k}, "
+                    f"block={ell_block}) — replan ell_k over this epoch "
+                    "or disable the ELL layout")
             yield ELLGraphBatch(
                 **common,
                 ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
@@ -394,6 +420,12 @@ def build_dense_adjacency(edges, max_n_vertices: int, num_edge_types: int,
         if not 1 <= e <= num_fwd:
             raise ValueError(
                 f"edge type {e} out of range [1, {num_fwd}]")
+        if src < 0 or dst < 0:
+            # A negative id would numpy-wrap to the LAST vertex row —
+            # a silently misplaced edge, not an error.
+            raise ValueError(
+                f"edge vertex id out of range [0, {max_n_vertices}): "
+                f"({src}, ., {dst})")
         amat[e - 1, dst, src] = 1
         amat[e - 1 + bwd_offset, src, dst] = 1
     return amat
@@ -408,6 +440,8 @@ def preprocess_dense(raw_data: Sequence[Any], num_edge_types: int,
     if bucket_sizes is None:
         bucket_sizes = DENSE_BUCKET_SIZES
     bucketed: Dict[int, List[dict]] = {}
+    if not raw_data:
+        return bucketed, bucket_sizes  # empty split packs to nothing
     x_dim = len(raw_data[0]["node_features"][0])
     for graph_id, d in enumerate(raw_data):
         max_vertex = max((v for e in d["graph"] for v in (e[0], e[2])),
@@ -422,6 +456,7 @@ def preprocess_dense(raw_data: Sequence[Any], num_edge_types: int,
             raise ValueError(
                 f"graph {graph_id}: edge vertex id {max_vertex} >= "
                 f"number of node-feature rows {n_active}")
+        _validate_vertex_ids(d["graph"], n_active)
         # Bucket by the number of rows actually written, not just the max
         # edge-referenced vertex: a graph with isolated trailing nodes
         # (feature rows beyond the last edge endpoint) must still fit.
@@ -451,6 +486,8 @@ def preprocess_dense(raw_data: Sequence[Any], num_edge_types: int,
         for bucket in bucketed.values():
             if rng is not None:
                 rng.shuffle(bucket)
+            # PER-BUCKET ratio application — reference quirk kept (see
+            # the note in preprocess_gcn_dense / PARITY.md).
             _apply_task_sample_ratios(bucket, task_ids, task_sample_ratios)
     return bucketed, bucket_sizes
 
@@ -484,6 +521,8 @@ def pack_dense_batches(bucketed: Dict[int, List[dict]],
         for data in bucketed.values():
             rng.shuffle(data)
 
+    if not bucketed:
+        return  # empty split packs to zero batches
     num_tasks = len(next(iter(bucketed.values()))[0]["labels"])
     counters: Dict[int, int] = {}
     for bucket in bucket_at_step:
@@ -536,9 +575,25 @@ def _normalized_dense_adjacency(edges, num_nodes: int) -> np.ndarray:
     return d_inv_sqrt.dot(adj).dot(d_inv_sqrt)
 
 
+def _validate_vertex_ids(edges, num_nodes: int) -> None:
+    """Both bounds, loudly: a NEGATIVE id passes any max-based check
+    and numpy-wraps into the LAST node's row (an in-degree/adjacency
+    entry on the wrong node — silently corrupt training data), and an
+    oversized id either wraps an offset into the PREVIOUS packed
+    graph's rows or dies as a bare IndexError deep in a builder. Same
+    contract as the native FlatCorpus.from_raw and the serving entry
+    (round-5 review)."""
+    for src, _e, dst in edges:
+        if not (0 <= src < num_nodes and 0 <= dst < num_nodes):
+            raise ValueError(
+                f"edge vertex id out of range [0, {num_nodes}): "
+                f"({src}, ., {dst})")
+
+
 def graph_to_normalized_adjacency(edges, num_nodes: int):
     """Normalized adjacency as row-major COO (the edge-list GCN's
     layout; row-major matches the reference's i/j loop ordering)."""
+    _validate_vertex_ids(edges, num_nodes)
     adj = _normalized_dense_adjacency(edges, num_nodes)
     idx = np.nonzero(adj)
     order = np.lexsort((idx[1], idx[0]))  # row-major, like the i/j loops
@@ -580,6 +635,8 @@ def preprocess_gcn_dense(raw_data: Sequence[Any], task_ids: Sequence[int],
     if bucket_sizes is None:
         bucket_sizes = DENSE_BUCKET_SIZES
     bucketed: Dict[int, List[dict]] = {}
+    if not raw_data:
+        return bucketed, bucket_sizes  # empty split packs to nothing
     x_dim = len(raw_data[0]["node_features"][0])
     for graph_id, d in enumerate(raw_data):
         max_vertex = max((v for e in d["graph"] for v in (e[0], e[2])),
@@ -592,6 +649,7 @@ def preprocess_gcn_dense(raw_data: Sequence[Any], task_ids: Sequence[int],
             raise ValueError(
                 f"graph {graph_id}: edge vertex id {max_vertex} >= "
                 f"number of node-feature rows {n_active}")
+        _validate_vertex_ids(d["graph"], n_active)
         needed = max(max_vertex + 1, n_active)
         if needed > int(bucket_sizes[-1]):
             raise ValueError(
@@ -617,6 +675,12 @@ def preprocess_gcn_dense(raw_data: Sequence[Any], task_ids: Sequence[int],
         for bucket in bucketed.values():
             if rng is not None:
                 rng.shuffle(bucket)
+            # Reference quirk KEPT: dense applies the ratio PER BUCKET
+            # (chem_tensorflow_dense.py:154-157, int(len(bucket)*r)),
+            # sparse applies it corpus-globally (sparse.py:246-249) —
+            # identical configs sample differently across variants, and
+            # small buckets can floor a task to zero labels. Faithful
+            # to upstream; documented in PARITY.md.
             _apply_task_sample_ratios(bucket, task_ids, task_sample_ratios)
     return bucketed, bucket_sizes
 
@@ -630,6 +694,13 @@ def plan_gcn_capacities_from_walk(walk, node_budget: int,
     max_graphs, max_edges = 1, 0
     cur_nodes, cur_graphs, cur_edges = 0, 0, 0
     for n, e in walk:
+        if n >= node_budget:
+            # Plan-time rejection, same rationale as
+            # plan_capacities_from_walk.
+            raise ValueError(
+                f"graph with {n} nodes cannot fit the node budget "
+                f"{node_budget} (strict '<' fit check); raise "
+                f"\"batch_size\" past {n}")
         if cur_nodes + n >= node_budget and cur_graphs > 0:
             max_graphs = max(max_graphs, cur_graphs)
             max_edges = max(max_edges, cur_edges)
@@ -661,6 +732,8 @@ def pack_gcn_batches(processed: List[dict], node_budget: int,
     if is_training and rng is not None:
         processed = list(processed)  # copy: epoch shuffles must not compose
         rng.shuffle(processed)
+    if not processed:
+        return  # empty split packs to zero batches
     num_tasks = len(processed[0]["labels"])
     idx = 0
     while idx < len(processed):

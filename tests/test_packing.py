@@ -609,3 +609,64 @@ def test_pack_async_batches_empty_corpus_yields_nothing():
                                sending_edges=64, receiving_nodes=64)
     assert list(asn.pack_async_batches([], 4, 100, caps, 4, 15, 8, 3,
                                        False, None)) == []
+
+
+def test_negative_vertex_ids_rejected_every_pipeline():
+    """A negative vertex id numpy-wraps to the LAST node row (silently
+    corrupt adjacency/in-degrees) unless rejected — round-5 review; the
+    native path and serving entry already rejected it."""
+    import pytest
+
+    bad = [{"targets": [[0.1]], "graph": [[0, 1, -1]],
+            "node_features": [[1, 0, 0], [0, 1, 0]]}]
+    with pytest.raises(ValueError, match="vertex id out of range"):
+        preprocess_sparse(bad, 2, True, [0], {}, False)
+    from ggnn_tpu.data.packing import (preprocess_dense, preprocess_gcn,
+                                       preprocess_gcn_dense)
+    with pytest.raises(ValueError, match="vertex id out of range"):
+        preprocess_dense(bad, 2, True, [0], {}, False)
+    with pytest.raises(ValueError, match="vertex id out of range"):
+        preprocess_gcn(bad, [0], {}, False)
+    with pytest.raises(ValueError, match="vertex id out of range"):
+        preprocess_gcn_dense(bad, [0], {}, False)
+
+
+def test_oversized_graph_rejected_at_plan_time():
+    """A single graph that can never fit the node budget fails at
+    capacity-PLAN time with the batch_size remedy, not mid-epoch with a
+    generic pack error (round-5 review)."""
+    import pytest
+
+    from ggnn_tpu.data.packing import plan_capacities, plan_gcn_capacities
+    from ggnn_tpu.data.synthetic import synthetic_giant_graph
+
+    data = synthetic_giant_graph(50, seed=0)
+    proc = preprocess_sparse(data, 4, True, [0], {}, False)
+    with pytest.raises(ValueError, match="cannot fit the node budget"):
+        plan_capacities(proc, 4, 50)
+    plan_capacities(proc, 4, 51)  # strict '<': budget n+1 fits
+    from ggnn_tpu.data.packing import preprocess_gcn
+    gproc = preprocess_gcn(data, [0], {}, False)
+    with pytest.raises(ValueError, match="cannot fit the node budget"):
+        plan_gcn_capacities(gproc, 50)
+
+
+def test_empty_split_packs_to_zero_batches_every_variant():
+    """Empty corpora pack to nothing (clear generators, no IndexError /
+    StopIteration-in-generator RuntimeError) — round-5 review."""
+    from ggnn_tpu.data.packing import (pack_dense_batches, pack_gcn_batches,
+                                       preprocess_dense, preprocess_gcn,
+                                       preprocess_gcn_dense)
+
+    assert list(pack_sparse_batches(
+        [], 2, 100, PackCapacities(nodes=8, edges_per_type=8, graphs=8),
+        8, 3, False)) == []
+    assert list(pack_gcn_batches(
+        [], 100, PackCapacities(nodes=8, edges_per_type=8, graphs=8),
+        8, 3, False)) == []
+    bucketed, sizes = preprocess_dense([], 2, True, [0], {}, False)
+    assert bucketed == {}
+    assert list(pack_dense_batches(bucketed, sizes, 4, 8, 3, False)) == []
+    bucketed2, _ = preprocess_gcn_dense([], [0], {}, False)
+    assert bucketed2 == {}
+    assert preprocess_gcn([], [0], {}, False) == []
