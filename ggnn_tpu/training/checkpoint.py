@@ -40,7 +40,21 @@ def _is_orbax_path(path: str) -> bool:
 
 
 def _sanitize(name: str) -> str:
-    """keystr -> storage-safe name: "['a']['b'][0]['c']" -> "a.b.0.c"."""
+    """keystr -> storage-safe name: "['a']['b'][0].c" -> "a.b.0.c".
+    Handles DictKey, SequenceKey AND GetAttrKey segments — dropping
+    attribute segments (NamedTuple pytree nodes, e.g. optax state)
+    would collide distinct leaves onto one storage key and silently
+    overwrite one with the other (round-5 review; save_checkpoint
+    additionally refuses on any collision)."""
+    import re
+    parts = re.findall(
+        r"\['([^']+)'\]|\[(\d+)\]|\.([A-Za-z_][A-Za-z0-9_]*)", name)
+    return ".".join(a or b or c for a, b, c in parts)
+
+
+def _sanitize_legacy(name: str) -> str:
+    """Pre-round-5 sanitization (attribute segments dropped) — restore
+    fallback so Orbax checkpoints written by older builds still load."""
     import re
     parts = re.findall(r"\['([^']+)'\]|\[(\d+)\]", name)
     return ".".join(a or b for a, b in parts)
@@ -70,7 +84,15 @@ def save_checkpoint(path: str, config: Dict, state_tree,
                 "valid_step": valid_step, "sanitized_keys": True}
         if iterator_state is not None:
             meta["iterator_state"] = _encode_iterator_state(iterator_state)
-        weights = {_sanitize(k): v for k, v in weights.items()}
+        sanitized = {}
+        for k, v in weights.items():
+            sk = _sanitize(k)
+            if sk in sanitized:
+                raise ValueError(
+                    f"checkpoint key collision: two leaves sanitize to "
+                    f"'{sk}' — saving would silently drop one")
+            sanitized[sk] = v
+        weights = sanitized
         with ocp.StandardCheckpointer() as ckptr:
             # Orbax refuses to overwrite; stage then atomically replace.
             tmp = path + ".tmp_new"
@@ -143,9 +165,21 @@ def load_iterator_state(path: str):
 
 def _load_payload(path: str) -> Dict:
     if not os.path.exists(path) and os.path.isdir(path + ".tmp_new"):
-        # Crash-window recovery: the staged Orbax checkpoint is
-        # complete (meta written last); the final rename didn't run.
-        path = path + ".tmp_new"
+        # Crash-window recovery: trust the staged Orbax checkpoint only
+        # if its meta sidecar (written last) is present and parses — a
+        # crash DURING staging leaves a directory without valid meta,
+        # and redirecting to it would turn "no checkpoint" into an
+        # opaque JSONDecodeError (round-5 review).
+        staged_meta = os.path.join(path + ".tmp_new", "ggnn_meta.json")
+        try:
+            with open(staged_meta) as f:
+                json.load(f)
+            path = path + ".tmp_new"
+        except (OSError, json.JSONDecodeError):
+            raise FileNotFoundError(
+                f"no checkpoint at '{path}'; an INCOMPLETE staged "
+                f"checkpoint exists at '{path}.tmp_new' (crash during "
+                "save) — delete it and restore an earlier checkpoint")
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
         with open(os.path.join(path, "ggnn_meta.json")) as f:
@@ -211,11 +245,26 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
                 payload.get("valid_step", 0))
 
     saved_config = payload["params"]
-    assert len(config) == len(saved_config), (
-        "checkpoint config has a different key set")
+    # Explicit raises, not `assert` statements: python -O strips
+    # asserts and restoring a wrong-config checkpoint is exactly the
+    # user-reachable error class that must not vanish. AssertionError
+    # is kept as the TYPE for reference parity (chem_tensorflow.py:336
+    # uses asserts; callers/tests catch AssertionError).
+    if len(config) != len(saved_config):
+        extra = sorted(set(config) - set(saved_config))
+        missing = sorted(set(saved_config) - set(config))
+        raise AssertionError(
+            "checkpoint config has a different key set "
+            f"(only in current: {extra}; only in checkpoint: {missing})")
     for par, par_value in config.items():
-        if par not in ("task_ids", "num_epochs"):
-            assert par_value == saved_config[par], (
+        if par in ("task_ids", "num_epochs"):
+            continue
+        if par not in saved_config:
+            raise AssertionError(
+                f"config key '{par}' absent from the checkpoint "
+                "(same size, different key set)")
+        if par_value != saved_config[par]:
+            raise AssertionError(
                 f"config mismatch on '{par}': {par_value!r} != "
                 f"{saved_config[par]!r}")
 
@@ -225,11 +274,31 @@ def restore_checkpoint(path: str, config: Dict, state_tree,
     split_rows_used: Dict[str, int] = {}  # base name -> max index + 1
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(state_tree)
     new_leaves = []
+    legacy_fn = (_sanitize_legacy if payload.get("sanitized_keys")
+                 else None)
     for path, leaf in paths_and_leaves:
         name = key_fn(jax.tree_util.keystr(path))
+        if name not in saved and legacy_fn is not None:
+            # Orbax checkpoints from builds whose sanitizer dropped
+            # attribute segments stored this leaf under the legacy key.
+            legacy = legacy_fn(jax.tree_util.keystr(path))
+            if legacy in saved:
+                name = legacy
         used.add(name)
         if name in saved:
-            new_leaves.append(jax.numpy.asarray(saved[name]))
+            val = saved[name]
+            if tuple(np.shape(val)) != tuple(np.shape(leaf)):
+                # Loudly, at restore time: geometry that the config
+                # compat check cannot see (num_edge_types comes from
+                # the DATA) would otherwise surface as an opaque XLA
+                # shape error mid-step — or not at all when the shapes
+                # happen to broadcast (round-5 review).
+                raise ValueError(
+                    f"checkpoint leaf '{name}' has shape "
+                    f"{tuple(np.shape(val))} but the model expects "
+                    f"{tuple(np.shape(leaf))} (e.g. a different "
+                    "num_edge_types inferred from the dataset)")
+            new_leaves.append(jax.numpy.asarray(val))
             continue
         # Legacy stacked-leaf compatibility: where the skeleton holds a
         # LIST of per-index leaves (e.g. the async model's per-type

@@ -172,11 +172,17 @@ _VARIANT_DEFAULTS = {
 
 
 def default_params_for(variant: str) -> Dict:
+    import copy
     if variant == "rgcn":
-        return {**SPARSE_DEFAULTS, **RGCN_CONFIG}
+        return copy.deepcopy({**SPARSE_DEFAULTS, **RGCN_CONFIG})
     if variant not in _VARIANT_DEFAULTS:
         raise ValueError(f"unknown model variant '{variant}'")
-    return dict(_VARIANT_DEFAULTS[variant])
+    # DEEP copy: the defaults hold nested mutables (task_sample_ratios,
+    # layer_timesteps, residual_connections, ...) — a shallow copy let
+    # `cfg["task_sample_ratios"]["0"] = r` mutate the MODULE constant,
+    # silently leaking into every later config of the process and into
+    # archived checkpoints (round-5 review, reproduced).
+    return copy.deepcopy(_VARIANT_DEFAULTS[variant])
 
 
 def resolve_config(variant: str, config_file: Optional[str] = None,

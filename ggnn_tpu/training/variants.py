@@ -102,6 +102,11 @@ class SparseAdapter:
                                          self.config["batch_size"],
                                          margin=margin)
             for p in processed_lists if _nonempty(p)]
+        if not caps:
+            raise ValueError(
+                "every data split is empty — nothing to plan capacities "
+                "over (check the data files / --restrict_data / "
+                "task_sample_ratios)")
         # Merge EVERY field across splits — dropping edges_all here would
         # silently disable the type-combined lane (a ~2.7x slowdown on
         # the sparse train step).
@@ -113,18 +118,20 @@ class SparseAdapter:
         )
         return self.caps
 
-    def _pack(self, processed, is_training, rng, ell_block=0, ell_k=None):
+    def _pack(self, processed, is_training, rng):
+        # (The round-1 ell_block/ell_k pass-throughs are gone with the
+        # archived ELL config surface; the packers still accept them
+        # for the archived kernel's direct tests.)
         if isinstance(processed, native_pack.SparseProcessed):
             return native_pack.pack_sparse_batches_native(
                 processed, self.meta.num_edge_types,
                 self.config["tie_fwd_bkwd"], self.config["batch_size"],
                 self.caps, self.config["hidden_size"],
-                self.meta.annotation_size, is_training, rng,
-                ell_block=ell_block, ell_k=ell_k)
+                self.meta.annotation_size, is_training, rng)
         return packing.pack_sparse_batches(
             processed, self.meta.num_edge_types, self.config["batch_size"],
             self.caps, self.config["hidden_size"], self.meta.annotation_size,
-            is_training, rng, ell_block=ell_block, ell_k=ell_k)
+            is_training, rng)
 
     def batches(self, processed, is_training: bool,
                 rng: Optional[np.random.RandomState] = None) -> Iterator:
@@ -230,6 +237,11 @@ class GCNAdapter:
                 else packing.plan_gcn_capacities(
                     p, self.config["batch_size"], margin=margin)
                 for p in processed_lists if _nonempty(p)]
+        if not caps:
+            raise ValueError(
+                "every data split is empty — nothing to plan capacities "
+                "over (check the data files / --restrict_data / "
+                "task_sample_ratios)")
         self.caps = packing.PackCapacities(
             nodes=max(c.nodes for c in caps),
             edges_per_type=max(c.edges_per_type for c in caps),
@@ -263,7 +275,11 @@ class GcnBlockedAdapter(DenseAdapter):
     name = "gcn_blocked"
 
     def __init__(self, config: Dict, meta: DatasetMeta,
-                 drop_remainder: bool = False):
+                 drop_remainder: Optional[bool] = None):
+        if drop_remainder is None:
+            # Framework-native default is False, but the documented
+            # config key still applies (round-5 review).
+            drop_remainder = bool(config.get("drop_remainder", False))
         super().__init__(config, meta, drop_remainder=drop_remainder)
 
     def build_model(self):
@@ -417,10 +433,13 @@ _ADAPTERS = {
 def make_adapter(variant: str, config: Dict, meta: DatasetMeta, **kwargs):
     if variant not in _ADAPTERS:
         raise ValueError(f"unknown model variant '{variant}'")
-    if variant == "blocked":
+    if variant == "blocked" and "drop_remainder" not in kwargs:
         # The reference's silent bucket-remainder dropping
         # (chem_tensorflow_dense.py:160) is kept for the `dense` parity
         # variant only; `blocked` is this framework's own variant and
-        # processes every graph by default.
-        kwargs.setdefault("drop_remainder", False)
+        # processes every graph by default — but the documented
+        # `"drop_remainder"` config key must still win (round-5 review:
+        # a hard kwarg default made the key silently dead here).
+        kwargs["drop_remainder"] = bool(config.get("drop_remainder",
+                                                   False))
     return _ADAPTERS[variant](config, meta, **kwargs)
