@@ -35,8 +35,15 @@ def _enable_compile_cache():
     """Persistent compilation cache (set GGNN_TPU_COMPILE_CACHE="" to
     disable): remote/TPU compiles cost minutes; repeat invocations of
     the same configuration reuse the serialized executables."""
-    cache_dir = os.environ.get("GGNN_TPU_COMPILE_CACHE",
-                               "/tmp/ggnn_tpu_jax_cache")
+    default_cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.join(os.path.expanduser("~"), ".cache")),
+        "ggnn_tpu", "jax_cache")
+    # User-scoped, not a world-shared /tmp path: on multi-user hosts a
+    # fixed /tmp dir breaks for the second user (permissions) and lets
+    # any local user pre-create it and control the serialized XLA
+    # executables other users deserialize (round-5 review).
+    cache_dir = os.environ.get("GGNN_TPU_COMPILE_CACHE", default_cache)
     if not cache_dir:
         return
     try:
@@ -120,10 +127,25 @@ def main(argv=None) -> int:
         try:
             from ggnn_tpu.export import export_predictor
             from ggnn_tpu.serving import Predictor
+            # --config/--config-file apply as OVERRIDES on the
+            # checkpoint's embedded config (host-side keys: bucket
+            # tables, native_pack, compute_dtype ...) — silently
+            # dropping them made the documented "re-export with a
+            # bucket table covering this request" remedy impossible
+            # from the CLI (round-5 review).
+            overrides = {}
+            if args.config_file is not None:
+                import json as _json
+                with open(args.config_file) as f:
+                    overrides.update(_json.load(f))
+            if args.config is not None:
+                import json as _json
+                overrides.update(_json.loads(args.config))
             predictor = Predictor.from_checkpoint(
                 args.restore, args.variant,
                 max_nodes=args.export_max_nodes,
-                max_graphs=args.export_max_graphs)
+                max_graphs=args.export_max_graphs,
+                config_overrides=overrides or None)
             out = export_predictor(predictor, args.export_artifact)
             if not args.quiet:
                 print(f"wrote {out} ({os.path.getsize(out)} bytes, "
@@ -136,23 +158,31 @@ def main(argv=None) -> int:
                 pdb.post_mortem()
             return 1
 
-    config = resolve_config(args.variant, args.config_file, args.config)
-
-    train_data = valid_data = None
-    if args.synthetic is not None:
-        from ggnn_tpu.data.synthetic import synthetic_molecules
-        n = args.synthetic
-        # Emit as many target columns as the configured task ids need
-        # (reference _extract_labels indexes targets BY task id), so
-        # multi-task configs train on --synthetic out of the box.
-        n_targets = max(config["task_ids"]) + 1
-        train_data = synthetic_molecules(n, seed=config["random_seed"],
-                                         num_targets=n_targets)
-        valid_data = synthetic_molecules(
-            max(1, n // 10), seed=config["random_seed"] + 1,
-            num_targets=n_targets)
-
+    # Everything from config parsing onward sits inside the try:
+    # --pdb promises post-mortem on ANY exception, reference behavior
+    # (chem_tensorflow_sparse.py:380-389 wraps the whole main body) —
+    # bad --config JSON or an empty task_ids must not bypass it.
     try:
+        config = resolve_config(args.variant, args.config_file,
+                                args.config)
+
+        train_data = valid_data = None
+        if args.synthetic is not None:
+            from ggnn_tpu.data.synthetic import synthetic_molecules
+            n = args.synthetic
+            # Emit as many target columns as the configured task ids
+            # need (reference _extract_labels indexes targets BY task
+            # id), so multi-task configs train on --synthetic out of
+            # the box.
+            if not config["task_ids"]:
+                raise ValueError("config task_ids must be non-empty")
+            n_targets = max(config["task_ids"]) + 1
+            train_data = synthetic_molecules(
+                n, seed=config["random_seed"], num_targets=n_targets)
+            valid_data = synthetic_molecules(
+                max(1, n // 10), seed=config["random_seed"] + 1,
+                num_targets=n_targets)
+
         runner = Runner(
             args.variant, config,
             data_dir=args.data_dir, log_dir=args.log_dir,

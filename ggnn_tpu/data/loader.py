@@ -43,8 +43,13 @@ class DatasetMeta:
             self.num_edge_types,
             num_fwd_edge_types * (1 if tie_fwd_bkwd else 2),
         )
+        first_feats = data[0]["node_features"]
+        if not first_feats:
+            raise ValueError(
+                "cannot infer annotation_size: the first graph has no "
+                "node_features rows")
         self.annotation_size = max(
-            self.annotation_size, len(data[0]["node_features"][0])
+            self.annotation_size, len(first_feats[0])
         )
         return self
 

@@ -70,6 +70,20 @@ def _flatten_params(params) -> Dict[str, np.ndarray]:
                 parts.append(p.key)
             elif isinstance(p, jax.tree_util.SequenceKey):
                 parts.append(p.idx)
+                # Tuples flatten with SequenceKey exactly like lists
+                # but _unflatten_params rebuilds LISTS — a tuple node
+                # would export cleanly and reload with a different
+                # treedef, failing every exported call. Fail at export.
+                node = params
+                for q in path[:len(parts) - 1]:
+                    node = (node[q.key]
+                            if isinstance(q, jax.tree_util.DictKey)
+                            else node[q.idx])
+                if isinstance(node, tuple):
+                    raise TypeError(
+                        f"tuple params container at {path}: .ggnnx "
+                        "stores dict/list pytrees only (a tuple would "
+                        "silently reload as a list)")
             else:
                 raise TypeError(
                     f"unsupported params container at {path}: {p!r} "
@@ -167,19 +181,21 @@ def _example_batches(predictor: Predictor) -> List:
     ann = 1  # packed feature rows are padded to hidden: width-independent
     if predictor.variant in _DENSE_FAMILY:
         from ggnn_tpu.data.packing import DENSE_BUCKET_SIZES
-        sizes = predictor.config.get("dense_bucket_sizes")
-        sizes = (np.asarray(sizes) if sizes is not None
-                 else DENSE_BUCKET_SIZES)
+        sizes = predictor.adapter._bucket_sizes()
+        if sizes is None:
+            sizes = DENSE_BUCKET_SIZES
         graphs = [_dummy_graph(int(v), ann, n_tasks) for v in sizes]
-        processed = predictor.adapter.preprocess(graphs, False)
-        # Same per-request meta override _call_dense performs: the
-        # packer validates the corpus feature width against it. Batch
-        # SHAPES are width-independent (features pad to hidden).
-        predictor.adapter.meta = DatasetMeta(
-            max_num_vertices=predictor.meta.max_num_vertices,
-            num_edge_types=predictor.meta.num_edge_types,
-            annotation_size=ann)
-        return list(predictor.adapter.batches(processed, False))
+        # A LOCAL adapter, like serving._call_dense: mutating the
+        # caller's live predictor.adapter.meta (annotation_size forced
+        # to 1) would persist past the export (round-5 review).
+        from ggnn_tpu.training.variants import make_adapter
+        adapter = make_adapter(
+            predictor.variant, predictor.config, DatasetMeta(
+                max_num_vertices=predictor.meta.max_num_vertices,
+                num_edge_types=predictor.meta.num_edge_types,
+                annotation_size=ann), drop_remainder=False)
+        processed = adapter.preprocess(graphs, False)
+        return list(adapter.batches(processed, False))
     return list(predictor._batches([_dummy_graph(2, ann, n_tasks)], ann))
 
 
@@ -293,7 +309,8 @@ def load_predictor(path: str) -> ExportedPredictor:
         if meta.get("format_version") != _FORMAT_VERSION:
             remedy = (
                 "re-export the checkpoint with this build "
-                "(`ggnn-tpu train --restore CKPT --export-artifact PATH`) "
+                "(`ggnn-tpu VARIANT --restore CKPT --export-artifact "
+                "PATH`) "
                 "to migrate it"
                 if isinstance(meta.get("format_version"), int)
                 and meta["format_version"] < _FORMAT_VERSION

@@ -162,8 +162,14 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, path: str, variant: str = "sparse",
                         max_nodes: int = 2048, max_graphs: int = 256,
-                        annotation_size: Optional[int] = None
+                        annotation_size: Optional[int] = None,
+                        config_overrides: Optional[Dict] = None
                         ) -> "Predictor":
+        """`config_overrides` merge over the checkpoint's embedded
+        config for the SERVING surface (bucket tables, native_pack,
+        compute_dtype, ...). They do not participate in the restore
+        compat check and must not change weight geometry (hidden_size /
+        layer structure — the restored leaves keep their shapes)."""
         payload = _load_payload(path)
         config = dict(payload["params"])
         if _looks_tf1(payload):
@@ -196,6 +202,8 @@ class Predictor:
             path, config, skeleton, log=lambda *a: None,
             variant=variant, num_edge_types=num_edge_types,
             payload=payload)
+        if config_overrides:
+            config = {**config, **config_overrides}
         return cls(variant, config, meta, restored,
                    max_nodes=max_nodes, max_graphs=max_graphs)
 
