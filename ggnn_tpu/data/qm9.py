@@ -17,7 +17,9 @@ data/smiles.py (QM9's chemistry is small enough to parse exactly).
 import glob
 import json
 import os
-import subprocess
+import shutil
+import tarfile
+import urllib.request
 from typing import Dict, List
 
 import numpy as np
@@ -30,17 +32,32 @@ INDEX_OF_MU = 4
 
 def download_qm9(data_dir: str = "data", tarball: str = None) -> str:
     """Fetch (or reuse `tarball`, for air-gapped hosts) and extract the
-    QM9 xyz archive; returns the extraction dir (get_data.py:11-23)."""
+    QM9 xyz archive; returns the extraction dir (get_data.py:11-23).
+
+    Stdlib only (urllib + tarfile — the reference shells out to
+    wget/tar, which stock macOS/Windows lack), and ATOMIC: both the
+    download and the extraction stage into a temp path renamed on
+    success, so an interrupted run cannot leave partial artifacts that
+    a re-run would silently trust (a truncated extraction would flow
+    straight into preprocess and skew the train mean/std — round-5
+    review)."""
     os.makedirs(data_dir, exist_ok=True)
     tar_path = tarball or os.path.join(data_dir, "dsgdb9nsd.xyz.tar.bz2")
     if not os.path.exists(tar_path):
         if tarball:
             raise FileNotFoundError(f"--tarball {tarball} does not exist")
-        subprocess.run(["wget", "-O", tar_path, QM9_URL], check=True)
+        tmp = tar_path + ".part"
+        urllib.request.urlretrieve(QM9_URL, tmp)
+        os.replace(tmp, tar_path)
     unzip_path = os.path.join(data_dir, "qm9_raw")
     if not os.path.exists(unzip_path):
-        os.makedirs(unzip_path)
-        subprocess.run(["tar", "xjf", tar_path, "-C", unzip_path], check=True)
+        tmp_dir = unzip_path + ".part"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)  # leftover from an interrupted run
+        os.makedirs(tmp_dir)
+        with tarfile.open(tar_path, "r:bz2") as tf:
+            tf.extractall(tmp_dir, filter="data")
+        os.replace(tmp_dir, unzip_path)
     return unzip_path
 
 
@@ -68,6 +85,11 @@ def smiles_to_graph(smiles: str, backend: str = "auto"):
                 raise
         else:
             mol = Chem.MolFromSmiles(smiles)
+            if mol is None:
+                # AddHs(None) would die with an opaque Boost error deep
+                # in the 133k-molecule loop; name the offending SMILES.
+                raise ValueError(
+                    f"rdkit could not parse SMILES {smiles!r}")
             mol = Chem.AddHs(mol)
             edges = [
                 (b.GetBeginAtomIdx(), BOND_DICT[str(b.GetBondType())],
@@ -97,10 +119,14 @@ def load_valid_idx(valid_idx_path: str = VALID_IDX_PATH) -> set:
 
 def preprocess(unzip_path: str, valid_idx_path: str = VALID_IDX_PATH,
                out_dir: str = ".") -> None:
+    os.makedirs(out_dir, exist_ok=True)  # before minutes of parsing
     valid_idx = load_valid_idx(valid_idx_path)
 
     raw: Dict[str, List[Dict]] = {"train": [], "valid": []}
-    for file_path in glob.glob(os.path.join(unzip_path, "*.xyz")):
+    # sorted(): glob returns filesystem order, which varies by host —
+    # the emitted example ORDER (and therefore 1-epoch numbers) must be
+    # reproducible across machines and re-extractions.
+    for file_path in sorted(glob.glob(os.path.join(unzip_path, "*.xyz"))):
         # Filenames are dsgdb9nsd_<id>.xyz; the split file stores the ids.
         mol_id = os.path.basename(file_path)[len("dsgdb9nsd_"):-len(".xyz")]
         section = "valid" if mol_id in valid_idx else "train"

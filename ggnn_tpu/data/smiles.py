@@ -44,14 +44,15 @@ plus structural invariants (valence bounds, symmetry) over the whole
 grammar surface.
 """
 
-import math
 from typing import Dict, List, Optional, Tuple
 
 SINGLE, DOUBLE, TRIPLE, AROMATIC = 1, 2, 3, 4
 
 _BOND_CHARS = {"-": SINGLE, "=": DOUBLE, "#": TRIPLE, ":": AROMATIC,
                "/": SINGLE, "\\": SINGLE}
-_BOND_ORDER = {SINGLE: 1.0, DOUBLE: 2.0, TRIPLE: 3.0, AROMATIC: 1.5}
+# Integer orders for the WRITTEN (non-aromatic) bonds; aromatic bonds
+# are counted separately (n_aromatic), so no 1.5 entry is needed.
+_BOND_ORDER = {SINGLE: 1, DOUBLE: 2, TRIPLE: 3}
 
 # OpenSMILES "normal valences" for the organic subset.
 _NORMAL_VALENCES = {
@@ -83,7 +84,9 @@ class _Atom:
 
 def _parse_bracket(s: str, i: int) -> Tuple[_Atom, int]:
     """Parse a bracket atom starting at s[i] == '['; return (atom, next i)."""
-    j = s.index("]", i)
+    j = s.find("]", i)
+    if j < 0:
+        raise SmilesError(f"unterminated bracket atom at {i} in {s!r}")
     body, k = s[i + 1:j], 0
     # isotope
     while k < len(body) and body[k].isdigit():
@@ -130,27 +133,32 @@ def _parse_bracket(s: str, i: int) -> Tuple[_Atom, int]:
     return _Atom(symbol, aromatic, h_count, charge), j + 1
 
 
-def _implicit_h(atom: _Atom, plain_sum: float, n_aromatic: int) -> int:
+def _implicit_h(atom: _Atom, plain_sum: int, n_aromatic: int) -> int:
     """`plain_sum` is the integer bond-order sum of the atom's
-    NON-aromatic bonds; `n_aromatic` its aromatic-bond count."""
+    NON-aromatic bonds; `n_aromatic` its aromatic-bond count.
+
+    Only ORGANIC-subset atoms reach the valence table: every bracket
+    atom carries an explicit H count (possibly 0 — SMILES semantics:
+    brackets suppress implicit H) and returns at the first check, which
+    is also why no charge handling exists here — charge is only ever
+    parsed inside brackets (round-5 review removed an unreachable
+    charge-shift branch that misdocumented this)."""
     if atom.explicit_h is not None:
         return atom.explicit_h
     valences = _NORMAL_VALENCES.get(atom.symbol)
     if valences is None:
         return 0
-    # Charge shifts the effective valence (N+ behaves like C, O- like F).
-    shift = atom.charge if atom.symbol in ("N", "P") else -abs(atom.charge)
     if atom.aromatic and n_aromatic > 0:
         # rdkit's aromatic model: each aromatic bond counts 1 plus ONE
         # unit for the π system, capped at the LOWEST normal valence —
         # no promotion (so `Cn1cccc1`'s nitrogen gets 0 H, not the
         # N(V) answer the 1.5-per-bond accounting would give).
-        need = math.ceil(plain_sum - 1e-9) + n_aromatic + 1
-        return max(0, valences[0] + shift - need)
-    need = math.ceil(plain_sum - 1e-9) + n_aromatic
+        need = plain_sum + n_aromatic + 1
+        return max(0, valences[0] - need)
+    need = plain_sum + n_aromatic
     for v in valences:
-        if v + shift >= need:
-            return v + shift - need
+        if v >= need:
+            return v - need
     return 0
 
 
@@ -300,6 +308,13 @@ def parse_smiles(smiles: str) -> Tuple[List[str], List[Tuple[int, int, int]]]:
                 raise SmilesError(f"conflicting bond orders on ring {label}")
             if a == prev:
                 raise SmilesError(f"ring {label} closes on its own atom")
+            if any((x == a and y == prev) or (x == prev and y == a)
+                   for x, y, _t in bonds):
+                # rdkit errors on this too ('C1C1'): a closure that
+                # duplicates an existing bond would emit parallel edges
+                # and double-count in-degrees downstream.
+                raise SmilesError(
+                    f"ring {label} duplicates an existing bond")
             bonds.append((a, prev, b1 if b1 is not None else b2))
         else:
             ring_open[label] = (prev, pending_bond)
@@ -313,25 +328,37 @@ def parse_smiles(smiles: str) -> Tuple[List[str], List[Tuple[int, int, int]]]:
         elif c == "(":
             if prev is None:
                 raise SmilesError("branch before any atom")
+            if pending_bond is not None:
+                raise SmilesError(f"dangling bond symbol before '(' at {i}")
             branch_stack.append(prev)
             i += 1
         elif c == ")":
             if not branch_stack:
                 raise SmilesError("unmatched ')'")
+            if pending_bond is not None:
+                # 'C(C=)O' must not silently re-type the C-O bond
+                # (rdkit rejects the string).
+                raise SmilesError(f"dangling bond symbol before ')' at {i}")
             prev = branch_stack.pop()
             i += 1
         elif c in _BOND_CHARS:
             pending_bond = _BOND_CHARS[c]
             i += 1
         elif c == ".":
+            if pending_bond is not None:
+                raise SmilesError(f"dangling bond symbol before '.' at {i}")
             prev = None
-            pending_bond = None
             i += 1
         elif c.isdigit():
             close_ring(c)
             i += 1
         elif c == "%":
-            close_ring(smiles[i + 1:i + 3])
+            label = smiles[i + 1:i + 3]
+            if len(label) != 2 or not label.isdigit():
+                raise SmilesError(
+                    f"'%' ring label must be two digits, got {label!r} "
+                    f"at {i}")
+            close_ring(label)
             i += 3
         else:
             matched = False
@@ -352,6 +379,9 @@ def parse_smiles(smiles: str) -> Tuple[List[str], List[Tuple[int, int, int]]]:
         raise SmilesError(f"unclosed ring bonds: {sorted(ring_open)}")
     if branch_stack:
         raise SmilesError("unclosed branch")
+    if pending_bond is not None:
+        # 'C=' must not silently parse as methane.
+        raise SmilesError("dangling bond symbol at end of SMILES")
 
     # Resolve unspecified bonds: aromatic iff both endpoints aromatic.
     edges: List[Tuple[int, int, int]] = []
@@ -363,7 +393,7 @@ def parse_smiles(smiles: str) -> Tuple[List[str], List[Tuple[int, int, int]]]:
     # Implicit hydrogens from the WRITTEN bond orders (Kekulé pyrrole's
     # N earns its H from the two written single bonds; rdkit likewise
     # fixes H counts at parse time, before aromaticity perception).
-    plain_sum = [0.0] * len(atoms)
+    plain_sum = [0] * len(atoms)
     n_aromatic = [0] * len(atoms)
     for a, t, b in edges:
         if t == AROMATIC:
