@@ -100,6 +100,16 @@ class AsyncGGNN:
     def forward(self, params: Dict, batch: AsyncGraphBatch, *, rng=None,
                 is_training: bool = False,
                 return_all_rounds: bool = False):
+        if (rng is None and is_training
+                and self.config["graph_state_dropout_keep_prob"] < 1.0):
+            # Same loud contract as the other models' cells: the
+            # PRNGKey(0) placeholder below would otherwise reuse ONE
+            # fixed dropout mask for every round/step/batch of the run
+            # — silently correlated dropout (round-5 review).
+            raise ValueError(
+                "state dropout requires an rng key "
+                "(is_training=True with graph_state_dropout_keep_prob "
+                "< 1 and rng=None)")
         if return_all_rounds:
             # Per-round states are only exposed by the plain path (the
             # segmented path's compact buffers don't hold a full
@@ -238,7 +248,6 @@ class AsyncGGNN:
             # absorbs: it keeps remat OFF at the 10-20k-node sweet spot
             # (where remat costs ~1.5x step time for nothing) and ON at
             # the reference 100k default.
-            t_dim = self.num_edge_types
             saved_floats = sum(
                 seg.old_compact.shape[0]
                 * ((m_dump + 1) * h_dim
@@ -246,9 +255,11 @@ class AsyncGGNN:
                    + seg.old_compact.shape[1]
                    * (t_dim * (h_dim + 1) + 4 * h_dim))
                 for segs in batch.seg_rounds for seg in segs)
-            # Threshold: the construction-time HBM snapshot (so
-            # smaller-memory devices engage remat earlier, while remat
-            # policy stays deterministic across traces — see __init__).
+            # Threshold: the FIRST-TRACE HBM snapshot (_get_remat_limit
+            # samples lazily so smaller-memory devices engage remat
+            # earlier while the policy stays deterministic across
+            # retraces — see the class comment on why construction-time
+            # sampling was rejected).
             use_remat = saved_floats * 4 > self._get_remat_limit()
         else:
             use_remat = bool(remat_cfg)
@@ -308,15 +319,7 @@ class AsyncGGNN:
     def readout(self, heads: Dict, task_ids, last_h: jax.Array,
                 batch: AsyncGraphBatch, *, keep_prob: float = 1.0,
                 rng=None) -> jax.Array:
-        outs = []
-        for task_id in task_ids:
-            if rng is not None:
-                rng, sub = jax.random.split(rng)
-            else:
-                sub = None
-            gated = base.gated_regression_nodes(
-                heads[f"task{task_id}"], last_h, batch.node_features,
-                keep_prob=keep_prob, rng=sub)
-            outs.append(base.pool_nodes_to_graphs(
-                gated, batch.node_graph_ids, batch.graph_capacity))
-        return jnp.stack(outs, axis=0)
+        return base.segment_readout(
+            heads, task_ids, last_h, batch.node_features,
+            batch.node_graph_ids, batch.graph_capacity,
+            keep_prob=keep_prob, rng=rng)

@@ -69,6 +69,53 @@ def pool_nodes_to_graphs(gated: jax.Array, node_graph_ids: jax.Array,
     return pooled[:graph_capacity, 0]
 
 
+def segment_readout(heads: Dict, task_ids, last_h: jax.Array,
+                    init_features: jax.Array, node_graph_ids: jax.Array,
+                    graph_capacity: int, *, keep_prob: float = 1.0,
+                    rng=None, psum_axis=None) -> jax.Array:
+    """Per-task gated segment-sum pooling [K, G] — THE readout for the
+    edge-list variants (sparse/GCN/async share it; round-5 review
+    collapsed five near-identical copies onto this + dense_readout).
+    `psum_axis` combines per-shard partial pools for node-sharded
+    batches (a graph may span shards)."""
+    outs = []
+    for task_id in task_ids:
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        gated = gated_regression_nodes(
+            heads[f"task{task_id}"], last_h, init_features,
+            keep_prob=keep_prob, rng=sub)
+        outs.append(pool_nodes_to_graphs(gated, node_graph_ids,
+                                         graph_capacity))
+    out = jnp.stack(outs, axis=0)
+    if psum_axis is not None:
+        out = jax.lax.psum(out, psum_axis)
+    return out
+
+
+def dense_readout(heads: Dict, task_ids, last_h: jax.Array,
+                  init_features: jax.Array, node_mask: jax.Array, *,
+                  keep_prob: float = 1.0, rng=None) -> jax.Array:
+    """Per-task gated masked-sum pooling [K, B] — the dense-path form
+    (dense.py:119-129), shared by DenseGGNN and BlockedGCN."""
+    b, v, d = last_h.shape
+    flat_last = last_h.reshape(b * v, d)
+    flat_init = init_features.reshape(b * v, d)
+    outs = []
+    for task_id in task_ids:
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        gated = gated_regression_nodes(
+            heads[f"task{task_id}"], flat_last, flat_init,
+            keep_prob=keep_prob, rng=sub)               # [B*V, 1]
+        outs.append(jnp.sum(gated.reshape(b, v) * node_mask, axis=1))
+    return jnp.stack(outs, axis=0)
+
+
 def masked_regression_loss(computed: jax.Array, targets: jax.Array,
                            target_mask: jax.Array, task_ids: Sequence[int],
                            task_sample_ratios: Dict) -> Tuple[jax.Array, jax.Array]:

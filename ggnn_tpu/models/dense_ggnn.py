@@ -28,6 +28,16 @@ edge-list scatter/gather (bench.py; the MXU eats the padded [V,V]
 contraction, and there is no scatter), so small-graph workloads get the
 featureful model at dense-path speed while the sparse edge-list path
 remains for graphs too large to bucket.
+
+Known parity limit (round-5 review; REFERENCE-faithful on both sides):
+self-loops and duplicate edges diverge between the dense and sparse
+representations — the dense adjacency dedupes by assignment
+(amat[t,dst,src]=1, exactly chem_tensorflow_dense.py:30-36) while the
+sparse packer keeps duplicates (a tied self-loop is appended twice,
+chem_tensorflow_sparse.py:258-263), so such a graph gets different
+message counts / in-degrees under `blocked` vs `sparse`. Molecular
+data has neither; cross-variant agreement tests cover the shared
+domain.
 """
 
 from typing import Dict, List
@@ -120,6 +130,15 @@ class DenseGGNN:
 
     def forward(self, params: Dict, batch: DenseGraphBatch, *, rng=None,
                 is_training: bool = False) -> jax.Array:
+        if (rng is None and is_training
+                and (self.edge_weight_dropout_keep_prob < 1.0
+                     or self.state_keep_prob < 1.0)):
+            # Clear error at the call site, not jax.random.split(None)'s
+            # opaque TypeError deep in the step loop (round-5 review;
+            # same contract as ops/cells.py and ops/mlp.py).
+            raise ValueError(
+                "dropout requires an rng key (is_training=True with "
+                "edge_weight/state keep_prob < 1 and rng=None)")
         if self.extended:
             return self._forward_extended(params, batch, rng=rng,
                                           is_training=is_training)
@@ -321,21 +340,9 @@ class DenseGGNN:
                 rng=None) -> jax.Array:
         """Per-task graph predictions [K, B]: gated node outputs, masked by
         node_mask, summed per graph (dense.py:119-129)."""
-        b, v, d = last_h.shape
-        flat_last = last_h.reshape(b * v, d)
-        flat_init = batch.node_features.reshape(b * v, d)
-        outs = []
-        for task_id in task_ids:
-            if rng is not None:
-                rng, sub = jax.random.split(rng)
-            else:
-                sub = None
-            gated = base.gated_regression_nodes(
-                heads[f"task{task_id}"], flat_last, flat_init,
-                keep_prob=keep_prob, rng=sub)          # [B*V, 1]
-            masked = gated.reshape(b, v) * batch.node_mask
-            outs.append(jnp.sum(masked, axis=1))        # [B]
-        return jnp.stack(outs, axis=0)
+        return base.dense_readout(heads, task_ids, last_h,
+                                  batch.node_features, batch.node_mask,
+                                  keep_prob=keep_prob, rng=rng)
 
 
 def flat_mask_cast(mask, b, v, t):

@@ -58,6 +58,10 @@ class GCN:
 
     def forward(self, params: Dict, batch: GCNGraphBatch, *, rng=None,
                 is_training: bool = False) -> jax.Array:
+        if (rng is None and is_training and self.state_keep_prob < 1.0):
+            raise ValueError(
+                "state dropout requires an rng key (is_training=True "
+                "with graph_state_dropout_keep_prob < 1 and rng=None)")
         if getattr(batch, "send_idx", None) is not None:
             return self._forward_node_sharded(params, batch, rng=rng,
                                               is_training=is_training)
@@ -123,21 +127,13 @@ class GCN:
         node-sharded batches the per-shard pooled sums are partial (a
         graph may span shards), combined with one [G]-sized psum."""
         node_sharded = getattr(batch, "send_idx", None) is not None
-        outs = []
-        for task_id in task_ids:
-            if rng is not None:
-                rng, sub = jax.random.split(rng)
-            else:
-                sub = None
-            gated = base.gated_regression_nodes(
-                heads[f"task{task_id}"], last_h, batch.node_features,
-                keep_prob=keep_prob, rng=sub)
-            outs.append(base.pool_nodes_to_graphs(
-                gated, batch.node_graph_ids, batch.graph_capacity))
-        out = jnp.stack(outs, axis=0)
-        if node_sharded and self.edge_axis is not None:
-            out = jax.lax.psum(out, self.edge_axis)
-        return out
+        return base.segment_readout(
+            heads, task_ids, last_h, batch.node_features,
+            batch.node_graph_ids, batch.graph_capacity,
+            keep_prob=keep_prob, rng=rng,
+            psum_axis=(self.edge_axis
+                       if node_sharded and self.edge_axis is not None
+                       else None))
 
 
 class BlockedGCN(GCN):
@@ -198,18 +194,6 @@ class BlockedGCN(GCN):
                 batch, *, keep_prob: float = 1.0, rng=None) -> jax.Array:
         """Gated per-node outputs, masked by node_mask, summed per graph
         (dense-path form of the segment-sum pooling above)."""
-        b, v, d = last_h.shape
-        flat_last = last_h.reshape(b * v, d)
-        flat_init = batch.node_features.reshape(b * v, d)
-        outs = []
-        for task_id in task_ids:
-            if rng is not None:
-                rng, sub = jax.random.split(rng)
-            else:
-                sub = None
-            gated = base.gated_regression_nodes(
-                heads[f"task{task_id}"], flat_last, flat_init,
-                keep_prob=keep_prob, rng=sub)
-            outs.append(jnp.sum(gated.reshape(b, v) * batch.node_mask,
-                                axis=1))
-        return jnp.stack(outs, axis=0)
+        return base.dense_readout(heads, task_ids, last_h,
+                                  batch.node_features, batch.node_mask,
+                                  keep_prob=keep_prob, rng=rng)

@@ -190,7 +190,13 @@ class SparseGGNN:
                             and getattr(batch, "edge_sources_all", None)
                             is not None
                             and self.edge_axis is None
-                            and self.aggregate_first)
+                            and self.aggregate_first
+                            # The combined helpers hardcode the sorted
+                            # scatter path; a hand-built UNSORTED batch
+                            # (edges_sorted_by_target: false) must
+                            # route to the per-type lanes, which honor
+                            # the flag (round-5 review).
+                            and self.edges_sorted)
             for _step in range(num_timesteps):
                 h_c = h.astype(cdt)
                 if use_combined:
@@ -360,18 +366,10 @@ class SparseGGNN:
         per-shard pooled sums are partial (a graph may span shards) and
         are combined with one [G]-sized psum over the edge axis."""
         node_sharded = getattr(batch, "send_idx", None) is not None
-        outs = []
-        for task_id in task_ids:
-            if rng is not None:
-                rng, sub = jax.random.split(rng)
-            else:
-                sub = None
-            gated = base.gated_regression_nodes(
-                heads[f"task{task_id}"], last_h, batch.node_features,
-                keep_prob=keep_prob, rng=sub)
-            outs.append(base.pool_nodes_to_graphs(
-                gated, batch.node_graph_ids, batch.graph_capacity))
-        out = jnp.stack(outs, axis=0)
-        if node_sharded and self.edge_axis is not None:
-            out = jax.lax.psum(out, self.edge_axis)
-        return out
+        return base.segment_readout(
+            heads, task_ids, last_h, batch.node_features,
+            batch.node_graph_ids, batch.graph_capacity,
+            keep_prob=keep_prob, rng=rng,
+            psum_axis=(self.edge_axis
+                       if node_sharded and self.edge_axis is not None
+                       else None))
