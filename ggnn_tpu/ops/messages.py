@@ -53,6 +53,23 @@ def aggregate_messages(messages: jax.Array, edge_targets: jax.Array,
     return summed[:node_capacity]
 
 
+def _edge_scores(node_states, sources, targets, node_capacity,
+                 per_edge_factor):
+    """<src, tgt> dot-product score per edge, scaled by a per-edge
+    factor, in f32 regardless of compute dtype. Padded targets point at
+    the DUMP slot (node_capacity), which has no state row — they are
+    clamped to node_capacity - 1 (any valid row: padded lanes' scores
+    are masked out of the softmax by the caller). Shared by all three
+    attention entry points so the clamp/score/scale recipe cannot
+    drift (round-5 review)."""
+    src_states = node_states[sources]
+    safe_targets = jnp.minimum(targets, node_capacity - 1)
+    tgt_states = node_states[safe_targets]
+    scores = jnp.sum((src_states * tgt_states).astype(jnp.float32),
+                     axis=-1)
+    return scores * per_edge_factor
+
+
 def propagation_attention_weights(node_states: jax.Array,
                                   edge_sources: jax.Array,
                                   edge_targets: jax.Array,
@@ -68,12 +85,8 @@ def propagation_attention_weights(node_states: jax.Array,
     `aggregate_then_transform`) instead of to transformed messages —
     identical math, since the transform is linear."""
     t, e = edge_sources.shape
-    src_states = node_states[edge_sources]                     # [T, E, H]
-    safe_targets = jnp.minimum(edge_targets, node_capacity - 1)
-    tgt_states = node_states[safe_targets]                     # [T, E, H]
-    scores = jnp.sum(
-        (src_states * tgt_states).astype(jnp.float32), axis=-1)  # [T, E]
-    scores = scores * type_factors[:, None]
+    scores = _edge_scores(node_states, edge_sources, edge_targets,
+                          node_capacity, type_factors[:, None])  # [T, E]
     # exp/normalise in f32 even under a bf16 compute dtype.
     attention = segment_softmax(
         scores.reshape(t * e), edge_targets.reshape(t * e),
@@ -132,11 +145,8 @@ def propagation_attention_weights_combined(node_states: jax.Array,
     """Per-edge attention weights [EA] on the type-combined lane — same
     math as propagation_attention_weights (the softmax groups by TARGET
     only, so combining types changes nothing)."""
-    src_states = node_states[src_all]
-    safe_targets = jnp.minimum(tgt_all, node_capacity - 1)
-    tgt_states = node_states[safe_targets]
-    scores = jnp.sum((src_states * tgt_states).astype(jnp.float32), axis=-1)
-    scores = scores * type_factors[type_all]
+    scores = _edge_scores(node_states, src_all, tgt_all, node_capacity,
+                          type_factors[type_all])
     # The combined lane is (target, type)-sorted (packer contract), so
     # target ids are monotone: XLA's sorted-scatter path applies to the
     # softmax's two segment reductions too.
@@ -191,16 +201,8 @@ def propagation_attention(messages: jax.Array, node_states: jax.Array,
     become cross-shard collectives (see ops/segment.py).
     """
     t, e, h = messages.shape
-    src_states = node_states[edge_sources]                     # [T, E, H]
-    # Gather of the dump slot is invalid; clamp padded targets to 0 — their
-    # scores are masked anyway.
-    safe_targets = jnp.minimum(edge_targets, node_capacity - 1)
-    tgt_states = node_states[safe_targets]                     # [T, E, H]
-    # f32 reduction even under a bf16 compute dtype (same contract as
-    # the *_weights variants above).
-    scores = jnp.sum((src_states * tgt_states).astype(jnp.float32),
-                     axis=-1)                                  # [T, E]
-    scores = scores * type_factors[:, None]
+    scores = _edge_scores(node_states, edge_sources, edge_targets,
+                          node_capacity, type_factors[:, None])  # [T, E]
     flat_scores = scores.reshape(t * e)
     flat_targets = edge_targets.reshape(t * e)
     flat_mask = edge_mask.reshape(t * e)

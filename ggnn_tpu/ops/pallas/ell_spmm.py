@@ -156,9 +156,9 @@ def _scatter_call(g, gather_idx, onehot_idx, *, block_nodes,
 
 # ------------------------------------------------- public ops (+ vjp)
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def ell_aggregate_by_type(h, fwd_layout, bwd_layout, block_nodes=256,
-                          interpret=False, _unused1=None, _unused2=None):
+                          interpret=False):
     """Per-type aggregation of source states: out[t, n] = sum over edges
     of type t with target n of h[source]. `fwd_layout` = (src, tgt) in
     target-block-major ELL order; `bwd_layout` = (tgt, src) in
@@ -169,14 +169,13 @@ def ell_aggregate_by_type(h, fwd_layout, bwd_layout, block_nodes=256,
                      interpret=interpret)
 
 
-def _ell_agg_fwd(h, fwd_layout, bwd_layout, block_nodes, interpret,
-                 _u1, _u2):
+def _ell_agg_fwd(h, fwd_layout, bwd_layout, block_nodes, interpret):
     out = _agg_call(h, fwd_layout[0], fwd_layout[1],
                     block_nodes=block_nodes, interpret=interpret)
     return out, (bwd_layout, jnp.zeros((0,), h.dtype))
 
 
-def _ell_agg_bwd(block_nodes, interpret, _u1, _u2, res, g):
+def _ell_agg_bwd(block_nodes, interpret, res, g):
     (bwd_gather, bwd_onehot), dtype_witness = res
     # dL/dh[n] = sum_{t, e: src_e = n} g[t, tgt_e]: gather g rows by
     # target, one-hot-scatter by source — the same kernel, transposed.

@@ -87,8 +87,8 @@ def empty_batch_like(batch: GraphBatch) -> GraphBatch:
 
 
 def _strip_combined(b: GraphBatch) -> GraphBatch:
-    """Drop the type-combined edge lane (single-chip fast path only —
-    the mesh layouts shard/partition the typed lanes)."""
+    """Drop the type-combined edge lane (the typed-lane mesh layouts —
+    type-TP — partition the per-type lanes instead)."""
     import dataclasses
     if getattr(b, "edge_sources_all", None) is None:
         return b
@@ -98,15 +98,32 @@ def _strip_combined(b: GraphBatch) -> GraphBatch:
 
 
 def stack_batches(batches: List[GraphBatch], n_data: int,
-                  n_edge: int = 1) -> GraphBatch:
+                  n_edge: int = 1, edge_capacity: int = None,
+                  keep_combined: bool = False) -> GraphBatch:
     """Stack per-step batches into one leading-axis pytree whose leading
-    dim is a multiple of `n_data` and whose edge capacity divides by
-    `n_edge`. Short stacks are topped up with empty batches."""
+    dim is a multiple of `n_data`. Short stacks are topped up with
+    empty batches.
+
+    `edge_capacity` pins the repadded per-type capacity — REQUIRED for
+    multi-process assembly, where each host stacks a different subset
+    of the group and a locally-derived max() could diverge across hosts
+    (different compiled shapes -> collective deadlock; round-5 review).
+
+    `keep_combined=True` retains the type-combined edge lane (the ~3x
+    aggregation layout) — correct for pure data-parallel meshes, where
+    the model runs the same single-chip math per shard. Typed-lane mesh
+    layouts (type-TP) leave it False. (`n_edge` no longer rounds the
+    edge capacity: the only n_edge>1 consumer is type-TP, which shards
+    the TYPE axis, not the capacity axis — the old rounding padded the
+    wrong axis.)"""
     if not batches:
         raise ValueError("no batches to stack")
-    batches = [_strip_combined(b) for b in batches]
-    e_cap = max(b.edge_sources.shape[1] for b in batches)
-    e_cap = ((e_cap + n_edge - 1) // n_edge) * n_edge
+    if not (keep_combined
+            and all(getattr(b, "edge_sources_all", None) is not None
+                    for b in batches)):
+        batches = [_strip_combined(b) for b in batches]
+    e_cap = (edge_capacity if edge_capacity is not None
+             else max(b.edge_sources.shape[1] for b in batches))
     batches = [repad_edges(b, e_cap) for b in batches]
     if len(batches) % n_data != 0:
         filler = empty_batch_like(batches[0])
@@ -223,26 +240,34 @@ def empty_masked_batch_like(batch):
     )
 
 
-def stacked_batch_specs(n_edge: int = 1) -> GraphBatch:
+def stacked_batch_specs(n_edge: int = 1,
+                        combined: bool = False) -> GraphBatch:
     """PartitionSpecs for a stacked GraphBatch: every leaf splits its
-    leading (step) axis over "data"; with `n_edge > 1`, edge arrays
-    additionally split the per-type edge-capacity axis over "edge".
-    Node-indexed arrays stay replicated along "edge" (each edge shard
-    aggregates into a full node array; the psum in the model completes
-    it). When `n_edge == 1` the edge axis is left out of the specs
-    entirely: the model then contains no edge-axis collective, and
-    naming the axis would make vma inference flag every output as
-    possibly edge-varying."""
-    edge_spec = P(DATA_AXIS, None, EDGE_AXIS) if n_edge > 1 else P(DATA_AXIS)
+    leading (step) axis over "data". The edge axis is left out of the
+    specs entirely — every n_edge>1 layout has its own spec builder
+    (node_shard / tp), so this spec set is data-parallel only, and
+    naming an unused axis would make vma inference flag every output
+    as possibly edge-varying. `combined=True` matches stacks built
+    with `stack_batches(keep_combined=True)` (the DP mesh path keeps
+    the ~3x combined aggregation lane — round-5 review: stripping it
+    on DP meshes forfeited the single-chip layout win)."""
+    del n_edge  # kept for call-site compatibility; see docstring
+    kwargs = {}
+    if combined:
+        kwargs = {"edge_sources_all": P(DATA_AXIS),
+                  "edge_types_all": P(DATA_AXIS),
+                  "edge_targets_all": P(DATA_AXIS),
+                  "edge_mask_all": P(DATA_AXIS)}
     return GraphBatch(
         node_features=P(DATA_AXIS),
         node_graph_ids=P(DATA_AXIS),
-        edge_sources=edge_spec,
-        edge_targets=edge_spec,
-        edge_mask=edge_spec,
+        edge_sources=P(DATA_AXIS),
+        edge_targets=P(DATA_AXIS),
+        edge_mask=P(DATA_AXIS),
         in_degrees=P(DATA_AXIS),
         targets=P(DATA_AXIS),
         target_mask=P(DATA_AXIS),
         num_graphs=P(DATA_AXIS),
         num_nodes=P(DATA_AXIS),
+        **kwargs,
     )

@@ -37,7 +37,8 @@ def make_parallel_steps(model, optimizer, config: Dict,
                         return_grads: bool = False,
                         batch_kind: str = "sparse",
                         batch_template=None,
-                        state_template=None) -> Tuple:
+                        state_template=None,
+                        combined_lanes: bool = False) -> Tuple:
     """Build (train_step, eval_step), each jitted over `mesh`.
 
     `batch_kind="sparse"` targets `GraphBatch`es (edge axis allowed;
@@ -172,7 +173,11 @@ def make_parallel_steps(model, optimizer, config: Dict,
         from ggnn_tpu.parallel.node_shard import sharded_batch_specs
         batch_specs = sharded_batch_specs()
     else:
-        batch_specs = stacked_batch_specs(n_edge)
+        # Data-parallel sparse: `combined_lanes=True` when the stacks
+        # keep the type-combined aggregation lane
+        # (stack_batches(keep_combined=True) — the DP mesh path should
+        # run the same ~3x single-chip layout per shard).
+        batch_specs = stacked_batch_specs(n_edge, combined=combined_lanes)
     train_metric_specs = P()
     if metric_extra_specs:  # train metrics carry sharded grad leaves
         train_metric_specs = {"loss": P(), "accuracies": P(),

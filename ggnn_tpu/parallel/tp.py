@@ -38,11 +38,20 @@ from ggnn_tpu.parallel.mesh import DATA_AXIS, EDGE_AXIS
 
 def is_tp_sharded_path(path) -> bool:
     """True for param/optimizer leaves sharded over the edge axis:
-    graph-side `edge_weights` and `attention` (edge biases stay
-    replicated — [T, H] is negligible and keeps the bias matmul local).
-    """
+    the sparse model's per-layer `edge_weights` and `attention` tensors
+    (edge biases stay replicated — [T, H] is negligible and keeps the
+    bias matmul local).
+
+    Anchored to the GRAPH/LAYERS subtree, not a bare name match: a
+    future leaf merely NAMED 'attention' elsewhere (e.g. an attention
+    readout head under params['heads']) must not silently inherit
+    edge-axis sharding and global-norm psum clipping (round-5 review).
+    The Adam moments mirror the param paths with an extra state prefix,
+    so 'graph'+'layers' appearing anywhere on the path is the right
+    anchor for both trees."""
     keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-    return any(k in ("edge_weights", "attention") for k in keys)
+    return ("graph" in keys and "layers" in keys
+            and any(k in ("edge_weights", "attention") for k in keys))
 
 
 def _leaf_spec(path, leaf):

@@ -258,10 +258,20 @@ class Runner:
                         self.adapter.batches(self.train_processed, False),
                         self.adapter.batches(self.valid_processed, False)),
                     mesh.shape[EDGE_AXIS])
+            # Pure data-parallel sparse meshes keep the type-combined
+            # aggregation lane (~3x the per-type layout) — each shard
+            # runs the same single-chip math (round-5 review: the lane
+            # was stripped on every mesh run, regressing DP sparse).
+            self._dp_combined = bool(
+                self._mesh_kind == "sparse"
+                and mesh.shape[EDGE_AXIS] == 1
+                and getattr(self.adapter, "caps", None) is not None
+                and getattr(self.adapter.caps, "edges_all", 0) > 0)
             self._train_step, self._eval_step = make_parallel_steps(
                 self.model, self.optimizer, config, self.task_ids, mesh,
                 batch_kind=self._mesh_kind, batch_template=template,
-                state_template=self.state)
+                state_template=self.state,
+                combined_lanes=self._dp_combined)
         else:
             self._train_step = jax.jit(self._make_step(is_training=True),
                                        donate_argnums=(0,))
@@ -557,8 +567,13 @@ class Runner:
                                             data_parallel_specs(stack_local))
         if self._mesh_kind == "sparse_tp":
             from ggnn_tpu.parallel.tp import tp_batch_specs
-            stack_local = stack_batches(local, n_data=n_local,
-                                        n_edge=n_edge)
+            # edge_capacity from the FULL group: each host stacks a
+            # different subset, and a locally-derived max() could
+            # diverge compiled shapes across hosts (round-5 review).
+            stack_local = stack_batches(
+                local, n_data=n_local,
+                edge_capacity=max(b.edge_sources.shape[1]
+                                  for b in group))
             return stack_from_process_local(stack_local, self.mesh,
                                             tp_batch_specs())
         if self._nodeshard_caps is not None:
@@ -588,8 +603,12 @@ class Runner:
                          template=stack_local))
         else:
             stack_local = stack_batches(
-                local, n_data=len(self._proc_data_rows), n_edge=n_edge)
-            specs = stacked_batch_specs(n_edge)
+                local, n_data=len(self._proc_data_rows),
+                edge_capacity=max(b.edge_sources.shape[1]
+                                  for b in group),
+                keep_combined=getattr(self, "_dp_combined", False))
+            specs = stacked_batch_specs(
+                combined=getattr(self, "_dp_combined", False))
         return stack_from_process_local(stack_local, self.mesh, specs)
 
     def _run_epoch_mesh(self, epoch_name: str, processed, is_training: bool):
@@ -671,7 +690,9 @@ class Runner:
                                                   self._nodeshard_caps,
                                                   n_data=n_data)
             else:
-                stack = stack_batches(group, n_data=n_data, n_edge=n_edge)
+                stack = stack_batches(
+                    group, n_data=n_data,
+                    keep_combined=getattr(self, "_dp_combined", False))
             # Same key policy as the single-chip path: only training
             # consumes the chain (exact-resume under dropout).
             if is_training:

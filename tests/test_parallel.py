@@ -843,3 +843,49 @@ def test_plan_caps_nodes_local_pin():
         edges_local=max(caps.edges_local, need.edges_local),
         edges_boundary=max(caps.edges_boundary, need.edges_boundary))
     shard_batch(sub[0], grown)  # must not raise
+
+
+def test_dp_mesh_keeps_combined_lane_and_matches_single_device():
+    """A PURE data-parallel sparse mesh (n_edge=1) keeps the
+    type-combined aggregation lane (round-5 review: it was stripped on
+    every mesh run, forfeiting the ~3x single-chip layout win) and
+    still computes the single-device loss."""
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.training.config import resolve_config
+    from ggnn_tpu.training.runner import Runner
+
+    cfg = resolve_config(
+        "sparse", None,
+        '{"num_epochs": 1, "hidden_size": 16, "batch_size": 120,'
+        ' "edge_weight_dropout_keep_prob": 1.0,'
+        ' "graph_state_dropout_keep_prob": 1.0}')
+    mesh = make_mesh(n_data=2, n_edge=1)
+    runner = Runner("sparse", cfg, log_dir="/tmp/dp_combined_test",
+                    train_data=synthetic_molecules(48, seed=0),
+                    valid_data=synthetic_molecules(12, seed=1),
+                    quiet=True, tensorboard=False, mesh=mesh)
+    assert runner._dp_combined  # packers planned a combined lane
+    log = runner.train()
+    assert np.isfinite(log[0]["train_results"][0])
+
+    # Oracle: the SAME mesh with the combined lane disabled in the
+    # model (config flag) — identical update grouping and semantics,
+    # different aggregation layout; epoch metrics must agree.
+    typed = Runner("sparse", resolve_config(
+        "sparse", None,
+        '{"num_epochs": 1, "hidden_size": 16, "batch_size": 120,'
+        ' "combined_edge_lanes": false,'
+        ' "edge_weight_dropout_keep_prob": 1.0,'
+        ' "graph_state_dropout_keep_prob": 1.0}'),
+        log_dir="/tmp/dp_combined_typed",
+        train_data=synthetic_molecules(48, seed=0),
+        valid_data=synthetic_molecules(12, seed=1),
+        quiet=True, tensorboard=False,
+        mesh=make_mesh(n_data=2, n_edge=1))
+    tlog = typed.train()
+    np.testing.assert_allclose(log[0]["train_results"][0],
+                               tlog[0]["train_results"][0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(log[0]["valid_results"][0],
+                               tlog[0]["valid_results"][0],
+                               rtol=1e-5)
