@@ -106,11 +106,23 @@ def heads_from_tf1(weights: Dict[str, np.ndarray],
     weights = _norm(weights)
     heads = {}
     for k in task_ids:
-        # A head is "absent" only when its first gate weight is missing
-        # entirely; a PARTIALLY present head (truncated/renamed save)
-        # must raise, not be silently swapped for fresh weights.
-        present = (f"out_layer_task{k}/regression_gate/MLP_W_layer0"
-                   in weights)
+        # A head is "absent" only when BOTH its MLPs are missing
+        # entirely; a PARTIALLY present head (truncated/renamed save —
+        # gate without transform or vice versa) must raise, not be
+        # silently swapped for fresh weights (round-5 review: checking
+        # the gate alone let a gate-missing/transform-present head slip
+        # through to fresh init).
+        gate_present = (f"out_layer_task{k}/regression_gate/MLP_W_layer0"
+                        in weights)
+        transform_present = (f"out_layer_task{k}/regression/MLP_W_layer0"
+                             in weights)
+        if gate_present != transform_present:
+            raise KeyError(
+                f"TF1 checkpoint has a PARTIAL task{k} head (gate "
+                f"{'present' if gate_present else 'missing'}, transform "
+                f"{'present' if transform_present else 'missing'}) — "
+                "refusing to mix saved and fresh weights in one head")
+        present = gate_present
         if not present and fallback is not None and f"task{k}" in fallback:
             if log is not None:
                 log(f"Freshly initializing task{k} head (not in the TF1 "
@@ -194,12 +206,38 @@ def async_graph_params_from_tf1(weights: Dict[str, np.ndarray],
     shift = 1 if slots == "effective" else 0
     edge_weights, edge_biases = [], []
     for t in range(num_edge_types):
+        # ONLY the top slot (num_edge_types - 1) may legitimately be
+        # absent — it is the reference-dropped type whose messages
+        # vanish by design (zero weights). Any OTHER missing per-type
+        # variable means the checkpoint's edge-type count does not
+        # match this corpus (num_edge_types is DATASET-derived and
+        # invisible to the config-equality check) — zero-filling those
+        # would silently erase real edge types' messages (round-5
+        # review).
+        may_be_absent = (t == num_edge_types - 1)
         name = f"graph_model/gnn_edge_weights_typ{t + shift}"
-        edge_weights.append(_a(weights, name) if name in weights
-                            else jnp.zeros((h, h), jnp.float32))
+        if name in weights:
+            edge_weights.append(_a(weights, name))
+        elif may_be_absent:
+            edge_weights.append(jnp.zeros((h, h), jnp.float32))
+        else:
+            raise KeyError(
+                f"TF1 async checkpoint is missing '{name}' — its edge-"
+                f"type count does not cover this corpus's "
+                f"num_edge_types={num_edge_types}")
         bias_name = f"graph_model/gnn_edge_biases_typ{t + shift}"
-        edge_biases.append(_a(weights, bias_name) if bias_name in weights
-                           else jnp.zeros((h,), jnp.float32))
+        if bias_name in weights:
+            edge_biases.append(_a(weights, bias_name))
+        else:
+            # Biases may be absent wholesale (use_edge_bias=False saves
+            # none) — only consumed below when the config wants them,
+            # and then the same top-slot rule applies.
+            if config["use_edge_bias"] and not may_be_absent:
+                raise KeyError(
+                    f"TF1 async checkpoint is missing '{bias_name}' "
+                    f"(use_edge_bias=True, num_edge_types="
+                    f"{num_edge_types})")
+            edge_biases.append(jnp.zeros((h,), jnp.float32))
     params = {
         "edge_weights": edge_weights,
         "cell": _cell_from_tf1(weights, "graph_model/prop_round0",
@@ -243,7 +281,10 @@ _GRAPH_CONVERTERS = {
     "gcn": lambda w, cfg, t: gcn_graph_params_from_tf1(w, cfg),
     # Same params tree as gcn (models/gcn.py:BlockedGCN subclasses GCN).
     "gcn_blocked": lambda w, cfg, t: gcn_graph_params_from_tf1(w, cfg),
-    "async": async_graph_params_from_tf1,
+    # NOTE: async dispatches through the explicit branch in
+    # params_from_tf1_weights (it needs the extra `slots` argument);
+    # this entry exists for the membership check only.
+    "async": None,
 }
 
 
