@@ -56,6 +56,11 @@ def plan_ell_k(edge_targets, edge_mask, block_nodes: int,
     return -(-ke // 8) * 8
 
 
+class ELLOverflowError(ValueError):
+    """A batch's per-(type, node-block) edge count exceeds the planned
+    ell_k — the ONLY condition try_build_ell_layout may swallow."""
+
+
 def _pack_one(key_idx, other_idx, nb_count, ell_k, np_total):
     """(key, other) edge lists -> block-major [NB, KE] arrays."""
     onehot = np.full((nb_count, ell_k), np_total, dtype=np.int32)
@@ -69,7 +74,7 @@ def _pack_one(key_idx, other_idx, nb_count, ell_k, np_total):
     first = np.searchsorted(blocks, blocks, side="left")
     slots = np.arange(len(blocks)) - first
     if slots.max() >= ell_k:
-        raise ValueError(
+        raise ELLOverflowError(
             f"ELL overflow: block needs {slots.max() + 1} slots > "
             f"ell_k={ell_k}")
     onehot[blocks, slots] = key_idx
@@ -118,7 +123,11 @@ def try_build_ell_layout(edge_sources, edge_targets, edge_mask,
     try:
         return build_ell_layout(edge_sources, edge_targets, edge_mask,
                                 node_capacity, block_nodes, ell_k)
-    except ValueError as e:
+    except ELLOverflowError as e:
+        # ONLY the planned-capacity overflow is a legal fallback; any
+        # other ValueError (mis-shaped inputs, a future indexing bug)
+        # must surface instead of being mislabeled "overflow" and
+        # silently swallowed (round-5 review).
         logger.warning(
             "ELL layout overflow (%s); falling back to the XLA path for "
             "this batch", e)

@@ -160,6 +160,24 @@ def _validate_feature_geometry(corpus: FlatCorpus, hidden_size: int,
             "hidden width)")
 
 
+def _validate_node_budget(node_budget: int, caps: PackCapacities) -> None:
+    """Batch composition bounds node counts by `node_budget`, but the C
+    kernels write node rows into caps.nodes-sized buffers with NO bound
+    check — a budget larger than the planned capacity (mismatched
+    plan/pack arguments) would be silent heap corruption, not an
+    exception (round-5 review; the python packers fail loudly in
+    pad_to). The +1 mirrors the serving envelope trick (strict '<' fit
+    check lets an exactly-capacity graph through; arrays are sized by
+    caps.nodes either way, and the fit guarantees node_count < budget
+    <= caps.nodes + 1 => node_count <= caps.nodes)."""
+    if node_budget > caps.nodes + 1:
+        raise ValueError(
+            f"node_budget {node_budget} exceeds the planned node "
+            f"capacity {caps.nodes} (+1): batches composed under this "
+            "budget would overrun the C packers' buffers — replan the "
+            "capacities at this budget")
+
+
 def apply_task_sample_ratios(target_mask: np.ndarray, order: np.ndarray,
                              task_ids: Sequence[int],
                              task_sample_ratios: Dict) -> None:
@@ -424,6 +442,7 @@ def pack_sparse_batches_native(processed: SparseProcessed,
     _validate_edge_types(
         corpus, num_edge_types if tie_fwd_bkwd else num_edge_types // 2)
     _validate_feature_geometry(corpus, hidden_size, annotation_size)
+    _validate_node_budget(node_budget, caps)
     order = processed.order.copy()
     if is_training and rng is not None:
         rng.shuffle(order)
@@ -507,11 +526,20 @@ def pack_sparse_batches_native(processed: SparseProcessed,
             layout = try_build_ell_layout(edge_sources, edge_targets,
                                           edge_mask, caps.nodes, ell_block,
                                           ell_k)
-            if layout is not None:
-                return ELLGraphBatch(
-                    **common,
-                    ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
-                    ell_bwd_tgt=layout.bwd_tgt, ell_bwd_src=layout.bwd_src)
+            if layout is None:
+                # RAISE, matching packing.pack_sparse_batches: silently
+                # degrading one batch to a plain GraphBatch changes the
+                # stream's pytree CLASS mid-epoch, which jitted/stacked
+                # consumers cannot absorb (the two packers enforced
+                # contradictory contracts here — round-5 review).
+                raise ValueError(
+                    f"blocked-ELL layout overflow (ell_k={ell_k}, "
+                    f"block={ell_block}) — replan ell_k over this epoch "
+                    "or disable the ELL layout")
+            return ELLGraphBatch(
+                **common,
+                ell_fwd_src=layout.fwd_src, ell_fwd_tgt=layout.fwd_tgt,
+                ell_bwd_tgt=layout.bwd_tgt, ell_bwd_src=layout.bwd_src)
         return GraphBatch(**common)
 
     yield from _map_ordered(assemble, compositions, workers)
@@ -592,6 +620,7 @@ def pack_gcn_batches_native(processed: GCNProcessed, node_budget: int,
     lib = require_lib()
     corpus = processed.corpus
     _validate_feature_geometry(corpus, hidden_size, annotation_size)
+    _validate_node_budget(node_budget, caps)
     order = processed.order.copy()
     if is_training and rng is not None:
         rng.shuffle(order)

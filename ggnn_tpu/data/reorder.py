@@ -35,6 +35,12 @@ def dfs_reorder(graph: Dict[str, Any]) -> Dict[str, Any]:
     of each connected component.
     """
     n = len(graph["node_features"])
+    # Validate BEFORE building anything: the Runner applies the reorder
+    # ahead of the packers' input validation, and a negative id would
+    # python-wrap through perm[-1] into a VALID new id — laundering a
+    # corrupt edge past every downstream check (round-5 review).
+    from ggnn_tpu.data.packing import _validate_vertex_ids
+    _validate_vertex_ids(graph["graph"], n)
     adj = defaultdict(set)
     for src, _, dst in graph["graph"]:
         if src != dst:

@@ -15,6 +15,24 @@ from typing import Any, Dict, List
 import numpy as np
 
 
+def _one_hot_atoms(atom_types) -> List[List[int]]:
+    """One-hot rows over the 5-symbol QM9 alphabet [H, C, N, O, F]
+    (get_data.py:70-71) — shared by every generator so the alphabet
+    cannot drift between the synthetic corpus and the fixtures."""
+    return [[1 if t == a else 0 for t in range(5)] for a in atom_types]
+
+
+def _normalize_targets(data, num_targets: int) -> None:
+    """In-place corpus mean/std normalization per target column
+    (get_data.py:51-56 semantics; std floored at 1e-8 for degenerate
+    single-value corpora)."""
+    for k in range(num_targets):
+        vals = np.array([d["targets"][k][0] for d in data])
+        mean, std = vals.mean(), max(vals.std(), 1e-8)
+        for d in data:
+            d["targets"][k][0] = float((d["targets"][k][0] - mean) / std)
+
+
 def _one_graph(rng: np.random.Generator, num_targets: int = 1) -> Dict[str, Any]:
     n = int(np.clip(rng.normal(18.0, 5.0), 4, 29))
     # Random spanning tree: node i>0 attaches to a previous node.
@@ -30,7 +48,7 @@ def _one_graph(rng: np.random.Generator, num_targets: int = 1) -> Dict[str, Any]
         if a != b:
             edges.append([int(min(a, b)), 1, int(max(a, b))])
     atom_types = rng.choice(5, size=n, p=[0.5, 0.35, 0.05, 0.08, 0.02])
-    node_features = [[1 if t == a else 0 for t in range(5)] for a in atom_types]
+    node_features = _one_hot_atoms(atom_types)
     # Smooth learnable target: composition + size + bond statistics.
     bond_sum = sum(e[1] for e in edges)
     target = (
@@ -74,8 +92,7 @@ def synthetic_giant_graph(num_nodes: int, seed: int = 0,
             edges.append([int(a), int(rng.integers(1, 5)), int(b)])
     atom_types = rng.choice(5, size=num_nodes,
                             p=[0.5, 0.35, 0.05, 0.08, 0.02])
-    node_features = [[1 if t == a else 0 for t in range(5)]
-                     for a in atom_types]
+    node_features = _one_hot_atoms(atom_types)
     target = 0.001 * num_nodes + 0.1 * float(np.mean(atom_types))
     return [{"targets": [[target]], "graph": edges,
              "node_features": node_features}]
@@ -120,8 +137,7 @@ def async_fixture_molecules(num_graphs: int, seed: int = 0,
             if a != b:
                 edges.append([int(a), int(rng.integers(1, 5)), int(b)])
         atom_types = rng.choice(5, size=n, p=[0.5, 0.35, 0.05, 0.08, 0.02])
-        node_features = [[1 if t == a else 0 for t in range(5)]
-                         for a in atom_types]
+        node_features = _one_hot_atoms(atom_types)
         bond_sum = sum(e[1] for e in edges)
         targets = [[0.08 * n + 0.5 * float(np.sum(atom_types == 3))
                     + 0.02 * bond_sum + 0.1 * rng.normal()]]
@@ -130,12 +146,7 @@ def async_fixture_molecules(num_graphs: int, seed: int = 0,
                             + 0.1 * rng.normal()])
         data.append({"targets": targets, "graph": edges,
                      "node_features": node_features})
-    # Normalize like synthetic_molecules / get_data.py:51-56.
-    for k in range(num_targets):
-        vals = np.array([d["targets"][k][0] for d in data])
-        mean, std = vals.mean(), max(vals.std(), 1e-8)
-        for d in data:
-            d["targets"][k][0] = float((d["targets"][k][0] - mean) / std)
+    _normalize_targets(data, num_targets)
     return data
 
 
@@ -145,10 +156,5 @@ def synthetic_molecules(num_graphs: int, seed: int = 0,
     rng = np.random.default_rng(seed)
     data = [_one_graph(rng, num_targets) for _ in range(num_graphs)]
     if normalize:
-        # Normalize targets by corpus mean/std like get_data.py:51-56.
-        for k in range(num_targets):
-            vals = np.array([d["targets"][k][0] for d in data])
-            mean, std = vals.mean(), max(vals.std(), 1e-8)
-            for d in data:
-                d["targets"][k][0] = float((d["targets"][k][0] - mean) / std)
+        _normalize_targets(data, num_targets)
     return data

@@ -228,22 +228,37 @@ def test_trailing_nodes_exceeding_largest_bucket_raise():
                                  bucket_sizes=sizes)
 
 
-def test_ell_overflow_falls_back_to_xla_batch():
+def test_ell_overflow_raises_not_degrades():
     """A batch whose per-block edge count exceeds the planned ell_k must
-    come out as a plain GraphBatch (XLA path), not raise mid-epoch."""
-    from ggnn_tpu.graph import ELLGraphBatch, GraphBatch
+    RAISE — silently degrading one batch to a plain GraphBatch changes
+    the stream's pytree class mid-epoch, which jitted/stacked consumers
+    cannot absorb. Both packers enforce the same contract (round-5
+    review: they used to contradict each other). An adequately planned
+    ell_k emits a uniform ELLGraphBatch stream."""
+    from ggnn_tpu.graph import ELLGraphBatch
     data = synthetic_molecules(40, seed=11)
     meta = infer_metadata([data], True)
     nat_proc = native_pack.preprocess_sparse_native(
         data, meta.num_edge_types, True, [0], {}, False)
     caps = native_pack.plan_capacities_native(nat_proc, 300)
+    with pytest.raises(ValueError, match="ELL layout overflow"):
+        list(native_pack.pack_sparse_batches_native(
+            nat_proc, meta.num_edge_types, True, 300, caps, 16,
+            meta.annotation_size, False, None, ell_block=8, ell_k=1))
+    proc = packing.preprocess_sparse(data, meta.num_edge_types, True,
+                                     [0], {}, False)
+    pcaps = packing.plan_capacities(proc, meta.num_edge_types, 300)
+    with pytest.raises(ValueError, match="ELL layout overflow"):
+        list(packing.pack_sparse_batches(
+            proc, meta.num_edge_types, 300, pcaps, 16,
+            meta.annotation_size, False, None, ell_block=8, ell_k=1))
+    # Adequate ell_k: every batch is a fully-formed ELLGraphBatch.
     batches = list(native_pack.pack_sparse_batches_native(
         nat_proc, meta.num_edge_types, True, 300, caps, 16,
-        meta.annotation_size, False, None, ell_block=8, ell_k=8))
+        meta.annotation_size, False, None, ell_block=8, ell_k=64))
     assert batches
-    assert all(not isinstance(b, ELLGraphBatch) or b.ell_fwd_src is not None
+    assert all(isinstance(b, ELLGraphBatch) and b.ell_fwd_src is not None
                for b in batches)
-    assert any(type(b) is GraphBatch for b in batches)
 
 
 def test_native_feature_geometry_validated():
