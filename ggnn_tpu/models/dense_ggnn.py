@@ -78,6 +78,10 @@ class DenseGGNN:
                 int(k): list(v)
                 for k, v in config.get("residual_connections", {}).items()
             }
+            from ggnn_tpu.models.sparse_ggnn import (
+                _validate_residual_connections)
+            _validate_residual_connections(self.residual_connections,
+                                           len(self.layer_timesteps))
             self.use_propagation_attention = config.get(
                 "use_propagation_attention", False)
             self.use_edge_msg_avg_aggregation = config.get(

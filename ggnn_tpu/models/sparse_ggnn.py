@@ -54,6 +54,29 @@ from ggnn_tpu.utils.constants import SMALL_NUMBER
 from ggnn_tpu.utils.init import glorot_init
 
 
+def _validate_residual_connections(residuals: Dict, n_layers: int) -> None:
+    """Config-time validation: a residual source must be an EARLIER
+    layer state (index 0 = the input annotations, k = layer k-1's
+    output; at layer k indices 0..k exist). An out-of-range source used
+    to surface as a bare IndexError deep inside forward (round-5 chaos
+    sweep); the reference would crash the same way at graph-build time
+    (chem_tensorflow_sparse.py:160-167). Layer KEYS beyond the layer
+    count stay silently ignored — reference parity: the DEFAULT config
+    carries {"2":[0],"4":[0,2]}, and users overriding layer_timesteps
+    alone must not suddenly error."""
+    for k, lst in residuals.items():
+        if k < 0:
+            raise ValueError(f"residual_connections layer key {k} < 0")
+        if k >= n_layers:
+            continue  # reference behavior: unknown layers are ignored
+        for i in lst:
+            if not 0 <= i <= k:
+                raise ValueError(
+                    f"residual_connections[{k}] references layer state "
+                    f"{i}; valid sources at layer {k} are [0, {k}] "
+                    "(earlier layers only)")
+
+
 class SparseGGNN:
     """Functional model: `init_params(key)` + pure `forward(...)`.
 
@@ -115,6 +138,8 @@ class SparseGGNN:
         self.residual_connections = {
             int(k): list(v) for k, v in config["residual_connections"].items()
         }
+        _validate_residual_connections(self.residual_connections,
+                                       len(self.layer_timesteps))
         self.use_edge_bias = config["use_edge_bias"]
         self.use_propagation_attention = config["use_propagation_attention"]
         self.use_edge_msg_avg_aggregation = config["use_edge_msg_avg_aggregation"]

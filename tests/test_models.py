@@ -630,3 +630,27 @@ def test_lane_padding_matches_unpadded():
     ga = np.asarray(gm_pad.forward(gparams, gbatch))
     gb = np.asarray(gm_ref.forward(gparams, gbatch))
     np.testing.assert_allclose(ga, gb, rtol=1e-5, atol=1e-6)
+
+
+def test_residual_connections_validated_at_construction():
+    """An out-of-range residual source raises a clear ValueError at
+    model construction, not a bare IndexError deep inside forward
+    (round-5 chaos-sweep finding). Layer keys beyond the layer count
+    stay ignored — reference parity (the default config carries
+    {"2":[0],"4":[0,2]} and shorter layer_timesteps must still work)."""
+    import pytest
+
+    bad = {**SPARSE_DEFAULTS, "hidden_size": 8,
+           "layer_timesteps": [1, 1],
+           "residual_connections": {"1": [0, 5]}}
+    with pytest.raises(ValueError, match="residual_connections"):
+        SparseGGNN(bad, NUM_EDGE_TYPES)
+    with pytest.raises(ValueError, match="residual_connections"):
+        DenseGGNN({**bad, "use_edge_bias": True,
+                   "graph_state_dropout_keep_prob": 1.0,
+                   "edge_weight_dropout_keep_prob": 1.0},
+                  NUM_EDGE_TYPES)
+    # Reference default keys beyond a short layer count: accepted.
+    ok = {**SPARSE_DEFAULTS, "hidden_size": 8,
+          "layer_timesteps": [1, 1]}  # defaults keep {"2":..., "4":...}
+    SparseGGNN(ok, NUM_EDGE_TYPES)
