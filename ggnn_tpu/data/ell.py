@@ -118,8 +118,12 @@ def try_build_ell_layout(edge_sources, edge_targets, edge_mask,
                          node_capacity: int, block_nodes: int, ell_k):
     """build_ell_layout, but an overflowing batch (a shuffle that
     concentrates more edges per block than the planned ell_k) returns
-    None instead of raising, so the packer can fall back to the XLA
-    scatter path for that batch rather than killing a training run."""
+    None instead of raising. NOTE: both packers now convert the None
+    into a ValueError with the replan remedy — silently emitting a
+    plain GraphBatch mid-stream would change the pytree class on
+    jitted/stacked consumers — so this soft interface only isolates
+    the overflow signal from other errors (ELLOverflowError alone is
+    swallowed; anything else propagates)."""
     try:
         return build_ell_layout(edge_sources, edge_targets, edge_mask,
                                 node_capacity, block_nodes, ell_k)

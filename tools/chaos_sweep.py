@@ -193,6 +193,91 @@ def mesh_chaos() -> int:
     return 1 if failures else 0
 
 
+def serving_fuzz(n_cases: int, seed: int) -> int:
+    """Random valid AND malformed requests against a Predictor per
+    variant: valid requests must return finite [K, n]; malformed ones
+    must raise ValueError (a clean rejection) — never any other
+    exception, never silent wrong shapes (round-5 addition; the
+    serving entry validates features and vertex ids for every
+    variant)."""
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    from ggnn_tpu.data.loader import infer_metadata
+    from ggnn_tpu.data.synthetic import synthetic_molecules
+    from ggnn_tpu.models.base import init_output_heads
+    from ggnn_tpu.serving import Predictor
+    from ggnn_tpu.training.config import default_params_for
+    from ggnn_tpu.training.variants import make_adapter
+
+    rng = np.random.RandomState(seed)
+    pool = synthetic_molecules(32, seed=seed)
+    failures = []
+    for variant in ("sparse", "blocked", "gcn", "gcn_blocked", "async"):
+        cfg = default_params_for(variant)
+        cfg["hidden_size"] = 16
+        if variant == "async":
+            cfg["propagation_substeps"] = 25
+        meta = infer_metadata([pool], cfg["tie_fwd_bkwd"])
+        adapter = make_adapter(variant, cfg, meta)
+        model = adapter.build_model()
+        key = jax.random.PRNGKey(seed)
+        state = {"params": {
+            "graph": model.init_params(key),
+            "heads": init_output_heads(key, cfg["hidden_size"],
+                                       cfg["task_ids"])}}
+        p = Predictor(variant, cfg, meta, state, max_nodes=256,
+                      max_graphs=16)
+        for case in range(n_cases):
+            kind = rng.randint(6)
+            label = f"{variant}[{case}] kind={kind}"
+            g = dict(pool[rng.randint(len(pool))])
+            expect_error = False
+            if kind == 1:   # out-of-range vertex id
+                g["graph"] = list(g["graph"]) + [[0, 1, 999]]
+                expect_error = True
+            elif kind == 2:  # negative vertex id
+                g["graph"] = list(g["graph"]) + [[-3, 1, 0]]
+                expect_error = True
+            elif kind == 3:  # empty node features
+                g = dict(g, node_features=[])
+                expect_error = True
+            elif kind == 4:  # bad edge type
+                g["graph"] = list(g["graph"]) + [[0, 99, 1]]
+                # GCN-family DISCARDS edge types (reference parity:
+                # chem_tensorflow_gcn.py:116-142 symmetrizes ignoring
+                # the type column), so any type value is valid input
+                # there; the typed variants must reject it.
+                expect_error = variant not in ("gcn", "gcn_blocked")
+            elif kind == 5:  # multi-graph request, one malformed
+                good = dict(pool[rng.randint(len(pool))])
+                g = [good, dict(g, graph=list(g["graph"]) + [[0, 1, 999]])]
+                expect_error = True
+            req = g if isinstance(g, list) else [g]
+            try:
+                out = np.asarray(p(req))
+                if expect_error:
+                    print(f"ACCEPTED MALFORMED  {label}", flush=True)
+                    failures.append(label)
+                elif out.shape != (len(cfg["task_ids"]), len(req)) \
+                        or not np.isfinite(out).all():
+                    print(f"BAD OUTPUT  {label}: {out.shape}", flush=True)
+                    failures.append(label)
+            except ValueError as exc:
+                if not expect_error:
+                    print(f"REJECTED VALID  {label}: {str(exc)[:120]}",
+                          flush=True)
+                    failures.append(label)
+            except Exception as exc:
+                print(f"UNEXPECTED  {label}: {type(exc).__name__}: "
+                      f"{str(exc)[:200]}", flush=True)
+                traceback.print_exc()
+                failures.append(label)
+        print(f"{variant}: {n_cases} fuzz cases done", flush=True)
+    print(f"\nserving fuzz: {5 * n_cases} cases, {len(failures)} failures")
+    return 1 if failures else 0
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "config"
     if mode == "config":
@@ -201,6 +286,10 @@ if __name__ == "__main__":
         sys.exit(config_chaos(n, seed))
     elif mode == "mesh":
         sys.exit(mesh_chaos())
+    elif mode == "serving":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+        seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        sys.exit(serving_fuzz(n, seed))
     else:
-        print(f"unknown mode {mode}; use config|mesh")
+        print(f"unknown mode {mode}; use config|mesh|serving")
         sys.exit(2)
